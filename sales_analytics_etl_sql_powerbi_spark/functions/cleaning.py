@@ -1,0 +1,159 @@
+"""Cleaning & derivation expressions — SURVEY §2.2 (P1-P16) / §2.8.
+
+The reference does these eagerly in pandas (`etl/order_info_etl.py:31-65,
+182-242`); here each is a lazy Column expression so the whole cleaning
+stage is ONE Catalyst projection fused into the scan — at 100 TB that
+means zero extra passes over the data.
+
+Reference parity notes are cited per function (file:line of the
+reference behavior being reproduced).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# P1 — column-name normalization (reference etl/order_info_etl.py:31-35)
+# ---------------------------------------------------------------------------
+
+
+def normalize_colname(name: str) -> str:
+    """strip, drop BOM, spaces/hyphens -> underscore."""
+    n = name.strip().lstrip("﻿").strip()
+    n = re.sub(r"[\s\-]+", "_", n)
+    return n
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Apply normalize_colname to every column (driver-side rename only)."""
+    return df.toDF(*[normalize_colname(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# P2 — explicit rename map (reference etl/order_info_etl.py:184-190)
+# ---------------------------------------------------------------------------
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    present = {k: v for k, v in mapping.items() if k in df.columns}
+    return df.withColumnsRenamed(dict(present))
+
+
+# ---------------------------------------------------------------------------
+# P4 — timestamp parse with fallback, malformed -> NULL
+# (reference etl/order_info_etl.py:37-46 — pd.to_datetime(errors="coerce"))
+# ---------------------------------------------------------------------------
+
+
+def parse_timestamp(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """Try the explicit format first, then lenient inference; NULL on failure.
+
+    Pre-strips tabs/CR/LF/spaces like the reference's
+    ``str.strip("\\t\\r\\n ")`` (etl/order_info_etl.py:42-44).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, r"^[\t\r\n ]+|[\t\r\n ]+$", "")
+    cleaned = F.nullif(cleaned, F.lit(""))
+    return F.coalesce(
+        F.try_to_timestamp(cleaned, F.lit(fmt)),
+        F.try_to_timestamp(cleaned),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — regex numeric extraction: "8.9523ft³" -> 8.9523
+# (reference etl/order_info_etl.py:48-50)
+# ---------------------------------------------------------------------------
+
+_NUM_RE = r"([0-9]+(?:\.[0-9]+)?)"
+
+
+def strip_units_to_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    extracted = F.regexp_extract(c, _NUM_RE, 1)
+    return F.nullif(extracted, F.lit("")).cast(T.DoubleType())
+
+
+# ---------------------------------------------------------------------------
+# P6 — state-code validation: trim+upper, keep ^[A-Z]{2}$ else NULL
+# (reference etl/order_info_etl.py:52-54,209-216)
+# ---------------------------------------------------------------------------
+
+
+def valid_state_code(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    up = F.upper(F.trim(c))
+    return F.when(up.rlike("^[A-Z]{2}$"), up)
+
+
+# ---------------------------------------------------------------------------
+# P7 — numeric coercion with default (goodsNumber -> int else 1)
+# (reference etl/order_info_etl.py:218-221)
+# ---------------------------------------------------------------------------
+
+
+def int_with_default(col: Column | str, default: int = 1) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.try_cast(T.IntegerType()), F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# P8 — ensure expected columns exist (NULL-typed when absent)
+# (reference etl/order_info_etl.py:223-225,327-329)
+# ---------------------------------------------------------------------------
+
+
+def ensure_columns(df: DataFrame, schema: Mapping[str, T.DataType]) -> DataFrame:
+    missing = {
+        name: F.lit(None).cast(dtype)
+        for name, dtype in schema.items()
+        if name not in df.columns
+    }
+    return df.withColumns(missing) if missing else df
+
+
+# ---------------------------------------------------------------------------
+# P10 — blank-as-null + product-key coalesce
+# (reference etl/order_info_etl.py:234-242)
+# ---------------------------------------------------------------------------
+
+
+def blank_as_null(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.trim(c), F.lit(""))
+
+
+def coalesce_product_key(master_sku: Column | str, sku: Column | str) -> Column:
+    return F.coalesce(blank_as_null(master_sku), blank_as_null(sku))
+
+
+# ---------------------------------------------------------------------------
+# P11 — string truncation to declared VARCHAR widths
+# (reference etl/order_info_etl.py:331-348)
+# ---------------------------------------------------------------------------
+
+
+def truncate_to_widths(df: DataFrame, widths: Mapping[str, int]) -> DataFrame:
+    updates = {
+        name: F.substring(F.col(name), 1, n)
+        for name, n in widths.items()
+        if name in df.columns
+    }
+    return df.withColumns(updates) if updates else df
+
+
+# ---------------------------------------------------------------------------
+# P12 — whitespace cleanup (rstrip tab/cr/lf/space + lstrip)
+# (reference etl/order_info_etl.py:196; product_info_etl.py:308-311)
+# ---------------------------------------------------------------------------
+
+
+def clean_whitespace(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"^[\t\r\n ]+|[\t\r\n ]+$", "")
