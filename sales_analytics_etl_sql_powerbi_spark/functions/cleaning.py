@@ -24,9 +24,15 @@ from pyspark.sql import types as T
 
 
 def normalize_colname(name: str) -> str:
-    """strip, drop BOM, spaces/hyphens -> underscore."""
-    n = name.strip().lstrip("﻿").strip()
-    n = re.sub(r"[\s\-]+", "_", n)
+    """strip, drop BOM (anywhere), each space/hyphen -> one underscore.
+
+    Matches the reference exactly: ``.replace('\\ufeff','').strip()``
+    then per-character replacement — 'Urgent  Orders' becomes
+    'Urgent__Orders' (two underscores), not 'Urgent_Orders'
+    (reference etl/order_info_etl.py:31-35).
+    """
+    n = name.replace("﻿", "").strip()
+    n = re.sub(r"[ \-]", "_", n)
     return n
 
 
@@ -99,8 +105,14 @@ def valid_state_code(col: Column | str) -> Column:
 
 
 def int_with_default(col: Column | str, default: int = 1) -> Column:
+    # Coerce via double first so decimal-formatted strings ('3.0', '3.5'
+    # — common in Excel exports) land as ints like the reference's
+    # pd.to_numeric(...).fillna(default).astype(int), instead of NULLing
+    # out under a direct int try_cast (reference etl/order_info_etl.py:218-221).
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.try_cast(T.IntegerType()), F.lit(default))
+    return F.coalesce(
+        c.try_cast(T.DoubleType()).cast(T.IntegerType()), F.lit(default)
+    )
 
 
 # ---------------------------------------------------------------------------

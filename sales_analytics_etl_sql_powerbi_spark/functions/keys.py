@@ -3,7 +3,7 @@
 The reference's only custom row function is ``stable_customer_id``:
 ``int(md5('|'.join(parts)).hexdigest()[:16], 16) & (2**63 - 1)``
 (reference etl/order_info_etl.py:56-65). It is reproduced here THREE
-ways, all bit-exact with each other (verified in tests):
+ways, all bit-exact with each other (parity test: tests/test_keys.py):
 
 1. :func:`stable_id_expr` — native Catalyst expression (the production
    path: whole-stage codegen, no Python in the executors);
@@ -21,6 +21,7 @@ dense ``row_number() OVER (ORDER BY business_key)`` — NOT
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 
 from pyspark.sql import Column, Window
@@ -28,6 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MASK_63 = 2**63  # value & (2**63-1)  ==  value mod 2**63
+
+
+def _mask_63_lit() -> Column:
+    # 2**63 does not fit a Java long, so the literal must enter the plan
+    # as a decimal — F.lit(int(2**63)) raises NumberFormatException in py4j.
+    return F.lit(decimal.Decimal(_MASK_63))
 
 
 def _concat_key(cols: list[Column | str], sep: str = "|") -> Column:
@@ -49,7 +56,7 @@ def stable_id_expr(cols: list[Column | str], sep: str = "|") -> Column:
     """
     hex16 = F.substring(F.md5(_concat_key(cols, sep)), 1, 16)
     unsigned = F.conv(hex16, 16, 10).cast(T.DecimalType(20, 0))
-    return F.pmod(unsigned, F.lit(_MASK_63)).cast(T.LongType())
+    return F.pmod(unsigned, _mask_63_lit()).cast(T.LongType())
 
 
 def stable_id_sql(col_exprs: list[str], sep: str = "|", dialect: str = "duckdb") -> str:
@@ -74,10 +81,7 @@ def stable_id_pandas_udf() -> Column:
     Kept as the parity witness for stable_id_expr (see tests); the
     native expression is the production path.
     """
-    import pandas as pd  # local import: only needed if this variant is used
-
-    @F.pandas_udf(T.LongType())
-    def _stable_id(key: pd.Series) -> pd.Series:
+    def _stable_id(key):  # pd.Series -> pd.Series
         def one(s: str | None) -> int:
             s = s if s is not None else ""
             return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) & (
@@ -86,7 +90,7 @@ def stable_id_pandas_udf() -> Column:
 
         return key.map(one)
 
-    return _stable_id
+    return F.pandas_udf(_stable_id, T.LongType())
 
 
 def dense_surrogate_id(order_by: list[Column | str]) -> Column:
