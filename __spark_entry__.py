@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (executive-overview state leaderboard)
+on sf0.001. ``queries()`` — one entry per implemented operator family
+(SURVEY.md §2). ``oracle_sql()`` — DuckDB twins; the driver compares
+row-count + schema + order-insensitive value hash at sf0.01.
+
+Column aliases match between the Spark and SQL sides — the driver
+sorts columns by name before hashing.
 """
 
 from __future__ import annotations
@@ -12,27 +14,426 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_analytics_etl_sql_powerbi_spark import oracles, pipeline
+from sales_analytics_etl_sql_powerbi_spark.operators import analytics, quality
+from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+    backfill_from_staging,
+    upsert_missing,
+)
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: state leaderboard with % of total over the full star.
+
+    scan → clean → dims → fact → 4-way star join → agg → window → sort
+    (the reference's executive-overview page, README.md:150-153).
+    """
+    s = pipeline.star(spark, "/root/testdata/sf0.001")
+    return analytics.exec_overview_states(s["view"])
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _boundary(df: DataFrame) -> DataFrame:
+    """Contract-boundary type normalization for hash parity.
+
+    DATE → TIMESTAMP (midnight UTC) and DECIMAL → DOUBLE, mirrored by
+    explicit casts in the oracle SQL: pandas/arrow represent dates and
+    decimals differently per engine even when values are equal, which
+    would flake an order-insensitive value hash. Internal frames keep
+    the semantic types; only the compared surface is normalized.
+    """
+    from pyspark.sql import types as T
+
+    casts = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DateType):
+            casts[f.name] = F.col(f.name).cast("timestamp")
+        elif isinstance(f.dataType, T.DecimalType):
+            casts[f.name] = F.col(f.name).cast("double")
+    return df.withColumns(casts) if casts else df
+
+
+def _staging(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.staging_orders(spark, sf)
+
+
+def _view(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.star(spark, sf)["view"]
+
+
+def q_staging_clean(spark: SparkSession, sf: str) -> DataFrame:
+    return _staging(spark, sf)
+
+
+def q_dim_platform(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_dim_platform(_staging(spark, sf))
+
+
+def q_dim_product_rules(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_dim_product(spark, sf)
+
+
+def q_dim_customer(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_dim_customer(_staging(spark, sf))
+
+
+def q_dim_date(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_dim_date(spark, _staging(spark, sf))
+
+
+def q_fact_build(spark: SparkSession, sf: str) -> DataFrame:
+    s = pipeline.star(spark, sf)
+    return s["fact"]
+
+
+def q_reporting_view(spark: SparkSession, sf: str) -> DataFrame:
+    return _view(spark, sf)
+
+
+def q_state_leaderboard(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.exec_overview_states(_view(spark, sf))
+
+
+def q_platform_share(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.platform_share(_view(spark, sf))
+
+
+def q_state_platform_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.state_platform_pivot(_view(spark, sf))
+
+
+def q_category_subcategory(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.category_subcategory(_view(spark, sf))
+
+
+def q_day_of_week_trend(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.day_of_week_trend(_view(spark, sf))
+
+
+def q_platform_rank_in_state(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.platform_rank_in_state(_view(spark, sf))
+
+
+def q_top_products_per_state(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.top_products_per_state(_view(spark, sf), n=3)
+
+
+def q_top_offenders(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.top_offenders(
+        _view(spark, sf), F.col("category") == "Hardware", n=200
+    )
+
+
+def q_validation_sku_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return quality.sku_count_by_subcategory(
+        pipeline.build_dim_product(spark, sf), "Hardware"
+    )
+
+
+def q_validation_units_by_subcat(spark: SparkSession, sf: str) -> DataFrame:
+    s = pipeline.star(spark, sf)
+    return quality.units_by_subcategory(s["fact"], s["dim_product"], "Hardware")
+
+
+def q_nonnull_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return quality.nonnull_counts(
+        _staging(spark, sf), ["state_code", "product_key", "master_sku", "units_raw"]
+    )
+
+
+def q_minmax_dates(spark: SparkSession, sf: str) -> DataFrame:
+    return _staging(spark, sf).agg(
+        F.min("submit_ts").alias("min_ts"),
+        F.max("submit_ts").alias("max_ts"),
+        F.min("ship_ts").alias("min_ship_ts"),
+        F.max("ship_ts").alias("max_ship_ts"),
+    )
+
+
+def q_grand_total(spark: SparkSession, sf: str) -> DataFrame:
+    s = pipeline.star(spark, sf)
+    return s["fact"].agg(
+        F.sum("units").cast("long").alias("total_units"),
+        F.count_distinct("order_id").alias("order_count"),
+        F.count(F.lit(1)).alias("fact_rows"),
+    )
+
+
+def q_upsert_missing_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 — anti-join insert-if-missing: seed the dim with even-keyed
+    customers, upsert the rest from staging."""
+    staging = _staging(spark, sf)
+    existing = pipeline.build_dim_customer(
+        staging.where(F.col("customer_id") % 2 == 0)
+    )
+    return upsert_missing(existing, staging, "customer_id")
+
+
+def q_backfill_customer_state(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 — null-backfill rebuild: hole out one third of the dim's
+    state codes, restore them from staging."""
+    staging = _staging(spark, sf)
+    dim = pipeline.build_dim_customer(staging)
+    holed = dim.withColumn(
+        "state_code",
+        F.when(F.col("customer_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("state_code")
+        ),
+    )
+    return backfill_from_staging(holed, staging, "customer_id", ["state_code"])
+
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON prop extraction + grouped agg over the events table."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.get_json_object("props", "$.k").cast("int"))
+            .cast("long")
+            .alias("sum_k"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            return _boundary(fn(spark, sf))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        return run
+
+    return {
+        name: wrap(fn)
+        for name, fn in _RAW_QUERIES.items()
+    }
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "staging_clean": q_staging_clean,
+        "dim_platform": q_dim_platform,
+        "dim_product_rules": q_dim_product_rules,
+        "dim_customer": q_dim_customer,
+        "dim_date": q_dim_date,
+        "fact_build": q_fact_build,
+        "reporting_view": q_reporting_view,
+        "state_leaderboard": q_state_leaderboard,
+        "platform_share": q_platform_share,
+        "state_platform_pivot": q_state_platform_pivot,
+        "category_subcategory": q_category_subcategory,
+        "day_of_week_trend": q_day_of_week_trend,
+        "platform_rank_in_state": q_platform_rank_in_state,
+        "top_products_per_state": q_top_products_per_state,
+        "top_offenders": q_top_offenders,
+        "validation_sku_counts": q_validation_sku_counts,
+        "validation_units_by_subcat": q_validation_units_by_subcat,
+        "nonnull_counts": q_nonnull_counts,
+        "minmax_dates": q_minmax_dates,
+        "grand_total": q_grand_total,
+        "upsert_missing_customers": q_upsert_missing_customers,
+        "backfill_customer_state": q_backfill_customer_state,
+        "events_json": q_events_json,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL — DuckDB twins
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    W = oracles.with_star
+    pivot_cols = ",\n  ".join(
+        f"cast(coalesce(sum(CASE WHEN platform_name = '{v}' THEN units END), 0)"
+        f" AS BIGINT) AS units_p{i + 1}"
+        for i, v in enumerate(analytics.PLATFORM_VALUES)
+    )
+    return {
+        # REPLACE casts mirror the Spark side's _boundary normalization
+        "staging_clean": W(
+            "SELECT * REPLACE (cast(revenue AS DOUBLE) AS revenue) FROM staging",
+            ("staging",),
+        ),
+        "dim_platform": W("SELECT * FROM dim_platform", ("dim_platform",)),
+        "dim_product_rules": W("SELECT * FROM dim_product", ("dim_product",)),
+        "dim_customer": W("SELECT * FROM dim_customer", ("dim_customer",)),
+        "dim_date": W(
+            "SELECT * REPLACE (cast(date_id AS TIMESTAMP) AS date_id) FROM dim_date",
+            ("dim_date",),
+        ),
+        "fact_build": W(
+            "SELECT * REPLACE (cast(date_id AS TIMESTAMP) AS date_id,"
+            " cast(revenue AS DOUBLE) AS revenue) FROM fact",
+            ("fact",),
+        ),
+        "reporting_view": W(
+            "SELECT * REPLACE (cast(date_id AS TIMESTAMP) AS date_id,"
+            " cast(revenue AS DOUBLE) AS revenue) FROM vw",
+            ("vw",),
+        ),
+        "state_leaderboard": W(
+            """
+            SELECT state_code,
+                   cast(sum(units) AS BIGINT) AS units_sold,
+                   100.0 * cast(sum(units) AS DOUBLE)
+                         / cast(sum(sum(units)) OVER () AS DOUBLE) AS pct_of_total
+            FROM vw WHERE state_code IS NOT NULL
+            GROUP BY state_code
+            ORDER BY units_sold DESC, state_code
+            """,
+            ("vw",),
+        ),
+        "platform_share": W(
+            """
+            SELECT platform_name,
+                   cast(sum(units) AS BIGINT) AS units_sold,
+                   count(DISTINCT order_id) AS order_count,
+                   100.0 * cast(sum(units) AS DOUBLE)
+                         / cast(sum(sum(units)) OVER () AS DOUBLE) AS pct_of_total
+            FROM vw GROUP BY platform_name
+            ORDER BY units_sold DESC, platform_name
+            """,
+            ("vw",),
+        ),
+        "state_platform_pivot": W(
+            f"""
+            SELECT state_code,
+              {pivot_cols}
+            FROM vw WHERE state_code IS NOT NULL
+            GROUP BY state_code ORDER BY state_code
+            """,
+            ("vw",),
+        ),
+        "category_subcategory": W(
+            """
+            SELECT category, subcategory,
+                   cast(sum(units) AS BIGINT) AS units_sold,
+                   count(DISTINCT product_key) AS sku_count
+            FROM vw GROUP BY category, subcategory
+            ORDER BY units_sold DESC, category, subcategory
+            """,
+            ("vw",),
+        ),
+        "day_of_week_trend": W(
+            """
+            SELECT day_of_week, day_name,
+                   cast(sum(units) AS BIGINT) AS units_sold,
+                   count(DISTINCT order_id) AS order_count
+            FROM vw GROUP BY day_of_week, day_name ORDER BY day_of_week
+            """,
+            ("vw",),
+        ),
+        "platform_rank_in_state": W(
+            """
+            SELECT state_code, platform_name, units_sold,
+                   cast(rank() OVER (PARTITION BY state_code ORDER BY units_sold DESC) AS INT)
+                     AS platform_rank
+            FROM (
+              SELECT state_code, platform_name, cast(sum(units) AS BIGINT) AS units_sold
+              FROM vw WHERE state_code IS NOT NULL
+              GROUP BY state_code, platform_name
+            ) g
+            ORDER BY state_code, platform_rank, platform_name
+            """,
+            ("vw",),
+        ),
+        "top_products_per_state": W(
+            """
+            SELECT * FROM (
+              SELECT state_code, product_key, units_sold,
+                     cast(row_number() OVER (
+                       PARTITION BY state_code
+                       ORDER BY units_sold DESC, product_key ASC) AS INT) AS rn
+              FROM (
+                SELECT state_code, product_key, cast(sum(units) AS BIGINT) AS units_sold
+                FROM vw WHERE state_code IS NOT NULL
+                GROUP BY state_code, product_key
+              ) g
+            ) r WHERE rn <= 3 ORDER BY state_code, rn
+            """,
+            ("vw",),
+        ),
+        "top_offenders": W(
+            """
+            SELECT english_name, product_key, cast(sum(units) AS BIGINT) AS units_sold
+            FROM vw WHERE category = 'Hardware'
+            GROUP BY english_name, product_key
+            ORDER BY units_sold DESC, product_key
+            LIMIT 200
+            """,
+            ("vw",),
+        ),
+        "validation_sku_counts": W(
+            """
+            SELECT subcategory, cast(count(*) AS BIGINT) AS sku_count
+            FROM dim_product WHERE category = 'Hardware'
+            GROUP BY subcategory ORDER BY sku_count DESC, subcategory
+            """,
+            ("dim_product",),
+        ),
+        "validation_units_by_subcat": W(
+            """
+            SELECT p.subcategory, cast(sum(f.units) AS BIGINT) AS units_sold
+            FROM fact f JOIN dim_product p ON f.product_id = p.product_id
+            WHERE p.category = 'Hardware'
+            GROUP BY p.subcategory ORDER BY units_sold DESC, p.subcategory
+            """,
+            ("fact", "dim_product"),
+        ),
+        "nonnull_counts": W(
+            """
+            SELECT count(1) AS row_count,
+                   count(state_code) AS nonnull_state_code,
+                   count(product_key) AS nonnull_product_key,
+                   count(master_sku) AS nonnull_master_sku,
+                   count(units_raw) AS nonnull_units_raw
+            FROM staging
+            """,
+            ("staging",),
+        ),
+        "minmax_dates": W(
+            """
+            SELECT min(submit_ts) AS min_ts, max(submit_ts) AS max_ts,
+                   min(ship_ts) AS min_ship_ts, max(ship_ts) AS max_ship_ts
+            FROM staging
+            """,
+            ("staging",),
+        ),
+        "grand_total": W(
+            """
+            SELECT cast(sum(units) AS BIGINT) AS total_units,
+                   count(DISTINCT order_id) AS order_count,
+                   count(1) AS fact_rows
+            FROM fact
+            """,
+            ("fact",),
+        ),
+        # upsert/backfill rebuild exactly the canonical customer dim —
+        # the oracle asserts the rebuilt frame is indistinguishable
+        "upsert_missing_customers": W(
+            "SELECT * FROM dim_customer", ("dim_customer",)
+        ),
+        "backfill_customer_state": W(
+            "SELECT * FROM dim_customer", ("dim_customer",)
+        ),
+        "events_json": """
+            SELECT event_type,
+                   count(1) AS event_count,
+                   cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    }

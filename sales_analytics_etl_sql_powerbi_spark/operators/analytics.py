@@ -1,0 +1,170 @@
+"""BI-layer analytics — SURVEY §2.4 A1–A10, §2.5 W1–W3, §2.6 O1–O4.
+
+The reference's dashboard queries live in Power BI over
+``vw_sales_product_geo`` (reference README.md:83-122,150-164 and the
+dashboard screenshots): state leaderboard with percent-of-total,
+platform share, state×platform matrix, category/subcategory ranking,
+day-of-week trend, platform rank within state. Each is a function of
+the reporting-view DataFrame.
+
+Determinism rules for oracle parity:
+- ratios are double/double from exact integer sums (bit-identical
+  across engines);
+- every LIMIT sits on a *total* order (tie-break by key), otherwise
+  two engines pick different ties;
+- rank() (not row_number) wherever ties should share a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exec_overview_states",
+    "platform_share",
+    "state_platform_pivot",
+    "category_subcategory",
+    "day_of_week_trend",
+    "platform_rank_in_state",
+    "top_products_per_state",
+    "top_offenders",
+    "PLATFORM_VALUES",
+]
+
+#: The five o_orderpriority values playing the reference's platforms.
+PLATFORM_VALUES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pct_of_total(units_col: str) -> F.Column:
+    """W1/A6 — share of grand total, % (reference README.md:152-158)."""
+    total = F.sum(units_col).over(Window.partitionBy())
+    return F.lit(100.0) * F.col(units_col).cast("double") / total.cast("double")
+
+
+def exec_overview_states(view: DataFrame) -> DataFrame:
+    """A3+A6+O1 — units by state with percent-of-total, desc.
+
+    The executive-overview state table (reference README.md:152-153,
+    screenshots/dashboard_executive_overview.png).
+    """
+    return (
+        view.where(F.col("state_code").isNotNull())
+        .groupBy("state_code")
+        .agg(F.sum("units").cast("long").alias("units_sold"))
+        .withColumn("pct_of_total", _pct_of_total("units_sold"))
+        .orderBy(F.desc("units_sold"), "state_code")
+    )
+
+
+def platform_share(view: DataFrame) -> DataFrame:
+    """A6 — platform share of total units (reference README.md:158)."""
+    return (
+        view.groupBy("platform_name")
+        .agg(
+            F.sum("units").cast("long").alias("units_sold"),
+            F.count_distinct("order_id").alias("order_count"),
+        )
+        .withColumn("pct_of_total", _pct_of_total("units_sold"))
+        .orderBy(F.desc("units_sold"), "platform_name")
+    )
+
+
+def state_platform_pivot(view: DataFrame) -> DataFrame:
+    """A8 — state × platform units matrix.
+
+    Reference dashboard_platform_performance.png (right table). Pivot
+    values are pinned (no discovery pass) — at 100 TB an unpinned pivot
+    means an extra distinct scan. Empty cells stay NULL (pivot-sum
+    semantics; the oracle's no-ELSE CASE matches).
+    """
+    pivoted = (
+        view.where(F.col("state_code").isNotNull())
+        .groupBy("state_code")
+        .pivot("platform_name", PLATFORM_VALUES)
+        .agg(F.sum("units").cast("long"))
+    )
+    renames = {v: f"units_p{i + 1}" for i, v in enumerate(PLATFORM_VALUES)}
+    out = pivoted.withColumnsRenamed(renames)
+    # zero-fill empty cells: keeps the column a non-nullable BIGINT in
+    # both engines (a nullable int column degrades to float in pandas)
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(0)).cast("long") for c in renames.values()}
+    )
+    return out.orderBy("state_code")
+
+
+def category_subcategory(view: DataFrame) -> DataFrame:
+    """A9 — units and sku counts by category/subcategory.
+
+    Reference README.md:155, dashboard_category_subcategory.png.
+    """
+    return (
+        view.groupBy("category", "subcategory")
+        .agg(
+            F.sum("units").cast("long").alias("units_sold"),
+            F.count_distinct("product_key").alias("sku_count"),
+        )
+        .orderBy(F.desc("units_sold"), "category", "subcategory")
+    )
+
+
+def day_of_week_trend(view: DataFrame) -> DataFrame:
+    """A9/F10 — units by day-of-week (reference README.md:88-92)."""
+    return (
+        view.groupBy("day_of_week", "day_name")
+        .agg(
+            F.sum("units").cast("long").alias("units_sold"),
+            F.count_distinct("order_id").alias("order_count"),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+def platform_rank_in_state(view: DataFrame) -> DataFrame:
+    """W2 — rank of each platform within each state by units.
+
+    Reference dashboard_platform_performance.png 'Platform Rank by
+    State'. rank() shares ranks on ties — engine-order-independent.
+    """
+    g = (
+        view.where(F.col("state_code").isNotNull())
+        .groupBy("state_code", "platform_name")
+        .agg(F.sum("units").cast("long").alias("units_sold"))
+    )
+    w = Window.partitionBy("state_code").orderBy(F.desc("units_sold"))
+    return g.withColumn("platform_rank", F.rank().over(w).cast("int")).orderBy(
+        "state_code", "platform_rank", "platform_name"
+    )
+
+
+def top_products_per_state(view: DataFrame, n: int = 3) -> DataFrame:
+    """W3 — top-N products per state (tie-break on product_key)."""
+    g = (
+        view.where(F.col("state_code").isNotNull())
+        .groupBy("state_code", "product_key")
+        .agg(F.sum("units").cast("long").alias("units_sold"))
+    )
+    w = Window.partitionBy("state_code").orderBy(
+        F.desc("units_sold"), F.asc("product_key")
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= n)
+        .orderBy("state_code", "rn")
+    )
+
+
+def top_offenders(view: DataFrame, fact_like_filter: F.Column, n: int = 200) -> DataFrame:
+    """O2 — TOP(200) offenders check (reference 90_validation_checks.sql:38-48).
+
+    Spark plans this as TakeOrderedAndProject — a per-partition top-k
+    then a k-row merge on the driver, never a global sort of the input.
+    """
+    return (
+        view.where(fact_like_filter)
+        .groupBy("english_name", "product_key")
+        .agg(F.sum("units").cast("long").alias("units_sold"))
+        .orderBy(F.desc("units_sold"), "product_key")
+        .limit(n)
+    )

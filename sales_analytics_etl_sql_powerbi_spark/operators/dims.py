@@ -1,0 +1,85 @@
+"""Dimension maintenance operators — SURVEY §2.3 J3/J4/J5, §2.4 A1.
+
+The reference maintains dims with three SQL Server patterns:
+
+- **insert-if-missing** (``INSERT … SELECT DISTINCT … WHERE NOT
+  EXISTS``, reference etl/order_info_etl.py:410-439) — J3;
+- **insert-only MERGE** for dim_date (:146-154) — J5, same semantics;
+- **correlated UPDATE backfill/enrich** (:443-455,
+  product_info_etl.py:374-386) — J4.
+
+Spark has no in-place UPDATE; both patterns become *rebuilds* that
+preserve the uniqueness guarantees SQL Server enforced with
+constraints. At scale these are broadcast-friendly: the "new keys"
+side is distinct-reduced before the anti-join, and dims stay far under
+the broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["upsert_missing", "enrich_coalesce", "backfill_from_staging"]
+
+
+def upsert_missing(dim: DataFrame, staged: DataFrame, key: str | list[str]) -> DataFrame:
+    """J3/J5 — append staged rows whose key is absent from ``dim``.
+
+    ``SELECT DISTINCT`` on the staged side first (A1 — reference
+    etl/order_info_etl.py:413) so a key that appears on many staging
+    rows inserts once; then a left_anti join (Catalyst's own rewrite of
+    ``NOT EXISTS``) and unionByName. Column set follows ``dim``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    new_rows = (
+        staged.select(*dim.columns)
+        .dropDuplicates(keys)
+        .join(F.broadcast(dim.select(*keys)), on=keys, how="left_anti")
+    )
+    return dim.unionByName(new_rows)
+
+
+def enrich_coalesce(
+    dim: DataFrame,
+    staged: DataFrame,
+    key: str | list[str],
+    enrich_cols: list[str],
+    prefer: str = "staged",
+) -> DataFrame:
+    """J4 — rebuild ``dim`` with ``COALESCE`` enrichment from staging.
+
+    Reference: ``UPDATE p SET x = COALESCE(s.x, p.x) FROM dim p JOIN
+    stg s ON key`` (etl/product_info_etl.py:374-386). When several
+    staging rows share a key, SQL Server picks an arbitrary winner; we
+    pick a deterministic one — max() per key (documented divergence,
+    SURVEY §7 gotchas).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    agg = staged.groupBy(*keys).agg(
+        *[F.max(c).alias(f"__stg_{c}") for c in enrich_cols]
+    )
+    out = dim.join(F.broadcast(agg), on=keys, how="left")
+    for c in enrich_cols:
+        new = (
+            F.coalesce(F.col(f"__stg_{c}"), F.col(c))
+            if prefer == "staged"
+            else F.coalesce(F.col(c), F.col(f"__stg_{c}"))
+        )
+        out = out.withColumn(c, new)
+    return out.drop(*[f"__stg_{c}" for c in enrich_cols]).select(*dim.columns)
+
+
+def backfill_from_staging(
+    dim: DataFrame,
+    staged: DataFrame,
+    key: str | list[str],
+    fill_cols: list[str],
+) -> DataFrame:
+    """J4 (customer flavor) — fill NULL dim attributes from staging.
+
+    Reference backfills dim_customer.state_code/postal_code where NULL
+    (etl/order_info_etl.py:443-455). Same deterministic-winner rule as
+    :func:`enrich_coalesce` with ``prefer='dim'``.
+    """
+    return enrich_coalesce(dim, staged, key, fill_cols, prefer="dim")

@@ -1,0 +1,55 @@
+"""Post-transform validation checks — SURVEY §2.4 A2–A4/A10, §2.3 J6.
+
+Reference sql/transformations/90_validation_checks.sql:17-48 — three
+read-only acceptance queries run after the rules scripts, plus the
+inline rowcount/non-null observability the ETL prints per step
+(reference etl/order_info_etl.py:418-490, product_info_etl.py:336-344).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sku_count_by_subcategory", "units_by_subcategory", "nonnull_counts", "rowcounts"]
+
+
+def sku_count_by_subcategory(dim_product: DataFrame, category: str) -> DataFrame:
+    """A2 — SKU distribution inside one category
+    (reference 90_validation_checks.sql:17-24)."""
+    return (
+        dim_product.where(F.col("category") == category)
+        .groupBy("subcategory")
+        .agg(F.count("*").cast("long").alias("sku_count"))
+        .orderBy(F.desc("sku_count"), "subcategory")
+    )
+
+
+def units_by_subcategory(fact: DataFrame, dim_product: DataFrame, category: str) -> DataFrame:
+    """A3 + J6 — units sold per subcategory via the fact→dim join
+    (reference 90_validation_checks.sql:27-35)."""
+    return (
+        fact.join(
+            F.broadcast(dim_product.select("product_id", "category", "subcategory")),
+            on="product_id",
+        )
+        .where(F.col("category") == category)
+        .groupBy("subcategory")
+        .agg(F.sum("units").cast("long").alias("units_sold"))
+        .orderBy(F.desc("units_sold"), "subcategory")
+    )
+
+
+def nonnull_counts(staging: DataFrame, cols: list[str]) -> DataFrame:
+    """A4 — staging QA non-null counts
+    (reference etl/product_info_etl.py:336-344)."""
+    return staging.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        *[F.count(c).alias(f"nonnull_{c}") for c in cols],
+    )
+
+
+def rowcounts(frames: dict[str, DataFrame]) -> dict[str, int]:
+    """A10 — per-stage rowcount observability
+    (reference etl/order_info_etl.py:418,429,440,455,490)."""
+    return {name: df.count() for name, df in frames.items()}

@@ -1,0 +1,318 @@
+"""Star-schema pipeline over the driver testdata — the engine end-to-end.
+
+Maps the TPC-H-ish testdata onto the reference's star schema
+(reference README.md:41-56: staging → dims → fact → reporting view):
+
+- ``lineitem ⋈ orders ⋈ customer ⋈ nation`` plays the raw order export
+  (stg_order_export_raw — one row per order line,
+  reference sql/schema/stg_order_export_raw.Table.sql:28-75);
+- ``part`` plays the product master (stg_product_master);
+- ``o_orderpriority`` plays the commerce platform (5 values ≈ the
+  reference's 6 platforms);
+- the customer's nation synthesizes a 2-letter ``state_code`` — with
+  deterministic noise (lowercase/padded/invalid variants) so the
+  cleaning operators (P6) do real work;
+- ``units`` arrives as a string with deterministic malformed values so
+  P7's default path is exercised;
+- the product key arrives as master/alt SKU pairs with NULL/blank gaps
+  so P10's coalesce discipline is exercised.
+
+Every derivation here has an exact SQL twin in :mod:`.oracles` — the
+DuckDB correctness oracle runs the same logic from the same parquet.
+
+Scale notes (the point of the exercise):
+- staging is ONE projection fused into the lineitem scan — no
+  extra pass, no Python;
+- dims are distinct-reduced then broadcast at every join site; the
+  fact build shuffles nothing (broadcast-hash joins against the
+  lineitem-sized side);
+- the fact table, if persisted, partitions by ``date_id``
+  (write_overwrite(partition_by=['date_id'])) for partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.cleaning import (
+    coalesce_product_key,
+    int_with_default,
+    strip_units_to_double,
+    valid_state_code,
+)
+from .functions.dates import calendar_frame
+from .functions.keys import stable_id_expr
+from .operators.rules import (
+    TESTDATA_CATEGORY_PASSES,
+    TESTDATA_SUBCATEGORY_PASSES,
+    apply_passes,
+)
+from .sources.readers import read_table
+
+__all__ = [
+    "staging_orders",
+    "build_dim_platform",
+    "build_dim_product",
+    "build_dim_customer",
+    "build_dim_date",
+    "build_fact",
+    "sales_product_geo_view",
+    "star",
+]
+
+
+def staging_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw order-export staging frame (stg_order_export_raw analog).
+
+    One row per lineitem; all cleaning/derivation operators (P4-P10)
+    applied as a single fused projection. SQL twin:
+    :data:`..oracles.STAGING_SQL`.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    # orders/customer/nation are small relative to lineitem at every SF
+    # (15k vs 60k at sf0.01; 1:4 at 100 TB too) — broadcast the dims,
+    # never shuffle the lineitem side.
+    joined = (
+        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+
+    # -- deterministic synthetic "dirt" so cleaning ops do real work --
+    base_state = F.concat(
+        F.expr("char(65 + n_nationkey % 26)"),
+        F.expr("char(65 + (n_nationkey * 7) % 26)"),
+    )
+    raw_state = (
+        F.when(F.col("n_nationkey") % 13 == 5, F.lit("XYZ"))
+        .when(
+            F.col("n_nationkey") % 11 == 7,
+            F.concat(F.lit(" "), F.lower(base_state), F.lit(" ")),
+        )
+        .otherwise(base_state)
+    )
+    units_raw = F.when(F.col("l_linenumber") % 37 == 0, F.lit("x")).otherwise(
+        F.floor(F.col("l_quantity")).cast("int").cast("string")
+    )
+    master_sku = (
+        F.when(F.col("l_partkey") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("l_partkey") % 11 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit("SKU-"), F.col("l_partkey").cast("string")))
+    )
+    alt_sku = F.concat(F.lit("ALT-"), F.col("l_partkey").cast("string"))
+    customer_name = F.col("c_name")
+    address = F.concat(F.lit("ADDR-"), F.col("c_custkey").cast("string"))
+    postal = F.lpad((F.col("c_custkey") % 100000).cast("string"), 5, "0")
+    volume_raw = F.concat(
+        F.floor(F.col("l_quantity")).cast("int").cast("string"), F.lit(".5ft³")
+    )
+
+    return joined.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("o_orderpriority").alias("platform_name"),
+        F.col("o_orderdate").alias("submit_ts"),
+        F.col("l_shipdate").alias("ship_ts"),
+        units_raw.alias("units_raw"),
+        int_with_default(units_raw, 1).alias("units"),
+        master_sku.alias("master_sku"),
+        alt_sku.alias("alt_sku"),
+        coalesce_product_key(master_sku, alt_sku).alias("product_key"),
+        raw_state.alias("raw_state"),
+        valid_state_code(raw_state).alias("state_code"),
+        customer_name.alias("customer_name"),
+        address.alias("address"),
+        postal.alias("postal_code"),
+        stable_id_expr([customer_name, address, postal]).alias("customer_id"),
+        volume_raw.alias("volume_raw"),
+        strip_units_to_double(volume_raw).alias("volume_num"),
+        F.lit("0.00").cast(T.DecimalType(18, 2)).alias("revenue"),
+    )
+
+
+def build_dim_platform(staging: DataFrame) -> DataFrame:
+    """DISTINCT platforms + deterministic surrogate id (A1 + IDENTITY).
+
+    Reference etl/order_info_etl.py:410-418. The single-partition
+    row_number window is safe: platforms are single digits of rows.
+    """
+    return (
+        staging.select("platform_name")
+        .where(F.col("platform_name").isNotNull() & (F.col("platform_name") != ""))
+        .distinct()
+        .select(
+            F.row_number()
+            .over(Window.orderBy("platform_name"))
+            .cast("int")
+            .alias("platform_id"),
+            "platform_name",
+        )
+    )
+
+
+def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product dim from the part master + rules-engine categorization.
+
+    Reference etl/order_info_etl.py:421-429 (insert) +
+    sql/transformations/10_*/30_*.sql (rules). product_key mirrors the
+    staging-side master/alt SKU synthesis so the fact join closes.
+    """
+    part = read_table(spark, sf_dir, "part")
+    product_key = F.when(
+        (F.col("p_partkey") % 7 == 0) | (F.col("p_partkey") % 11 == 0),
+        F.concat(F.lit("ALT-"), F.col("p_partkey").cast("string")),
+    ).otherwise(F.concat(F.lit("SKU-"), F.col("p_partkey").cast("string")))
+    base = part.select(
+        product_key.alias("product_key"),
+        F.col("p_name").alias("english_name"),
+        F.col("p_name"),
+        F.col("p_type"),
+        F.col("p_brand"),
+        F.col("p_size"),
+    )
+    categorized = apply_passes(
+        base, TESTDATA_CATEGORY_PASSES + TESTDATA_SUBCATEGORY_PASSES
+    ).drop("p_name")
+    return categorized.select(
+        F.row_number()
+        .over(Window.orderBy("product_key"))
+        .cast("int")
+        .alias("product_id"),
+        "*",
+    )
+
+
+def build_dim_customer(staging: DataFrame) -> DataFrame:
+    """DISTINCT customer attributes keyed by the stable 63-bit id.
+
+    Reference etl/order_info_etl.py:432-440.
+    """
+    return (
+        staging.select(
+            "customer_id", "customer_name", "address", "postal_code", "state_code"
+        )
+        .where(F.col("customer_id").isNotNull())
+        .distinct()
+    )
+
+
+def build_dim_date(spark: SparkSession, staging: DataFrame) -> DataFrame:
+    """Calendar spanning the fact date range (reference :104-154).
+
+    min/max reduce to one row, then sequence+explode on the executors —
+    no driver-side date loop (A5 + F11).
+    """
+    bounds = staging.agg(
+        F.min("submit_ts").alias("lo"), F.max("submit_ts").alias("hi")
+    )
+    return calendar_frame(spark, F.col("lo"), F.col("hi"), bounds_df=bounds)
+
+
+def build_fact(
+    staging: DataFrame, dim_platform: DataFrame, dim_product: DataFrame
+) -> DataFrame:
+    """Fact load — J1: left dim lookups + FK-not-null filters (⇒ inner).
+
+    Reference etl/order_info_etl.py:463-490. Dims are broadcast; the
+    staging (lineitem-scale) side never shuffles. Degenerate dims
+    order_id/state_code ride on the fact row
+    (reference sql/schema/fact_sales.Table.sql:35,42).
+    """
+    f = (
+        staging.join(
+            F.broadcast(dim_platform), on="platform_name", how="left"
+        ).join(
+            F.broadcast(dim_product.select("product_id", "product_key")),
+            on="product_key",
+            how="left",
+        )
+        # reference WHERE r.submitTime IS NOT NULL AND r.product_key IS
+        # NOT NULL AND dp.platform_id IS NOT NULL AND dpr.product_id IS
+        # NOT NULL (etl/order_info_etl.py:484-488)
+        .where(
+            F.col("submit_ts").isNotNull()
+            & F.col("product_key").isNotNull()
+            & F.col("platform_id").isNotNull()
+            & F.col("product_id").isNotNull()
+        )
+    )
+    return f.select(
+        F.col("submit_ts").cast("date").alias("date_id"),
+        "platform_id",
+        "product_id",
+        "customer_id",
+        "order_id",
+        "state_code",
+        F.coalesce(F.col("units"), F.lit(1)).alias("units"),
+        "revenue",
+    )
+
+
+def sales_product_geo_view(
+    fact: DataFrame,
+    dim_date: DataFrame,
+    dim_product: DataFrame,
+    dim_platform: DataFrame,
+) -> DataFrame:
+    """The denormalized reporting view — J2, the 4-way star join.
+
+    Reference sql/views/vw_sales_product_geo.View.sql:26-57. All three
+    dims broadcast; the fact side streams through one whole-stage
+    codegen pipeline with zero shuffles.
+    """
+    return (
+        fact.join(F.broadcast(dim_date), on="date_id")
+        .join(
+            F.broadcast(
+                dim_product.select(
+                    "product_id", "product_key", "english_name", "category", "subcategory"
+                )
+            ),
+            on="product_id",
+        )
+        .join(F.broadcast(dim_platform), on="platform_id")
+        .select(
+            "date_id",
+            "year",
+            "month",
+            "month_name",
+            "day_of_week",
+            "day_name",
+            "is_weekend",
+            "product_key",
+            "english_name",
+            "category",
+            "subcategory",
+            "platform_name",
+            "state_code",
+            "order_id",
+            "units",
+            "revenue",
+        )
+    )
+
+
+def star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build the whole star once: staging, 4 dims, fact, reporting view."""
+    staging = staging_orders(spark, sf_dir)
+    dim_platform = build_dim_platform(staging)
+    dim_product = build_dim_product(spark, sf_dir)
+    dim_customer = build_dim_customer(staging)
+    dim_date = build_dim_date(spark, staging)
+    fact = build_fact(staging, dim_platform, dim_product)
+    view = sales_product_geo_view(fact, dim_date, dim_product, dim_platform)
+    return {
+        "staging": staging,
+        "dim_platform": dim_platform,
+        "dim_product": dim_product,
+        "dim_customer": dim_customer,
+        "dim_date": dim_date,
+        "fact": fact,
+        "view": view,
+    }

@@ -53,6 +53,10 @@ def get_spark(
         # -- Arrow for the few pandas interchange points (Excel shim,
         #    pandas_udf variants) --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- the driver's events.parquet carries INT64 TIMESTAMP(NANOS)
+        #    which Spark's parquet reader rejects by default; read as
+        #    long and convert (readers.read_events) --
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,151 @@
+"""Input readers — SURVEY §2.1 S1–S4.
+
+The reference ingests order/product exports with
+``pd.read_csv(dtype=str, encoding='utf-8-sig')`` (reference
+etl/order_info_etl.py:176) or ``pd.read_excel(dtype=str)`` (:178),
+dispatched by file extension (:174-180). Semantics to preserve:
+
+- **everything arrives as string** (schema-on-write: explicit coercion
+  later, malformed → NULL — never an ingest error);
+- BOM-tolerant headers (utf-8-sig);
+- unknown extension → ValueError.
+
+Spark-first shape: the CSV path is a real distributed scan (a 100 TB
+export directory splits into ~800k tasks at 128 MB each); only the
+Excel shim is driver-side (xlsx is a zip — not splittable — and tiny
+in practice; reference sheets are single-digit MB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.cleaning import normalize_colname
+
+#: Driver-provided testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_all_string(
+    spark: SparkSession, path: str, normalize_names: bool = True
+) -> DataFrame:
+    """S1 — CSV scan with every column as StringType (mirrors dtype=str).
+
+    Header inference runs once (cheap driver pass over the first file's
+    header line via Spark's own header handling); data columns are never
+    type-inferred, exactly like the reference. The BOM is consumed by
+    Spark's UTF-8 reader on the first header cell; ``normalize_colname``
+    removes any residue (reference etl/order_info_etl.py:31-35,182).
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        # keep raw strings: no schema inference pass over the data
+        .option("inferSchema", False)
+        .csv(path)
+    )
+    # header=True without a schema yields all-string columns already;
+    # assert rather than re-cast so a Spark behavior change is loud.
+    for f in df.schema.fields:
+        if not isinstance(f.dataType, T.StringType):  # pragma: no cover
+            df = df.withColumn(f.name, df[f.name].cast("string"))
+    if normalize_names:
+        df = df.toDF(*[normalize_colname(c) for c in df.columns])
+    return df
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: int | str = 0, normalize_names: bool = True
+) -> DataFrame:
+    """S2 — Excel ingest shim (driver-side pandas → createDataFrame).
+
+    Mirrors ``pd.read_excel(path, sheet_name=SHEET, dtype=str)``
+    (reference etl/order_info_etl.py:178, sheet config :13). xlsx is a
+    zip container — not splittable — so a driver-side read is the honest
+    architecture; Arrow ships the frame to the JVM in batches. Gated
+    behind an import-try: raises a clear error if no engine is present.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
+    except ImportError as exc:  # openpyxl/xlrd not installed in container
+        raise NotImplementedError(
+            "Excel ingest requires openpyxl/xlrd; not available in this "
+            "environment. The CSV path (read_csv_all_string) is the "
+            "supported scale path."
+        ) from exc
+    pdf = pdf.astype("string").where(pdf.notna(), None)
+    schema = T.StructType(
+        [T.StructField(str(c), T.StringType(), True) for c in pdf.columns]
+    )
+    df = spark.createDataFrame(pdf, schema=schema)
+    if normalize_names:
+        df = df.toDF(*[normalize_colname(c) for c in df.columns])
+    return df
+
+
+def read_input(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
+    """S3 — dispatch by extension, raise on unknown.
+
+    Mirrors reference etl/order_info_etl.py:174-180.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv":
+        return read_csv_all_string(spark, path)
+    if ext in (".xls", ".xlsx"):
+        return read_excel(spark, path, sheet=sheet)
+    if ext == ".parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"Unsupported input extension: {ext!r} ({path})")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S4 — table scan over the driver's parquet layout.
+
+    ``events`` gets its nanosecond epoch normalized to TimestampType
+    (see :func:`read_events`).
+    """
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` as a proper TimestampType column.
+
+    The driver writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set (session.py sets it). The long nanos are truncated to
+    microseconds — exactly what DuckDB's TIMESTAMP does — so both
+    engines see identical values.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load several testdata tables as a dict of DataFrames."""
+    return {n: read_table(spark, sf_dir, n) for n in names}

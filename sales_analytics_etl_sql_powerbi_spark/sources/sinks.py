@@ -1,0 +1,89 @@
+"""Sinks — SURVEY §2.1 S5–S9.
+
+The reference writes with chunked parameterized INSERTs
+(reference etl/order_info_etl.py:68-102) into SQL Server tables created
+by IF-NOT-EXISTS DDL (:260-313) and truncate-reloaded staging (:316).
+On Spark those collapse to Parquet write modes — the batching machinery
+is non-semantic; what must survive is:
+
+- append vs truncate-reload (idempotent rerun) semantics;
+- create-if-not-exists;
+- default column values (load_ts = now, units = 1 —
+  reference stg_order_export_raw.Table.sql:77, fact_sales.Table.sql:58).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5 — batch append sink (reference etl/order_info_etl.py:68-102,351).
+
+    ``partition_by`` matters at scale: the fact table partitioned by a
+    date column turns every date-range query into partition pruning
+    instead of a full scan.
+    """
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """S7 — truncate-reload (reference etl/order_info_etl.py:316)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def create_table_if_not_exists(df: DataFrame, path: str) -> bool:
+    """S6 — IF NOT EXISTS CREATE (reference etl/order_info_etl.py:260-313).
+
+    Writes an empty frame with ``df``'s schema when the target is absent;
+    returns True if it created the table. Parquet-path flavored (no
+    catalog dependency); with a metastore this is
+    ``CREATE TABLE IF NOT EXISTS`` instead.
+    """
+    if os.path.exists(os.path.join(path, "_SUCCESS")) or (
+        os.path.isdir(path) and any(n.endswith(".parquet") for n in os.listdir(path))
+    ):
+        return False
+    df.limit(0).write.mode("overwrite").parquet(path)
+    return True
+
+
+def with_load_defaults(
+    df: DataFrame,
+    load_ts_col: str = "load_ts",
+    defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """S8 — default column values.
+
+    ``load_ts DEFAULT GETDATE()`` (reference stg_order_export_raw.Table.sql:77)
+    and any ``COALESCE(col, default)`` style defaults
+    (units=1 — reference fact_sales.Table.sql:58).
+    """
+    out = df.withColumn(load_ts_col, F.current_timestamp())
+    for name, default in (defaults or {}).items():
+        if name in out.columns:
+            out = out.withColumn(name, F.coalesce(F.col(name), default))
+        else:
+            out = out.withColumn(name, default)
+    return out
+
+
+def register_temp_view(df: DataFrame, name: str) -> DataFrame:
+    """S9 — staging/temp table (reference #tmp_dim_date, etl/order_info_etl.py:143).
+
+    Spark temp views are session-scoped plan aliases — the reference's
+    cross-connection temp-table visibility problem does not exist here.
+    """
+    df.createOrReplaceTempView(name)
+    return df
