@@ -17,11 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_analytics_etl_sql_powerbi_spark import oracles, pipeline
-from sales_analytics_etl_sql_powerbi_spark.operators import analytics, quality
+from sales_analytics_etl_sql_powerbi_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    text,
+)
 from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
     backfill_from_staging,
     upsert_missing,
 )
+from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+from sales_analytics_etl_sql_powerbi_spark.streaming import windows as stream_win
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -195,7 +204,7 @@ def q_backfill_customer_state(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON prop extraction + grouped agg over the events table."""
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = read_table(spark, sf, "events")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -207,6 +216,84 @@ def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- LLM-data-pipeline + streaming entries --------------------------------
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "documents")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, sf, "events")
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf))
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return text.token_count_bpe(_docs(spark, sf))
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.doc_fingerprint(_docs(spark, sf))
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf))
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf))
+
+
+def q_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.neardup_pairs(_docs(spark, sf))
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf))
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_topk(_docs(spark, sf))
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(read_table(spark, sf, "embeddings"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_lsh_topk(read_table(spark, sf, "embeddings"))
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.extract_features(
+        multimodal.attach_binary_payload(_docs(spark, sf))
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_win.tumbling_counts(_events(spark, sf))
+
+
+def q_events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_win.sliding_counts(_events(spark, sf))
+
+
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_win.session_windows(_events(spark, sf))
+
+
+def q_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    doubled = _events(spark, sf).unionByName(_events(spark, sf))
+    return stream_win.dedup_within_watermark(doubled, ["event_id"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -246,6 +333,22 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "upsert_missing_customers": q_upsert_missing_customers,
         "backfill_customer_state": q_backfill_customer_state,
         "events_json": q_events_json,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_pairs": q_neardup_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_topk": q_ngram_jaccard_topk,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
+        "events_dedup": q_events_dedup,
 }
 
 
@@ -436,4 +539,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "text_stats": text.text_stats_sql(),
+        "token_counts": text.TOKEN_COUNT_SQL,
+        "lang_id": text.lang_id_sql(),
+        "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "minhash_signatures": dedup.minhash_signatures_sql(),
+        "neardup_pairs": dedup.neardup_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
+        "cosine_topk": similarity.cosine_topk_sql(),
+        "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "multimodal_features": multimodal.MULTIMODAL_META_SQL,
+        "events_tumbling": stream_win.TUMBLING_SQL,
+        "events_sliding": stream_win.SLIDING_SQL,
+        "events_sessions": stream_win.SESSION_SQL,
+        "events_dedup": "SELECT * FROM events",
     }

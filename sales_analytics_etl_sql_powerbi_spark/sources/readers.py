@@ -130,17 +130,19 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
     Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is set (session.py sets it). The long nanos are truncated to
-    microseconds — exactly what DuckDB's TIMESTAMP does — so both
+    is set. The conf is runtime-settable, so it is applied here rather
+    than trusting the caller's session config (the driver builds its own
+    SparkSession). The long nanos are truncated to microseconds with
+    integer division — ``/ 1000`` through DOUBLE would lose precision at
+    1.7e18 — exactly what DuckDB's microsecond TIMESTAMP does, so both
     engines see identical values.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

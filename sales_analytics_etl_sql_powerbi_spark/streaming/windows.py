@@ -1,0 +1,165 @@
+"""Event-time windowed aggregation + dedup over the ``events`` stream.
+
+The reference is pure batch (SURVEY §2.9) — this module is the
+beyond-reference Structured Streaming surface. Every transformation is
+defined once over a DataFrame and works identically on a batch frame
+and a ``readStream`` frame (Spark's unified model); the batch route is
+what the DuckDB oracle checks, the streaming route is smoke-tested
+with ``trigger(availableNow=True)`` in tests/test_streaming.py.
+
+Late data: a 10-minute watermark bounds state for the windowed aggs
+and for ``dropDuplicatesWithinWatermark``; at cluster scale, state
+lives in the checkpointed state store (RocksDB provider in prod).
+
+The DuckDB twins express the same windows relationally:
+tumbling = date_trunc bucketing; sliding = union of the two
+alignments; session = gaps-and-islands with a lag().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "dedup_within_watermark",
+    "TUMBLING_SQL",
+    "SLIDING_SQL",
+    "SESSION_SQL",
+]
+
+
+def events_stream(spark: SparkSession, path_dir: str, schema: str) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    df = spark.readStream.schema(schema).parquet(path_dir)
+    if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long normalization
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window: counts + exact value sum per type."""
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(1) AS event_count,
+       cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding window (1h window, 30m slide): each event lands in two
+    overlapping windows."""
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_count")
+    )
+
+
+# two alignments = floor to 30min, and that minus 30min.
+# make_timestamp(µs) keeps the value a naive TIMESTAMP — to_timestamp()
+# would return TIMESTAMPTZ and break hash parity with Spark.
+SLIDING_SQL = """
+WITH halves AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w30,
+         event_type FROM events
+)
+SELECT window_start, event_type, count(1) AS event_count FROM (
+  SELECT w30 AS window_start, event_type FROM halves
+  UNION ALL
+  SELECT w30 - INTERVAL 30 MINUTE AS window_start, event_type FROM halves
+) both_windows
+GROUP BY 1, 2
+"""
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (5-minute inactivity gap).
+
+    Streaming: ``session_window`` with watermark. Batch twin gives the
+    oracle the gaps-and-islands equivalent.
+    """
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+            "sum_value",
+        )
+    )
+
+
+# gaps-and-islands: new session when gap > 5 min; session_end = last_ts + gap
+# (Spark's session_window end semantics)
+SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 5 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(1) AS event_count,
+       cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_no
+"""
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming dedup: drop repeats of ``keys`` within the watermark.
+
+    On a stream this is ``dropDuplicatesWithinWatermark`` (bounded
+    state); on a batch frame it degrades to plain dropDuplicates —
+    same visible semantics when all data fits one batch.
+    """
+    keys = keys or ["event_id"]
+    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    if src.isStreaming:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)
