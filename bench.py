@@ -1,0 +1,121 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"state_leaderboard": sec, ...}, "sf": 0.1}
+
+Shape mirrors a real warehouse: the star (staging → dims → fact →
+reporting view) is materialized once (``pipeline_build`` — the ETL
+cost, reference etl/order_info_etl.py's load step), then the BI/
+pipeline queries run against the cached view, as Power BI queries the
+loaded SQL Server tables. Each query is timed to full materialization
+(``collect()``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-graft-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from sales_analytics_etl_sql_powerbi_spark import pipeline
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics
+
+    timings: dict[str, float] = {}
+
+    def clock(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- ETL: build + materialize the star once -------------------------
+    t0 = time.perf_counter()
+    s = pipeline.star(spark, sf_dir)
+    view = s["view"].persist(StorageLevel.MEMORY_AND_DISK)
+    fact = s["fact"].persist(StorageLevel.MEMORY_AND_DISK)
+    n_fact = fact.count()
+    n_view = view.count()
+    timings["pipeline_build"] = round(time.perf_counter() - t0, 3)
+
+    # ---- BI queries over the materialized view --------------------------
+    clock("state_leaderboard", lambda: analytics.exec_overview_states(view).collect())
+    clock("platform_share", lambda: analytics.platform_share(view).collect())
+    clock("state_platform_pivot", lambda: analytics.state_platform_pivot(view).collect())
+    clock("category_subcategory", lambda: analytics.category_subcategory(view).collect())
+    clock("day_of_week_trend", lambda: analytics.day_of_week_trend(view).collect())
+    clock(
+        "platform_rank_in_state",
+        lambda: analytics.platform_rank_in_state(view).collect(),
+    )
+    clock(
+        "top_products_per_state",
+        lambda: analytics.top_products_per_state(view, n=3).collect(),
+    )
+
+    # ---- cold-plan queries (full pipeline per query, like the driver) ----
+    raw = entrymod._RAW_QUERIES
+    for name in (
+        "grand_total",
+        "events_json",
+        "events_tumbling",
+        "events_sessions",
+        "text_stats",
+        "token_counts",
+        "dedup_exact",
+        "minhash_signatures",
+        "neardup_pairs",
+        "simhash",
+        "cosine_topk",
+        "ann_lsh_topk",
+    ):
+        clock(name, lambda fn=raw[name]: fn(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows": {"fact": n_fact, "view": n_view},
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
