@@ -61,7 +61,8 @@ def stable_id_expr(cols: list[Column | str], sep: str = "|") -> Column:
 
 def stable_id_sql(col_exprs: list[str], sep: str = "|", dialect: str = "duckdb") -> str:
     """Same key as portable SQL text (for the DuckDB oracle)."""
-    parts = ", ".join(f"coalesce(cast({e} as varchar), '')" for e in col_exprs)
+    str_type = "varchar" if dialect == "duckdb" else "string"
+    parts = ", ".join(f"coalesce(cast({e} as {str_type}), '')" for e in col_exprs)
     concat = f"concat_ws('{sep}', {parts})"
     if dialect == "duckdb":
         return (

@@ -1,0 +1,72 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from pyspark.sql import functions as F
+
+from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+DOCS = "doc_id long, text string"
+
+
+def docs_frame(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+            (3, "completely different text about spark pipelines"),
+            (4, "spark pipelines at scale with catalyst optimizer"),
+        ],
+        DOCS,
+    )
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(docs_frame(spark)).collect()
+    by_canon = {r.canonical_doc_id: r.dup_count for r in out}
+    assert by_canon[0] == 2  # docs 0 and 2 collapse, min(doc_id)=0
+    assert len(out) == 4  # 5 docs -> 4 unique contents
+
+
+def test_shingles(spark):
+    sh = dedup.shingle_docs(spark.createDataFrame([(1, "a b c d")], DOCS), k=3)
+    got = {r.shingle for r in sh.collect()}
+    assert got == {"a b c", "b c d"}
+    # doc shorter than k contributes whole text
+    sh2 = dedup.shingle_docs(spark.createDataFrame([(1, "a b")], DOCS), k=3)
+    assert {r.shingle for r in sh2.collect()} == {"a b"}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    sig = dedup.minhash_signatures(docs_frame(spark)).collect()
+    by_id = {r.doc_id: tuple(r)[1:] for r in sig}
+    assert by_id[0] == by_id[2]  # identical text -> identical signature
+    assert by_id[0] != by_id[3]
+
+
+def test_neardup_pairs_finds_near_and_exact(spark):
+    pairs = dedup.neardup_pairs(docs_frame(spark))
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in got and got[(0, 1)] > 0.5  # near dup caught by LSH
+    # unrelated docs must not be near-dups even if bucketed together
+    assert got.get((0, 3), 0.0) < 0.2
+
+
+def test_neardup_threshold_filter(spark):
+    pairs = dedup.neardup_pairs(docs_frame(spark), threshold=0.9).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 2)}
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs_frame(spark)).collect()}
+    assert out[0] == out[2]  # identical docs -> identical fingerprint
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham03 = bin(out[0] ^ out[3]).count("1")
+    assert ham01 < ham03  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_topk_ranks_exact_dup_first(spark):
+    out = dedup.ngram_jaccard_topk(docs_frame(spark), n_queries=1, topk=3)
+    rows = out.where(F.col("query_id") == 0).orderBy("rn").collect()
+    assert rows[0].doc_id == 2 and rows[0].jaccard == 1.0
+    assert rows[1].doc_id == 1

@@ -1,0 +1,53 @@
+"""Similarity search: brute-force cosine top-k vs numpy; LSH recall."""
+
+import numpy as np
+
+from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+
+
+def emb_frame(spark, n=40, dim=64, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = emb_frame(spark)
+    out = similarity.cosine_topk(df, n_queries=2, topk=5).collect()
+    got = {(r.query_id, r.rn): r.vec_id for r in out}
+    # numpy oracle over the same quantized integer vectors the operator uses
+    q = np.round(vecs.astype(np.float64) * similarity._SCALE).astype(np.int64)
+    for qid in (0, 1):
+        dots = q @ q[qid]
+        norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        cos = dots / (norms * norms[qid])
+        cos[qid] = -np.inf
+        order = sorted(
+            [i for i in range(len(cos)) if i != qid],
+            key=lambda i: (-cos[i], i),
+        )[:5]
+        assert [got[(qid, rn)] for rn in range(1, 6)] == order
+
+
+def test_ann_lsh_candidates_subset_and_ranked(spark):
+    df, _ = emb_frame(spark)
+    out = similarity.ann_lsh_topk(df, n_queries=2, topk=5).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.query_id in (0, 1)
+        assert r.vec_id != r.query_id
+    # ranks are dense from 1 within each query
+    for qid in (0, 1):
+        rns = sorted(r.rn for r in out if r.query_id == qid)
+        assert rns == list(range(1, len(rns) + 1))
+
+
+def test_lsh_buckets_deterministic(spark):
+    df, _ = emb_frame(spark, n=10)
+    b1 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
+    b2 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
+    assert b1 == b2

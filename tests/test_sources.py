@@ -1,0 +1,83 @@
+"""Sources & sinks (SURVEY §2.1 S1-S9)."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+    read_csv_all_string,
+    read_events,
+    read_input,
+    read_table,
+)
+from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+    create_table_if_not_exists,
+    register_temp_view,
+    with_load_defaults,
+    write_append,
+    write_overwrite,
+)
+
+
+def test_csv_all_string_bom_header(spark, tmp_path):
+    p = tmp_path / "orders.csv"
+    # UTF-8 BOM + space/hyphen headers + numeric-looking data
+    p.write_bytes("﻿Order No,Batch Number,goods-number\nA1,B1,3\n".encode())
+    df = read_csv_all_string(spark, str(p))
+    assert df.columns == ["Order_No", "Batch_Number", "goods_number"]
+    assert all(isinstance(f.dataType, T.StringType) for f in df.schema.fields)
+    assert df.first().goods_number == "3"  # stays a string
+
+
+def test_read_input_dispatch(spark, tmp_path):
+    with pytest.raises(ValueError, match="Unsupported input extension"):
+        read_input(spark, "/nope/file.txt")
+
+
+def test_read_events_nanos_normalized(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.count() > 0
+
+
+def test_write_modes_and_create(spark, tmp_path):
+    df = spark.range(3).withColumnRenamed("id", "n")
+    path = str(tmp_path / "t")
+    assert create_table_if_not_exists(df, path) is True
+    assert create_table_if_not_exists(df, path) is False  # second call no-op
+    write_overwrite(df, path)
+    write_append(df, path)
+    assert spark.read.parquet(path).count() == 6
+    write_overwrite(df, path)  # truncate-reload semantics
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, part string")
+    path = str(tmp_path / "p")
+    write_overwrite(df, path, partition_by=["part"])
+    assert os.path.isdir(os.path.join(path, "part=a"))
+    got = spark.read.parquet(path).where("part = 'a'")
+    assert got.count() == 1
+
+
+def test_with_load_defaults(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(None,), (5,)], "units int")
+    out = with_load_defaults(df, defaults={"units": F.lit(1)})
+    assert {r.units for r in out.collect()} == {1, 5}
+    assert "load_ts" in out.columns
+    assert out.where(out.load_ts.isNull()).count() == 0
+
+
+def test_register_temp_view(spark):
+    df = spark.range(2)
+    register_temp_view(df, "tv_test")
+    assert spark.table("tv_test").count() == 2
+
+
+def test_read_table_all_tables(spark, sf_dir):
+    for t in ("nation", "documents", "embeddings"):
+        assert read_table(spark, sf_dir, t).count() > 0

@@ -1,0 +1,96 @@
+"""Structured Streaming smoke: batch/stream parity via availableNow."""
+
+import datetime
+
+from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+EVENTS = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def events_rows():
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                t0 + datetime.timedelta(minutes=7 * i),
+                i % 3,
+                "click" if i % 2 == 0 else "view",
+                float(i),
+            )
+        )
+    # duplicate event ids for dedup
+    rows.append((0, t0 + datetime.timedelta(minutes=1), 0, "click", 0.0))
+    return rows
+
+
+def test_tumbling_batch(spark):
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    out = W.tumbling_counts(df).collect()
+    assert sum(r.event_count for r in out) == 41
+    starts = {r.window_start.minute for r in out}
+    assert starts == {0}  # hour-aligned
+
+
+def test_session_windows_gap(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 1.0),
+        (2, t0 + datetime.timedelta(minutes=2), 7, "a", 1.0),
+        (3, t0 + datetime.timedelta(minutes=30), 7, "a", 1.0),  # new session
+    ]
+    df = spark.createDataFrame(rows, EVENTS)
+    out = sorted(W.session_windows(df).collect(), key=lambda r: r.session_start)
+    assert len(out) == 2
+    assert out[0].event_count == 2
+    # session_window end = last event + gap
+    assert out[0].session_end == t0 + datetime.timedelta(minutes=2 + 5)
+
+
+def test_dedup_batch(spark):
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    assert W.dedup_within_watermark(df, ["event_id"]).count() == 40
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    src = str(tmp_path / "events_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    agg = W.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_stream_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.event_count, r.sum_value)
+        for r in spark.table("t_stream_out").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.event_count, r.sum_value)
+        for r in W.tumbling_counts(df).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    out = W.dedup_within_watermark(stream, ["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_dedup_out").count() == 40
