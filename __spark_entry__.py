@@ -273,6 +273,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_lsh_topk(read_table(spark, sf, "embeddings"))
 
 
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        read_table(spark, sf, "embeddings"), threshold=0.5
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary_payload(_docs(spark, sf))
@@ -344,6 +350,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -550,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "embedding_neardup": similarity.embedding_neardup_pairs_sql(threshold=0.5),
         "multimodal_features": multimodal.MULTIMODAL_META_SQL,
         "events_tumbling": stream_win.TUMBLING_SQL,
         "events_sliding": stream_win.SLIDING_SQL,

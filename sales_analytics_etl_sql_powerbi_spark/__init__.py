@@ -9,7 +9,8 @@ surface Spark-first:
 - ``functions`` : row-wise cleaning & derivation expressions (2.2, 2.8)
 - ``operators`` : dims / fact / rules / analytics / quality (2.3-2.7)
                   plus beyond-reference dedup, similarity, text ops
-- ``plans``     : end-to-end star pipeline + registered queries
+- ``pipeline``  : end-to-end star build (staging → dims → fact → view)
+- ``oracles``   : DuckDB SQL twins of every pipeline derivation
 - ``streaming`` : Structured Streaming windows & dedup (beyond-reference)
 
 Everything is declarative DataFrame / Spark SQL — Catalyst does the

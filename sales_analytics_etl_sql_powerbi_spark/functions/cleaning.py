@@ -169,3 +169,60 @@ def truncate_to_widths(df: DataFrame, widths: Mapping[str, int]) -> DataFrame:
 def clean_whitespace(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, r"^[\t\r\n ]+|[\t\r\n ]+$", "")
+
+
+# ---------------------------------------------------------------------------
+# P3 — fuzzy column auto-map (reference etl/product_info_etl.py:192-202,260-278)
+# ---------------------------------------------------------------------------
+
+#: case-insensitive exact-name aliases (reference :194-202)
+DEFAULT_EXACT_ALIASES: Mapping[str, str] = {
+    "mainskucode": "masterSku",
+    "second_sku": "sku",
+}
+
+#: substring discovery: target <- first column containing ALL substrings
+#: (reference :267-275 — english/chinese name, customer code)
+DEFAULT_CONTAINS_RULES: Mapping[str, tuple[str, ...]] = {
+    "english_name": ("english", "name"),
+    "chinese_name": ("chinese", "name"),
+    "customer_code": ("customer", "code"),
+}
+
+
+def auto_map_columns(
+    df: DataFrame,
+    exact: Mapping[str, str] = DEFAULT_EXACT_ALIASES,
+    contains: Mapping[str, tuple[str, ...]] = DEFAULT_CONTAINS_RULES,
+) -> tuple[DataFrame, dict[str, str | None]]:
+    """Driver-side schema discovery: alias known column variants.
+
+    Two passes, mirroring the reference exactly:
+
+    1. case-insensitive *exact* aliases (``mainSkuCode`` → ``masterSku``)
+       — applied only when the target is not already present;
+    2. *substring* discovery (first column whose lowered name contains
+       all the rule's substrings wins, in ``df.columns`` order).
+
+    Returns ``(df_with_aliases, mapping)`` where ``mapping`` records
+    target → source column (or None if undiscovered). Pure plan-level
+    renames — no data movement.
+    """
+    cols_lower = {c.lower(): c for c in df.columns}
+    mapping: dict[str, str | None] = {}
+    out = df
+    for lname, target in exact.items():
+        if lname in cols_lower and target not in out.columns:
+            out = out.withColumn(target, F.col(cols_lower[lname]))
+            mapping[target] = cols_lower[lname]
+    for target, needles in contains.items():
+        found = None
+        for c in df.columns:
+            cl = c.lower()
+            if all(n in cl for n in needles):
+                found = c
+                break
+        mapping[target] = found
+        if found is not None and target not in out.columns:
+            out = out.withColumn(target, F.col(found))
+    return out, mapping

@@ -204,3 +204,63 @@ SELECT query_id, vec_id, bucket, cosine, rn FROM (
 ) r WHERE rn <= {topk}
 ORDER BY query_id, rn
 """
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket candidates only.
+
+    The dedup-by-embedding variant (training-data pipelines): any pair
+    with cosine ≥ threshold is a near-dup candidate for collapse. The
+    candidate join is a *self* equi-join on the hyperplane bucket —
+    O(sum of bucket² ) instead of all-pairs; at 100 TB, raise
+    ``_N_PLANES`` so buckets stay executor-sized. The usual LSH recall
+    trade-off (cross-bucket pairs missed) is the documented contract —
+    the DuckDB twin replicates the bucketing exactly, so the oracle
+    checks the implementation, not a stricter ideal.
+    """
+    b = lsh_buckets(emb)
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("__q").alias("__qa"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("__q").alias("__qb"), "bucket"
+    )
+    joined = a.join(c, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
+    dot = _dot("__qa", "__qb")
+    na = _dot("__qa", "__qa")
+    nb = _dot("__qb", "__qb")
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        9,
+    )
+    return (
+        joined.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_pairs_sql(threshold: float = 0.9, dim: int = _DIM) -> str:
+    planes = hyperplanes()
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(v) for v in plane) + "]"
+        d = _DOT_DUCK.format(a="__q", b=lit, n=dim)
+        bits.append(f"CASE WHEN {d} >= 0 THEN {2**j} ELSE 0 END")
+    bucket = " + ".join(bits)
+    dot = _DOT_DUCK.format(a="a.__q", b="b.__q", n=dim)
+    na = _DOT_DUCK.format(a="a.__q", b="a.__q", n=dim)
+    nb = _DOT_DUCK.format(a="b.__q", b="b.__q", n=dim)
+    return f"""
+WITH qz AS (
+  SELECT vec_id, __q, cast({bucket} AS INT) AS bucket
+  FROM (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings) z
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({na} AS DOUBLE)) * sqrt(cast({nb} AS DOUBLE))), 9) AS cosine
+  FROM qz a JOIN qz b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) p WHERE cosine >= {threshold}
+ORDER BY vec_a, vec_b
+"""

@@ -51,3 +51,21 @@ def test_lsh_buckets_deterministic(spark):
     b1 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
     b2 = {r.vec_id: r.bucket for r in similarity.lsh_buckets(df).collect()}
     assert b1 == b2
+
+
+def test_embedding_neardup_pairs_finds_planted_dups(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 64)).astype(np.float32)
+    vecs = list(base)
+    vecs.append(base[0] + rng.standard_normal(64).astype(np.float32) * 0.01)  # ~dup of 0
+    vecs.append(base[1].copy())  # exact dup of 1
+    rows = [(int(i), [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 6) in got and got[(0, 6)] > 0.99
+    assert (1, 7) in got and got[(1, 7)] == 1.0
+    # unrelated random vectors must not appear
+    assert all(a in (0, 1) for a, b in got)
