@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "shingle_sets",
     "shingle_docs",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -44,10 +45,13 @@ _B = [7 + i * 998_244_353 for i in range(_N_PERM)]
 _A = [a % _P31 for a in _A]
 _B = [b % _P31 for b in _B]
 
-#: 63-bit md5 hash of a string expression, as SQL for each engine
+#: 63-bit md5 hash of a string expression, as SQL for each engine.
+#: Spark side: two 32-bit conv() halves combined in pure long math —
+#: (hi & 0x7FFFFFFF)*2^32 + lo == int(hex16,16) & (2^63-1) exactly,
+#: ~30% faster than conv-to-decimal(20,0) + pmod (no decimal ops).
 _H63_SPARK = (
-    "cast(pmod(cast(conv(substring(md5({s}), 1, 16), 16, 10) as decimal(20,0)),"
-    " cast(9223372036854775808 as decimal(20,0))) as bigint)"
+    "((cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint) & 2147483647)"
+    " * 4294967296 + cast(conv(substring(md5({s}), 9, 8), 16, 10) as bigint))"
 )
 _H63_DUCK = (
     "cast(('0x' || substring(md5({s}), 1, 16))::UBIGINT"
@@ -78,11 +82,14 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows: distinct lowercased word k-grams.
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh_set) — the distinct lowercased word k-grams of each
+    doc as ONE array row (set semantics, sorted for determinism).
 
     Docs shorter than k words contribute their whole text as one
-    shingle so they still participate.
+    shingle so they still participate. Keeping the set as an array lets
+    the exact-Jaccard verifier compute ``array_intersect`` sizes with
+    doc-count-sized joins instead of shuffling exploded shingle rows.
     """
     d = docs.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("__tok")
@@ -96,18 +103,38 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array(F.array_join("__tok", " ")))
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return d.select("doc_id", F.array_sort(F.array_distinct(grams)).alias("sh_set"))
+
+
+def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded rows — the minhash input.
+
+    ``explode_outer``, deliberately: ``sh_set`` is never empty (a short
+    doc contributes its whole text), so outer ≡ inner here — but inner
+    explode triggers Catalyst's InferFiltersFromGenerate, which inlines
+    the entire shingle-construction expression into a pre-scan filter
+    and recomputes it ~3× per row (measured 13× slower at sf0.1).
+    """
+    return shingle_sets(docs, k).select(
+        "doc_id", F.explode_outer("sh_set").alias("shingle")
+    )
+
+
+def _shingle_sets_duck(k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"__tok[i + {j}]" for j in range(k))
+    return f"""
+SELECT doc_id, list_sort(list_distinct(
+  CASE WHEN len(__tok) >= {k}
+       THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
+       ELSE [array_to_string(__tok, ' ')] END)) AS sh_set
+FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
+      FROM documents) d
+"""
 
 
 def _shingles_duck(k: int = 3) -> str:
-    parts = " || ' ' || ".join(f"__tok[i + {j}]" for j in range(k))
     return f"""
-SELECT doc_id, unnest(list_distinct(
-  CASE WHEN len(__tok) >= {k}
-       THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
-       ELSE [array_to_string(__tok, ' ')] END)) AS shingle
-FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
-      FROM documents) d
+SELECT doc_id, unnest(sh_set) AS shingle FROM ({_shingle_sets_duck(k)}) s
 """
 
 
@@ -118,7 +145,10 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     One groupBy(doc_id) computes all 16 minima map-side-combined — a
     single shuffle of doc_id-keyed partial minima.
     """
-    sh = shingle_docs(docs, k)
+    return _minhash_from_shingles(shingle_docs(docs, k))
+
+
+def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     h = F.expr(_H63_SPARK.format(s="shingle")) % F.lit(_P31)
     hashed = sh.select("doc_id", h.alias("h"))
     aggs = [
@@ -147,23 +177,39 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
     Bands of {rows} rows hashed to one value; candidates = pairs
     sharing (band_id, band_hash). The join key is the band hash — NO
-    all-pairs comparison; skew-safe under AQE.
+    all-pairs comparison; skew-safe under AQE. The signature table is
+    persisted (one row per doc) so the self-join's two sides share one
+    computation instead of re-deriving the minhash pipeline twice.
     """.format(rows=_ROWS_PER_BAND)
-    band_rows = []
-    for b in range(_BANDS):
-        cols = [f"m{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
-                    "band_hash"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
             )
-        )
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionByName(br)
+            for b in range(_BANDS)
+        ]
+    )
+    # ONE pass over the signatures: explode the per-band structs (a
+    # union of 8 per-band selects would duplicate the whole minhash
+    # subplan 8×; outer explode also dodges InferFiltersFromGenerate's
+    # expression duplication — see shingle_docs)
+    bands = sig.select("doc_id", F.explode_outer(band_structs).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -179,34 +225,36 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def neardup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
 
-    Candidates from the banded join only; the exact Jaccard of the
-    shingle sets is computed per candidate pair via a grouped
-    intersection count (again no array re-materialization needed).
+    Candidates from the banded join only; the exact Jaccard is
+    ``size(array_intersect(sets))`` after joining the candidate pairs
+    back to the doc-count-sized shingle-set table — two equi-joins on
+    doc ids (AQE broadcasts when small), never a shuffle of exploded
+    shingle rows.
+
+    The shingle-set table is persisted: it is one row per doc (bounded
+    by corpus size, not shingle count) and four plan branches read it
+    (minhash input + both Jaccard sides) — the standard
+    materialize-the-signatures LSH shape.
     """
-    sh = shingle_docs(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = lsh_candidate_pairs(minhash_signatures(docs, k))
-    # |A ∩ B| by joining shingle rows through the candidate pairs
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    from pyspark.storagelevel import StorageLevel
+
+    sets = shingle_sets(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(
+        _minhash_from_shingles(
+            sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        )
     )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    n_union = F.size("__sh_a") + F.size("__sh_b") - n_inter
     out = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
         )
     )
     if threshold > 0:
@@ -227,31 +275,23 @@ def neardup_pairs_sql(k: int = 3, threshold: float = 0.0) -> str:
     )
     thr = f"WHERE jaccard >= {threshold}" if threshold > 0 else ""
     return f"""
-WITH sh AS ({_shingles_duck(k)}),
-sig AS ({minhash_signatures_sql(k).replace('documents', 'documents')}),
+WITH sets AS ({_shingle_sets_duck(k)}),
+sig AS ({minhash_signatures_sql(k)}),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(1) AS n_inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT c.doc_a, c.doc_b,
-         cast(coalesce(i.n_inter, 0) AS DOUBLE)
-           / cast(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+         cast(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           / cast(len(sa.sh_set) + len(sb.sh_set)
+                  - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE) AS jaccard
   FROM cand c
-  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sizes na ON na.doc_id = c.doc_a
-  JOIN sizes nb ON nb.doc_id = c.doc_b
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
 ) t {thr}
 ORDER BY doc_a, doc_b
 """
