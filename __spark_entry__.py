@@ -129,6 +129,26 @@ def q_day_of_week_trend(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.day_of_week_trend(_view(spark, sf))
 
 
+def q_category_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.category_rollup(_view(spark, sf))
+
+
+def q_enrich_product(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 (product flavor) — hole out a quarter of the brands, restore
+    them with COALESCE enrichment from the staged product master."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import enrich_coalesce
+
+    dim = pipeline.build_dim_product(spark, sf)
+    holed = dim.withColumn(
+        "p_brand",
+        F.when(F.col("product_id") % 4 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("p_brand")
+        ),
+    )
+    staged = dim.select("product_key", "p_brand")
+    return enrich_coalesce(holed, staged, "product_key", ["p_brand"])
+
+
 def q_platform_rank_in_state(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.platform_rank_in_state(_view(spark, sf))
 
@@ -328,6 +348,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "state_platform_pivot": q_state_platform_pivot,
         "category_subcategory": q_category_subcategory,
         "day_of_week_trend": q_day_of_week_trend,
+        "category_rollup": q_category_rollup,
+        "enrich_product": q_enrich_product,
         "platform_rank_in_state": q_platform_rank_in_state,
         "top_products_per_state": q_top_products_per_state,
         "top_offenders": q_top_offenders,
@@ -446,6 +468,20 @@ def oracle_sql() -> dict[str, str]:
             """,
             ("vw",),
         ),
+        "category_rollup": W(
+            """
+            SELECT CASE WHEN GROUPING(category) = 1 THEN 'ALL' ELSE category END
+                     AS category,
+                   CASE WHEN GROUPING(subcategory) = 1 THEN 'ALL' ELSE subcategory END
+                     AS subcategory,
+                   cast(sum(units) AS BIGINT) AS units_sold,
+                   cast(GROUPING(category) * 2 + GROUPING(subcategory) AS INT) AS level
+            FROM vw GROUP BY ROLLUP(category, subcategory)
+            ORDER BY level, category, subcategory
+            """,
+            ("vw",),
+        ),
+        "enrich_product": W("SELECT * FROM dim_product", ("dim_product",)),
         "platform_rank_in_state": W(
             """
             SELECT state_code, platform_name, units_sold,

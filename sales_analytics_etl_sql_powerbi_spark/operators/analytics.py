@@ -168,3 +168,34 @@ def top_offenders(view: DataFrame, fact_like_filter: F.Column, n: int = 200) -> 
         .orderBy(F.desc("units_sold"), "product_key")
         .limit(n)
     )
+
+
+def category_rollup(view: DataFrame) -> DataFrame:
+    """A7/A9 — category/subcategory subtotals + grand total in ONE pass.
+
+    ``rollup`` computes (category, subcategory), (category) and ()
+    grouping sets with a single shuffle — the BI "Total" row
+    (reference README.md:152 Total 379,532) without a second scan.
+    NULL grouping columns are labeled 'ALL' so the row's level is
+    self-describing (grouping_id disambiguates genuine NULLs).
+    """
+    return (
+        view.rollup("category", "subcategory")
+        .agg(
+            F.sum("units").cast("long").alias("units_sold"),
+            F.grouping_id().cast("int").alias("level"),
+        )
+        .select(
+            # level bits (rollup order): 2 = category grouped out,
+            # 1 = subcategory grouped out
+            F.when(F.col("level").bitwiseAND(F.lit(2)) != 0, F.lit("ALL"))
+            .otherwise(F.col("category"))
+            .alias("category"),
+            F.when(F.col("level").bitwiseAND(F.lit(1)) != 0, F.lit("ALL"))
+            .otherwise(F.col("subcategory"))
+            .alias("subcategory"),
+            "units_sold",
+            "level",
+        )
+        .orderBy("level", "category", "subcategory")
+    )
