@@ -322,6 +322,10 @@ def q_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return stream_win.dedup_within_watermark(doubled, ["event_id"])
 
 
+def q_events_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_win.running_totals_stateful(_events(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf: str) -> DataFrame:
@@ -378,6 +382,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_dedup": q_events_dedup,
+        "events_running_totals": q_events_running_totals,
 }
 
 
@@ -599,4 +604,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": stream_win.SLIDING_SQL,
         "events_sessions": stream_win.SESSION_SQL,
         "events_dedup": "SELECT * FROM events",
+        "events_running_totals": stream_win.RUNNING_TOTALS_SQL,
     }

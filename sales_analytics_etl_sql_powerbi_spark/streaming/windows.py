@@ -27,9 +27,11 @@ __all__ = [
     "sliding_counts",
     "session_windows",
     "dedup_within_watermark",
+    "running_totals_stateful",
     "TUMBLING_SQL",
     "SLIDING_SQL",
     "SESSION_SQL",
+    "RUNNING_TOTALS_SQL",
 ]
 
 
@@ -163,3 +165,61 @@ def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> 
     if src.isStreaming:
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)
+
+
+def running_totals_stateful(events: DataFrame, timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum.
+
+    ``applyInPandasWithState`` — the escape hatch for stateful logic the
+    built-in windows can't express (cross-batch accumulators, custom
+    timeouts). State per user_id: (event_count, value_sum); processing-
+    time timeout evicts idle users so state stays bounded. On a batch
+    frame the same semantics degrade to a plain groupBy aggregate —
+    that relational twin is what the DuckDB oracle checks
+    (RUNNING_TOTALS_SQL).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_count bigint, value_sum double"
+    )
+    state_schema = "event_count bigint, value_sum double"
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "event_count": [count], "value_sum": [total]}
+        )
+
+    if events.isStreaming:
+        return events.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    # batch twin: identical observable result for a single batch
+    # (decimal sum — exact in both engines regardless of add order)
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("event_count"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT user_id, count(1) AS event_count,
+       cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY user_id
+"""

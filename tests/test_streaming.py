@@ -94,3 +94,57 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("t_dedup_out").count() == 40
+
+
+def test_running_totals_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch1 = [(1, t0, 7, "a", 2.0), (2, t0, 7, "a", 3.0), (3, t0, 8, "a", 1.0)]
+    batch2 = [(4, t0, 7, "a", 5.0)]
+    src = str(tmp_path / "stateful_src")
+    spark.createDataFrame(batch1, EVENTS).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = W.running_totals_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {
+        r.user_id: (r.event_count, r.value_sum)
+        for r in spark.table("t_state_out").collect()
+    }
+    assert first[7] == (2, 5.0) and first[8] == (1, 1.0)
+
+    # second batch continues from stored state
+    spark.createDataFrame(batch2, EVENTS).write.mode("append").parquet(src)
+    q2 = (
+        W.running_totals_stateful(
+            spark.readStream.schema(EVENTS).parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("t_state_out2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        r.user_id: (r.event_count, r.value_sum)
+        for r in spark.table("t_state_out2").collect()
+    }
+    assert got[7] == (3, 10.0)  # both files in one fresh run
+
+
+def test_running_totals_batch_twin(spark):
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    out = {r.user_id: r.event_count for r in W.running_totals_stateful(df).collect()}
+    assert sum(out.values()) == 41
