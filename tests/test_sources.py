@@ -81,3 +81,32 @@ def test_register_temp_view(spark):
 def test_read_table_all_tables(spark, sf_dir):
     for t in ("nation", "documents", "embeddings"):
         assert read_table(spark, sf_dir, t).count() > 0
+
+
+def test_excel_shim_gated(spark, tmp_path):
+    """S2 — driver-side Excel ingest; clear error when no engine present."""
+    import pytest as _pytest
+
+    try:
+        import openpyxl  # noqa: F401
+
+        have_engine = True
+    except ImportError:
+        have_engine = False
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_excel
+
+    p = tmp_path / "orders.xlsx"
+    if not have_engine:
+        p.write_bytes(b"not really an xlsx")
+        with _pytest.raises((NotImplementedError, ValueError, ImportError)):
+            read_excel(spark, str(p))
+    else:
+        import pandas as pd
+
+        pd.DataFrame({"Order No": ["A1"], "goodsNumber": [3]}).to_excel(
+            str(p), index=False
+        )
+        df = read_excel(spark, str(p))
+        assert df.columns == ["Order_No", "goodsNumber"]
+        assert df.first().goodsNumber == "3"  # dtype=str semantics
