@@ -265,6 +265,14 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf))
 
 
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_filter(_docs(spark, sf))
+
+
+def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    return text.corpus_clean(_docs(spark, sf))
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf))
 
@@ -369,6 +377,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "quality_filter": q_quality_filter,
+        "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
@@ -591,6 +601,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNT_SQL,
         "lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "quality_filter": text.quality_filter_sql(),
+        "corpus_clean": text.corpus_clean_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "neardup_pairs": dedup.neardup_pairs_sql(),

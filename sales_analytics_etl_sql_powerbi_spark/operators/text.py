@@ -175,3 +175,80 @@ FROM documents
 
 def text_stats_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
     return TEXT_STATS_SQL.format(stop=", ".join(f"'{w}'" for w in stopwords))
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    min_ttr: float = 0.2,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Training-data quality gate: keep docs passing all thresholds.
+
+    The standard pre-training corpus filters (length, stopword density,
+    type-token ratio) as ONE fused projection + filter — no extra pass.
+    Returns the surviving docs with their stats attached.
+    """
+    stats = text_stats(docs, stopwords)
+    return (
+        docs.join(stats, "doc_id")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+            & (F.col("ttr") >= min_ttr)
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio", "ttr")
+    )
+
+
+def quality_filter_sql(
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    min_ttr: float = 0.2,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> str:
+    return f"""
+SELECT doc_id, n_tokens, stopword_ratio, ttr
+FROM ({text_stats_sql(stopwords)}) s
+WHERE n_tokens >= {min_tokens}
+  AND stopword_ratio <= {max_stopword_ratio}
+  AND ttr >= {min_ttr}
+"""
+
+
+def corpus_clean(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate → exact dedup → per-lang
+    counts. The composition a pre-training data pipeline runs nightly;
+    every stage is the oracle-checked operator above, fused by Catalyst
+    into one scan + one aggregate exchange per stage.
+    """
+    kept = quality_filter(docs, stopwords=stopwords).select("doc_id")
+    surviving = docs.join(kept, "doc_id")
+    canonical = surviving.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        surviving.join(canonical, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_clean_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
+    return f"""
+WITH kept AS (SELECT doc_id FROM ({quality_filter_sql(stopwords=stopwords)}) q),
+surviving AS (
+  SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM surviving GROUP BY md5(text)
+)
+SELECT s.lang, count(1) AS n_docs, cast(sum(length(s.text)) AS BIGINT) AS n_chars
+FROM surviving s JOIN canonical c ON s.doc_id = c.doc_id
+GROUP BY s.lang ORDER BY s.lang
+"""

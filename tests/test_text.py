@@ -46,3 +46,30 @@ def test_doc_fingerprint_order_insensitive(spark):
     rows = {r.doc_id: r for r in text.doc_fingerprint(df).collect()}
     assert rows[1].fingerprint == rows[2].fingerprint  # same token set
     assert rows[1].exact_hash != rows[2].exact_hash  # different raw text
+
+
+def test_quality_filter_thresholds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique interesting varied vocabulary sentence here", "en"),
+            (2, "the the the the the the the the the the", "en"),  # stopword spam
+            (3, "too short", "en"),  # < 5 tokens
+        ],
+        DOCS,
+    )
+    kept = {r.doc_id for r in text.quality_filter(df).collect()}
+    assert kept == {1}
+
+
+def test_corpus_clean_dedups_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique interesting varied vocabulary sentence here", "en"),
+            (2, "unique interesting varied vocabulary sentence here", "en"),  # dup of 1
+            (3, "ein anderer ordentlich langer deutscher satz hier", "de"),
+            (4, "too short", "en"),  # filtered
+        ],
+        DOCS,
+    )
+    got = {r.lang: r.n_docs for r in text.corpus_clean(df).collect()}
+    assert got == {"en": 1, "de": 1}
