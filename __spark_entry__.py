@@ -301,6 +301,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_lsh_topk(read_table(spark, sf, "embeddings"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (KMeans codebook) — rows-only oracle: the training step
+    is not SQL-expressible; recall is pinned in tests/test_similarity.py."""
+    return similarity.ann_ivf_topk(read_table(spark, sf, "embeddings"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(
         read_table(spark, sf, "embeddings"), threshold=0.5
@@ -386,6 +392,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_tumbling": q_events_tumbling,

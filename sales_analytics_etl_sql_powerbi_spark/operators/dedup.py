@@ -307,9 +307,12 @@ def simhash(docs: DataFrame) -> DataFrame:
     sign vector packs into one integer. One explode + one groupBy —
     both map-side combinable.
     """
+    # explode_outer: split() never yields an empty array here, and inner
+    # explode would add an inferred filter recomputing the split (see
+    # shingle_docs)
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
+        F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
     )
     h = F.expr(_H63_SPARK.format(s="tok"))
     hashed = toks.select("doc_id", h.alias("h"))

@@ -264,3 +264,92 @@ SELECT vec_a, vec_b, cosine FROM (
 ) p WHERE cosine >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42):
+    """IVF coarse quantizer: KMeans centroids + per-vector assignment.
+
+    The other standard ANN scale path (next to hyperplane LSH): train a
+    small KMeans codebook, route every vector to its nearest centroid,
+    search only the probed cells. Returns ``(assigned, centroids)``
+    where ``assigned`` = emb + ``cell`` column and ``centroids`` is the
+    local list of centroid vectors (k × dim floats — driver-sized by
+    construction, like any IVF codebook).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("__v", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_cells(vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: d2(vec, centroids[i]))
+    return order[:nprobe]
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN top-k: search only the ``nprobe`` nearest cells per query.
+
+    With k cells and nprobe probes, each query touches ~nprobe/k of the
+    corpus. The query→cell routing happens on the driver against the
+    k×dim codebook (IVF's standard shape); the candidate join is an
+    equi-join on ``cell``. Scale: k grows with corpus
+    (k ≈ sqrt(N) rule of thumb), codebook stays driver-sized.
+
+    Not SQL-expressible (KMeans training) — registered with the
+    rows-only oracle; recall vs brute force is pinned in
+    tests/test_similarity.py.
+    """
+    assigned, centroids = ivf_index(emb, n_clusters, seed)
+    q = quantized(assigned)
+
+    queries_local = (
+        q.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # n_queries rows — driver-side routing against the codebook only
+    probe_rows = [
+        (int(r.vec_id), cell)
+        for r in queries_local
+        for cell in _nearest_cells([float(x) for x in r.embedding], centroids, nprobe)
+    ]
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qq")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(q.select("vec_id", "cell", "__q"), "cell")
+        .join(F.broadcast(queries), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    dot = _dot("__qq", "__q")
+    nq = _dot("__qq", "__qq")
+    nc = _dot("__q", "__q")
+    cos = F.round(
+        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        9,
+    )
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )

@@ -69,3 +69,31 @@ def test_embedding_neardup_pairs_finds_planted_dups(spark):
     assert (1, 7) in got and got[(1, 7)] == 1.0
     # unrelated random vectors must not appear
     assert all(a in (0, 1) for a, b in got)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    df, _ = emb_frame(spark, n=120)
+    brute = similarity.cosine_topk(df, n_queries=3, topk=5).collect()
+    ivf = similarity.ann_ivf_topk(
+        df, n_queries=3, topk=5, n_clusters=4, nprobe=3
+    ).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # probing 3/4 cells must recover most of the true top-5
+    total = hits = 0
+    for qid, want in brute_sets.items():
+        got = ivf_sets.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5
+
+
+def test_ann_ivf_deterministic(spark):
+    df, _ = emb_frame(spark, n=60)
+    a = similarity.ann_ivf_topk(df, n_queries=2, topk=3, n_clusters=4).collect()
+    b = similarity.ann_ivf_topk(df, n_queries=2, topk=3, n_clusters=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
