@@ -1,0 +1,93 @@
+"""Property-based cross-engine parity (hypothesis).
+
+Each example generates a BATCH of values and makes one Spark round-trip,
+keeping runtime sane while covering arbitrary unicode/malformed input.
+"""
+
+import hashlib
+import re
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sales_analytics_etl_sql_powerbi_spark.functions.cleaning import normalize_colname
+from sales_analytics_etl_sql_powerbi_spark.functions.keys import (
+    stable_id_expr,
+    stable_id_sql,
+)
+
+text_values = st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.text(alphabet="0123456789.-x ", max_size=12),
+)
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_key(parts):
+    s = "|".join("" if p is None else p for p in parts)
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16) & (2**63 - 1)
+
+
+@SLOW
+@given(st.lists(st.tuples(text_values, text_values), min_size=1, max_size=25))
+def test_stable_id_parity_arbitrary_unicode(spark, rows):
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [r.v for r in df.select(stable_id_expr(["a", "b"]).alias("v")).collect()]
+    assert got == [py_key(p) for p in rows]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = stable_id_sql(["a", "b"])
+    assert [r[0] for r in con.execute(f"SELECT {sql} FROM t").fetchall()] == [
+        py_key(p) for p in rows
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=30))
+def test_normalize_colname_reference_parity(name):
+    # reference etl/order_info_etl.py:31-35 semantics
+    expected = re.sub(r"[ \-]", "_", name.replace("﻿", "").strip())
+    got = normalize_colname(name)
+    assert got == expected
+    assert normalize_colname(got) == got or " " in got or "-" in got  # idempotent
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-1000, 1000).map(str),
+            st.floats(-100, 100, allow_nan=False).map(lambda f: f"{f:.3f}"),
+            st.text(alphabet="abcx.", max_size=6),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_int_with_default_matches_pandas_semantics(spark, values):
+    import pandas as pd
+
+    from sales_analytics_etl_sql_powerbi_spark.functions.cleaning import (
+        int_with_default,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "n string")
+    got = [r.v for r in df.select(int_with_default("n").alias("v")).collect()]
+    # reference: pd.to_numeric(errors='coerce').fillna(1).astype(int)
+    want = (
+        pd.to_numeric(pd.Series(values, dtype="object"), errors="coerce")
+        .fillna(1)
+        .astype(int)
+        .tolist()
+    )
+    assert got == want
