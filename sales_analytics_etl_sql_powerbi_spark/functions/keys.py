@@ -99,8 +99,54 @@ def dense_surrogate_id(order_by: list[Column | str]) -> Column:
 
     A single-partition window is fine because it is only ever applied to
     DIMENSION tables (platforms, products, dates — thousands to millions
-    of rows), never the fact. For a billion-row dimension, switch to
-    zipWithIndex-style: row_number within sorted range partitions +
-    cumulative partition offsets.
+    of rows), never the fact. For a dimension too big for one task, use
+    :func:`with_dense_id` — the range-partitioned zipWithIndex shape
+    with identical output (parity test in tests/test_keys.py).
     """
     return F.row_number().over(Window.orderBy(*order_by)).cast(T.IntegerType())
+
+
+def with_dense_id(
+    df,
+    order_by: list[str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
+):
+    """Scalable IDENTITY(1,1): dense 1-based ids in ``order_by`` order.
+
+    The zipWithIndex shape, relationally: range-partition on the
+    ordering key (globally ordered, non-overlapping ranges), number
+    rows *within* each partition, then add the cumulative count of all
+    earlier partitions (a #partitions-sized frame — broadcast join).
+    Two passes over the data, NO single-partition exchange — this is
+    the production path for any dimension too big for
+    :func:`dense_surrogate_id`'s global window. Identical output when
+    the ordering key is unique (ties get arbitrary-but-distinct ids,
+    same as the window variant).
+    """
+    from pyspark.sql import DataFrame
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.col("__offset")).cast(T.IntegerType()),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -76,3 +76,18 @@ def test_dense_surrogate_id(spark):
     df = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"])
     out = df.select("k", dense_surrogate_id(["k"]).alias("id")).orderBy("id")
     assert [(r.k, r.id) for r in out.collect()] == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_with_dense_id_matches_global_window(spark):
+    from sales_analytics_etl_sql_powerbi_spark.functions.keys import with_dense_id
+
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i) for i in range(500)], "k string, v int"
+    ).repartition(7)  # scramble physical layout first
+    out = with_dense_id(df, ["k"], id_col="id", num_partitions=5)
+    rows = sorted((r.k, r.id) for r in out.collect())
+    # dense 1..500 in k order, independent of input partitioning
+    assert [r[1] for r in rows] == list(range(1, 501))
+    # matches the window-based variant exactly
+    w = df.select("k", dense_surrogate_id(["k"]).alias("id"))
+    assert sorted((r.k, r.id) for r in w.collect()) == rows
