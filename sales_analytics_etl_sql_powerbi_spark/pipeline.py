@@ -215,7 +215,10 @@ def build_dim_date(spark: SparkSession, staging: DataFrame) -> DataFrame:
 
 
 def build_fact(
-    staging: DataFrame, dim_platform: DataFrame, dim_product: DataFrame
+    staging: DataFrame,
+    dim_platform: DataFrame,
+    dim_product: DataFrame,
+    date_source: str = "submit_ts",
 ) -> DataFrame:
     """Fact load — J1: left dim lookups + FK-not-null filters (⇒ inner).
 
@@ -223,6 +226,10 @@ def build_fact(
     staging (lineitem-scale) side never shuffles. Degenerate dims
     order_id/state_code ride on the fact row
     (reference sql/schema/fact_sales.Table.sql:35,42).
+
+    ``date_source`` mirrors the reference's ``FACT_DATE_SOURCE`` config
+    (etl/order_info_etl.py:26) — which timestamp becomes ``date_id``
+    (``submit_ts`` default; ``ship_ts`` is the other staging candidate).
     """
     f = (
         staging.join(
@@ -236,14 +243,14 @@ def build_fact(
         # NOT NULL AND dp.platform_id IS NOT NULL AND dpr.product_id IS
         # NOT NULL (etl/order_info_etl.py:484-488)
         .where(
-            F.col("submit_ts").isNotNull()
+            F.col(date_source).isNotNull()
             & F.col("product_key").isNotNull()
             & F.col("platform_id").isNotNull()
             & F.col("product_id").isNotNull()
         )
     )
     return f.select(
-        F.col("submit_ts").cast("date").alias("date_id"),
+        F.col(date_source).cast("date").alias("date_id"),
         "platform_id",
         "product_id",
         "customer_id",

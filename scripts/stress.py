@@ -1,0 +1,87 @@
+"""Scale-stress probe: run the star pipeline on 10× sf0.1 (~6M lines).
+
+Reads the sf0.1 lineitem and unions it 10× with offset order keys —
+a cheap in-memory stand-in for sf1 — then times the star build and two
+BI queries. The point is plan shape under 10× data: broadcasts must
+stay broadcasts, no task should straggle.
+
+Usage: python scripts/stress.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark import pipeline
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics
+
+    # lineitem ×mult (same order keys — each order gets mult× the lines,
+    # so the fact side scales while the dim joins stay valid)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big_li = li
+    for _ in range(mult - 1):
+        big_li = big_li.unionByName(li)
+    big_li = big_li.persist(StorageLevel.MEMORY_AND_DISK)
+    n = big_li.count()
+    print(f"lineitem rows: {n}")
+
+    # patch the reader to serve the big lineitem
+    from sales_analytics_etl_sql_powerbi_spark.sources import readers
+
+    orig = readers.read_table
+
+    def patched(spark_, sf_, name):
+        if name == "lineitem":
+            return big_li
+        return orig(spark_, sf_, name)
+
+    readers.read_table = patched
+    pipeline.read_table = patched
+
+    t0 = time.time()
+    s = pipeline.star(spark, sf_dir)
+    view = s["view"].persist(StorageLevel.MEMORY_AND_DISK)
+    nv = view.count()
+    print(f"star build + view materialize ({nv} rows): {time.time()-t0:.1f}s")
+
+    for name, fn in [
+        ("state_leaderboard", analytics.exec_overview_states),
+        ("platform_share", analytics.platform_share),
+    ]:
+        t0 = time.time()
+        fn(view).collect()
+        print(f"{name}: {time.time()-t0:.2f}s")
+
+    # join strategy audit under 10x data
+    plan = analytics.exec_overview_states(view)._jdf.queryExecution().executedPlan().toString()
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin")
+    print(f"plan joins: broadcast={n_bhj} sortmerge={n_smj}")
+
+
+if __name__ == "__main__":
+    main()
