@@ -106,6 +106,11 @@ def main() -> None:
         "simhash",
         "cosine_topk",
         "ann_lsh_topk",
+        "embedding_neardup",
+        "quality_filter",
+        "corpus_clean",
+        "category_rollup",
+        "events_running_totals",
     ):
         clock(name, lambda fn=raw[name]: fn(spark, sf_dir).collect())
 

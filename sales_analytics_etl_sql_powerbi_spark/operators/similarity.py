@@ -50,11 +50,19 @@ def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[int]]:
 
 
 def quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
-    """Embeddings as integer micro-unit arrays (exact arithmetic)."""
+    """Embeddings as integer micro-unit arrays (exact arithmetic).
+
+    The L2 norm is precomputed per VECTOR (``__norm``) so pairwise
+    scoring does one dot product per pair instead of three — the
+    per-pair self-dots were ~2/3 of the similarity runtime.
+    """
     q = F.transform(
         F.col(col), lambda x: F.round(x.cast("double") * _SCALE).cast("long")
     )
-    return emb.withColumn("__q", q)
+    out = emb.withColumn("__q", q)
+    return out.withColumn(
+        "__norm", F.sqrt(_dot("__q", "__q").cast("double"))
+    )
 
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
@@ -75,17 +83,16 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, topk: int = 10) -> DataFrame
     """
     q = quantized(emb)
     queries = q.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qq")
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
     )
-    cand = q.select("vec_id", "__q")
+    cand = q.select("vec_id", "__q", "__norm")
     joined = F.broadcast(queries).crossJoin(cand).where(
         F.col("vec_id") != F.col("query_id")
     )
-    dot = _dot("__qq", "__q")
-    nq = _dot("__qq", "__qq")
-    nc = _dot("__q", "__q")
     cos = F.round(
-        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
         9,
     )
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
@@ -148,19 +155,17 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, topk: int = 5) -> DataFrame
     queries = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = b.select("vec_id", "__q", "bucket")
+    cand = b.select("vec_id", "__q", "__norm", "bucket")
     joined = (
         F.broadcast(queries)
         .join(cand, F.col("bucket") == F.col("qbucket"))
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    dot = _dot("__qq", "__q")
-    nq = _dot("__qq", "__qq")
-    nc = _dot("__q", "__q")
     cos = F.round(
-        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
         9,
     )
     scored = joined.select("query_id", "vec_id", F.col("bucket"), cos.alias("cosine"))
@@ -220,17 +225,20 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame
     """
     b = lsh_buckets(emb)
     a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("__q").alias("__qa"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("__q").alias("__qa"),
+        F.col("__norm").alias("__na"),
+        "bucket",
     )
     c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("__q").alias("__qb"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("__q").alias("__qb"),
+        F.col("__norm").alias("__nb"),
+        "bucket",
     )
     joined = a.join(c, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
-    dot = _dot("__qa", "__qb")
-    na = _dot("__qa", "__qa")
-    nb = _dot("__qb", "__qb")
     cos = F.round(
-        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        _dot("__qa", "__qb").cast("double") / (F.col("__na") * F.col("__nb")),
         9,
     )
     return (
@@ -331,19 +339,18 @@ def ann_ivf_topk(
     probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
 
     queries = q.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("__q").alias("__qq")
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
     )
     cand = (
         F.broadcast(probes)
-        .join(q.select("vec_id", "cell", "__q"), "cell")
+        .join(q.select("vec_id", "cell", "__q", "__norm"), "cell")
         .join(F.broadcast(queries), "query_id")
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    dot = _dot("__qq", "__q")
-    nq = _dot("__qq", "__qq")
-    nc = _dot("__q", "__q")
     cos = F.round(
-        dot.cast("double") / (F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))),
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
         9,
     )
     scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
