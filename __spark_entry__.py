@@ -265,6 +265,10 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf))
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    return text.doc_length_quantiles(_docs(spark, sf))
+
+
 def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_filter(_docs(spark, sf))
 
@@ -383,6 +387,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "quality_filter": q_quality_filter,
         "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
@@ -608,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNT_SQL,
         "lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "doc_length_quantiles": text.DOC_LENGTH_QUANTILES_SQL,
         "quality_filter": text.quality_filter_sql(),
         "corpus_clean": text.corpus_clean_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

@@ -252,3 +252,33 @@ SELECT s.lang, count(1) AS n_docs, cast(sum(length(s.text)) AS BIGINT) AS n_char
 FROM surviving s JOIN canonical c ON s.doc_id = c.doc_id
 GROUP BY s.lang ORDER BY s.lang
 """
+
+
+def doc_length_quantiles(docs: DataFrame) -> DataFrame:
+    """Corpus length distribution: exact interpolated quantiles + mean.
+
+    ``percentile()`` (exact, linear interpolation — bit-identical to
+    DuckDB's quantile_cont) over doc char lengths; the corpus-triage
+    numbers a data curator reads first. Exact percentile sorts per
+    group — fine for a single global group; for per-group quantiles at
+    scale switch to approx_percentile with a documented error bound.
+    """
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(length(text), 0.25)").alias("p25"),
+        F.expr("percentile(length(text), 0.5)").alias("p50"),
+        F.expr("percentile(length(text), 0.75)").alias("p75"),
+        F.expr("percentile(length(text), 0.95)").alias("p95"),
+        F.avg(F.length("text")).alias("mean_len"),
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT count(1) AS n_docs,
+       quantile_cont(length(text), 0.25) AS p25,
+       quantile_cont(length(text), 0.5) AS p50,
+       quantile_cont(length(text), 0.75) AS p75,
+       quantile_cont(length(text), 0.95) AS p95,
+       avg(length(text)) AS mean_len
+FROM documents
+"""
