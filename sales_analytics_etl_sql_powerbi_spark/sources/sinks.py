@@ -34,9 +34,21 @@ def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None
 
 
 def write_overwrite(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
-    """S7 — truncate-reload (reference etl/order_info_etl.py:316)."""
+    """S7 — truncate-reload (reference etl/order_info_etl.py:316).
+
+    ``cluster_by`` range-partitions + sorts rows within files on the
+    given columns before writing — parquet row-group min/max stats then
+    let any scan filtered on those columns skip whole row groups
+    (the poor man's Z-order; the right layout for a fact table queried
+    by state/product at 100 TB).
+    """
+    if cluster_by:
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

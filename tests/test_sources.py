@@ -110,3 +110,32 @@ def test_excel_shim_gated(spark, tmp_path):
         df = read_excel(spark, str(p))
         assert df.columns == ["Order_No", "goodsNumber"]
         assert df.first().goodsNumber == "3"  # dtype=str semantics
+
+
+def test_fact_partition_pruning_roundtrip(spark, sf_dir, tmp_path):
+    """Write the fact partitioned by date; a date filter must reach the
+    scan as a PartitionFilter (pruning, not post-scan filtering)."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark import pipeline
+
+    fact = pipeline.star(spark, sf_dir)["fact"]
+    path = str(tmp_path / "fact")
+    write_overwrite(fact, path, partition_by=["date_id"])
+
+    some_date = spark.read.parquet(path).select("date_id").first().date_id
+    q = spark.read.parquet(path).where(F.col("date_id") == F.lit(some_date))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(date_id" in plan
+    assert q.count() > 0
+
+
+def test_clustered_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i % 7, i) for i in range(1000)], "k int, v int"
+    )
+    path = str(tmp_path / "clustered")
+    write_overwrite(df, path, cluster_by=["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert {r.k for r in back.select("k").distinct().collect()} == set(range(7))
