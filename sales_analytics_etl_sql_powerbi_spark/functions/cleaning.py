@@ -109,9 +109,13 @@ def int_with_default(col: Column | str, default: int = 1) -> Column:
     # — common in Excel exports) land as ints like the reference's
     # pd.to_numeric(...).fillna(default).astype(int), instead of NULLing
     # out under a direct int try_cast (reference etl/order_info_etl.py:218-221).
+    # try_cast on BOTH steps: 'NaN' / '1e10' must fall to the default,
+    # not raise under ANSI mode. (Spark truncates toward zero on the
+    # double→int step; the DuckDB twin must trunc() explicitly — DuckDB
+    # rounds. oracles.py parity rules.)
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
-        c.try_cast(T.DoubleType()).cast(T.IntegerType()), F.lit(default)
+        c.try_cast(T.DoubleType()).try_cast(T.IntegerType()), F.lit(default)
     )
 
 

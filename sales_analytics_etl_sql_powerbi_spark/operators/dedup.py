@@ -175,12 +175,15 @@ GROUP BY doc_id
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Banded LSH: equi-join docs whose signature agrees on any band.
 
-    Bands of {rows} rows hashed to one value; candidates = pairs
-    sharing (band_id, band_hash). The join key is the band hash — NO
-    all-pairs comparison; skew-safe under AQE. The signature table is
-    persisted (one row per doc) so the self-join's two sides share one
-    computation instead of re-deriving the minhash pipeline twice.
-    """.format(rows=_ROWS_PER_BAND)
+    Bands of _ROWS_PER_BAND rows hashed to one value; candidates =
+    pairs sharing (band_id, band_hash). The join key is the band hash —
+    NO all-pairs comparison; skew-safe under AQE. The signature table
+    is persisted (one row per doc) so the self-join's two sides share
+    one computation instead of re-deriving the minhash pipeline twice;
+    Spark's CacheManager dedupes identical plans, so repeated calls on
+    the same input reuse one cache entry (distinct corpora accumulate
+    entries until session end — caller owns unpersist if that matters).
+    """
     from pyspark.storagelevel import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)

@@ -86,12 +86,19 @@ def extract_features(with_payload: DataFrame, codec: str = "raw") -> DataFrame:
 
 
 #: DuckDB twin of attach_binary_payload→extract_features over documents
-#: (payload == utf-8 text bytes, so the byte features are computable in SQL)
+#: (payload == utf-8 text bytes). Byte values come from the hex encoding
+#: of the UTF-8 blob — ord(substring(...)) would give Unicode CODE
+#: POINTS and character (not byte) positions, silently diverging from
+#: the Python byte checksum on any non-ASCII text.
 MULTIMODAL_META_SQL = """
 SELECT doc_id,
   cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  cast(ord(substring(text, 1, 1)) AS INT) AS first_byte,
-  cast(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
-       i -> ord(substring(text, i, 1)))) % 1000003 AS BIGINT) AS byte_checksum
+  CASE WHEN octet_length(encode(text)) > 0
+       THEN cast(('0x' || substring(to_hex(encode(text)), 1, 2)) AS INT) END
+    AS first_byte,
+  cast(coalesce(list_sum(list_transform(
+         range(1, octet_length(encode(text)) + 1),
+         i -> cast(('0x' || substring(to_hex(encode(text)), 2*i - 1, 2)) AS INT))),
+       0) % 1000003 AS BIGINT) AS byte_checksum
 FROM documents
 """

@@ -108,13 +108,21 @@ def _pred_sql(col: str, op: str, operand: str) -> str:
     raise ValueError(f"unknown rule op {op!r}")
 
 
+def _guard_empty(g: Guard) -> bool:
+    return not (g.null or g.null_or_blank or g.eq)
+
+
 def _guard_col(g: Guard) -> Column:
+    if _guard_empty(g):  # empty Guard() ≡ unguarded (guard=None)
+        return F.lit(True)
     conds: list[Column] = []
     conds += [F.col(c).isNull() for c in g.null]
     conds += [
         F.col(c).isNull() | (F.trim(F.col(c)) == F.lit("")) for c in g.null_or_blank
     ]
-    conds += [F.col(c) == F.lit(v) for c, v in g.eq]
+    # equality lowers both sides — SQL Server CI collation applies to
+    # the UPDATE's WHERE guard exactly as to the CASE predicates
+    conds += [F.lower(F.col(c)) == F.lit(v.lower()) for c, v in g.eq]
     out = conds[0]
     for c in conds[1:]:
         out = out & c
@@ -122,10 +130,12 @@ def _guard_col(g: Guard) -> Column:
 
 
 def _guard_sql(g: Guard) -> str:
+    if _guard_empty(g):
+        return "TRUE"
     conds: list[str] = []
     conds += [f"{c} IS NULL" for c in g.null]
     conds += [f"({c} IS NULL OR trim({c}) = '')" for c in g.null_or_blank]
-    conds += [f"{c} = '{_sq(v)}'" for c, v in g.eq]
+    conds += [f"lower({c}) = '{_sq(v.lower())}'" for c, v in g.eq]
     return " AND ".join(conds)
 
 

@@ -38,6 +38,11 @@ def salted_join(
     rand() (reruns produce identical partitioning, and hash(*) spreads
     a hot key's rows evenly regardless of which columns carry entropy).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        # right/full outer would surface each unmatched small-side row
+        # once PER REPLICA (salt copies) — row identity only holds when
+        # unmatched rows can come from the un-replicated side
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lg = large.withColumn(
         salt_col, F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))

@@ -190,9 +190,8 @@ def quality_filter(
     type-token ratio) as ONE fused projection + filter — no extra pass.
     Returns the surviving docs with their stats attached.
     """
-    stats = text_stats(docs, stopwords)
     return (
-        docs.join(stats, "doc_id")
+        text_stats(docs, stopwords)
         .where(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("stopword_ratio") <= max_stopword_ratio)

@@ -36,7 +36,7 @@ STAGING_SQL = """
 SELECT
   order_id, line_number, platform_name, submit_ts, ship_ts,
   units_raw,
-  coalesce(cast(try_cast(units_raw AS DOUBLE) AS INT), 1) AS units,
+  coalesce(try_cast(trunc(try_cast(units_raw AS DOUBLE)) AS INT), 1) AS units,
   master_sku, alt_sku,
   coalesce(nullif(trim(master_sku), ''), nullif(trim(alt_sku), '')) AS product_key,
   raw_state,

@@ -127,3 +127,23 @@ def test_ensure_columns_and_truncate(spark):
 
 def test_clean_whitespace(spark):
     assert one(spark, clean_whitespace("x"), x="\ta b\r\n ") == "a b"
+
+
+def test_int_with_default_duckdb_twin_parity(spark):
+    """Spark truncates double->int; the oracle must trunc() (DuckDB rounds)."""
+    import duckdb
+
+    values = ["3", "3.5", "-3.5", "NaN", "1e10", "abc", "", None]
+    df = spark.createDataFrame([(v,) for v in values], "units_raw string")
+    got = [r.v for r in df.select(int_with_default("units_raw").alias("v")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (units_raw VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT coalesce(try_cast(trunc(try_cast(units_raw AS DOUBLE)) AS INT), 1)"
+            " FROM t"
+        ).fetchall()
+    ]
+    assert got == duck == [3, 3, -3, 1, 1, 1, 1, 1]

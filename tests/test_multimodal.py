@@ -35,3 +35,21 @@ def test_extract_features_values(spark):
 def test_non_raw_codec_raises():
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_stub(b"xx", codec="jpeg")
+
+
+def test_sql_twin_byte_parity_non_ascii():
+    """The DuckDB twin must checksum UTF-8 BYTES, not code points."""
+    import duckdb
+
+    rows = [(1, "café ✓"), (2, ""), (3, "plain ascii")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(multimodal.MULTIMODAL_META_SQL).fetchall()
+    }
+    for doc_id, text in rows:
+        b = text.encode("utf-8")
+        want = multimodal.decode_stub(b)
+        assert got[doc_id] == (want["n_bytes"], want["first_byte"], want["byte_checksum"])

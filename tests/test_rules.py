@@ -127,3 +127,28 @@ def test_else_none_yields_null(spark):
     df = spark.createDataFrame([("a", "no match", "pre", None)], SCHEMA)
     out = apply_passes(df, (p,)).first()
     assert out.category is None  # CASE with no ELSE -> SQL NULL
+
+
+def test_empty_guard_is_unguarded(spark):
+    p = RulePass(
+        target="category",
+        whens=(When("X", (("english_name", "like", "%thing%"),)),),
+        guard=Guard(),  # empty == no guard, must not crash
+    )
+    df = spark.createDataFrame([("a", "a thing", "pre", None)], SCHEMA)
+    assert apply_passes(df, (p,)).first().category == "X"
+    sql = passes_to_sql("SELECT * FROM base", (p,), base_columns=COLS)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base (main_sku_code VARCHAR, english_name VARCHAR,"
+        " category VARCHAR, subcategory VARCHAR)"
+    )
+    con.execute("INSERT INTO base VALUES ('a', 'a thing', 'pre', NULL)")
+    assert con.execute(sql).fetchone()[2] == "X"
+
+
+def test_guard_eq_case_insensitive(spark):
+    # SQL Server CI collation applies to the UPDATE's WHERE guard too:
+    # a dim arriving with 'outdoor & garden' must still get subcategories
+    got = run_ref(spark, [("HZ77", "Garden Gazebo", "outdoor & garden", None)])
+    assert got["HZ77"][1] == "Gazebo / Pergola"

@@ -47,3 +47,11 @@ def test_salt_spreads_hot_key(spark):
     )
     n = salted.where(F.col("k") == "A").select("__salt").distinct().count()
     assert n == 4
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    large, small = frames(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(large, small, "k", how="right", salt=4)
