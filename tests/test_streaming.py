@@ -148,3 +148,53 @@ def test_running_totals_batch_twin(spark):
     df = spark.createDataFrame(events_rows(), EVENTS)
     out = {r.user_id: r.event_count for r in W.running_totals_stateful(df).collect()}
     assert sum(out.values()) == 41
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than watermark arriving in a later micro-batch is
+    dropped from the windowed aggregate (append mode emits only closed
+    windows, and the late row never reopens one)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(EVENTS).parquet(src)
+        return (
+            W.tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .queryName(qname)
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: events up to 02:00 -> watermark persists at 01:50 in ckpt
+    on_time = [
+        (i, t0 + dt.timedelta(minutes=10 * i), 1, "a", 1.0) for i in range(13)
+    ]
+    spark.createDataFrame(on_time, EVENTS).write.mode("append").parquet(src)
+    q1 = run_once("t_late_out_1")
+    q1.awaitTermination(180)
+
+    # run 2 (same checkpoint): an event at 00:05 - far behind watermark
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(minutes=5), 1, "a", 100.0)], EVENTS
+    ).write.mode("append").parquet(src)
+    q2 = run_once("t_late_out_2")
+    q2.awaitTermination(180)
+
+    closed = {
+        r.window_start: (r.event_count, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 00:00 window closed with its on-time count; the late 100.0
+    # event must NOT appear in it
+    w0 = closed.get(t0)
+    assert w0 is not None
+    assert w0[0] == 6 and w0[1] == 6.0  # events at :00..:50, value 1.0 each
