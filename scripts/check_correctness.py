@@ -34,7 +34,9 @@ def _fmt(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # full precision: the driver's hash sees exact values, so any
+        # cross-engine double difference must fail HERE first
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
