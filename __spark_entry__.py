@@ -289,6 +289,10 @@ def q_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.neardup_pairs(_docs(spark, sf))
 
 
+def q_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.neardup_clusters(_docs(spark, sf))
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf))
 
@@ -393,6 +397,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
+        "neardup_clusters": q_neardup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "cosine_topk": q_cosine_topk,
@@ -619,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "neardup_pairs": dedup.neardup_pairs_sql(),
+        "neardup_clusters": dedup.neardup_clusters_sql(),
         "simhash": dedup.simhash_sql(),
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),

@@ -26,11 +26,13 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "neardup_pairs",
+    "neardup_clusters",
     "simhash",
     "ngram_jaccard_topk",
     "EXACT_DEDUP_SQL",
     "minhash_signatures_sql",
     "neardup_pairs_sql",
+    "neardup_clusters_sql",
     "simhash_sql",
     "ngram_jaccard_topk_sql",
 ]
@@ -425,4 +427,87 @@ SELECT query_id, doc_id, jaccard, rn FROM (
   FROM scored
 ) r WHERE rn <= {topk}
 ORDER BY query_id, rn
+"""
+
+
+def neardup_clusters(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8, max_iters: int = 20
+) -> DataFrame:
+    """Collapse near-duplicate docs into clusters: (doc_id, cluster_id).
+
+    Connected components over the LSH-verified near-dup pair graph —
+    the step a training-data pipeline runs after pair generation (keep
+    one doc per cluster). cluster_id = min doc_id reachable through
+    pairs with Jaccard ≥ threshold; unpaired docs are their own
+    cluster.
+
+    Iterative min-label propagation, Spark-style: each round is one
+    join + aggregate over (edges ∪ self-loops); the driver only reads a
+    single changed-row COUNT per round (no data collected). Rounds
+    needed = graph diameter — near-dup clusters are shallow (dup sets,
+    not long chains), so convergence is fast; ``max_iters`` bounds the
+    pathological chain. DuckDB twin: recursive-CTE transitive closure +
+    min per node (exact same fixpoint).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = neardup_pairs(docs, k, threshold).select("doc_a", "doc_b")
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+def neardup_clusters_sql(k: int = 3, threshold: float = 0.8) -> str:
+    pairs = neardup_pairs_sql(k, threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, seen) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON s.src = r.seen
+)
+SELECT node AS doc_id, min(seen) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
 """

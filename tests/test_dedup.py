@@ -70,3 +70,29 @@ def test_ngram_jaccard_topk_ranks_exact_dup_first(spark):
     rows = out.where(F.col("query_id") == 0).orderBy("rn").collect()
     assert rows[0].doc_id == 2 and rows[0].jaccard == 1.0
     assert rows[1].doc_id == 1
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C (but A and C less similar) must share one cluster —
+    connected components, not just pairwise collapse."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " w11"),           # ~dup of 10
+            (12, base + " w11 w12"),       # ~dup of 11, less so of 10
+            (30, "totally different content about something else entirely"),
+        ],
+        DOCS,
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(docs, threshold=0.5).collect()}
+    assert out[10] == out[11] == out[12] == 10
+    assert out[30] == 30
+
+
+def test_neardup_clusters_singletons_kept(spark):
+    docs = docs_frame(spark)
+    out = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(docs, threshold=0.9).collect()}
+    assert len(out) == 5  # every doc appears
+    assert out[0] == out[2] == 0  # exact dups collapse
+    assert out[3] == 3 and out[4] == 4  # singletons own cluster
