@@ -112,7 +112,10 @@ def int_with_default(col: Column | str, default: int = 1) -> Column:
     # try_cast on BOTH steps: 'NaN' / '1e10' must fall to the default,
     # not raise under ANSI mode. (Spark truncates toward zero on the
     # double→int step; the DuckDB twin must trunc() explicitly — DuckDB
-    # rounds. oracles.py parity rules.)
+    # rounds. oracles.py parity rules.) Documented divergence: values
+    # outside int32 become the default here, while the reference's
+    # pandas astype(int) would carry an int64 that SQL Server's INT
+    # column then rejects at insert — lenient-default beats load error.
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
         c.try_cast(T.DoubleType()).try_cast(T.IntegerType()), F.lit(default)

@@ -126,10 +126,19 @@ def with_dense_id(
     """
     from pyspark.sql import DataFrame
 
+    from pyspark.storagelevel import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist BEFORE the counts job: the offsets are only valid for the
+    # exact partitioning they were counted on, and an unpersisted
+    # repartitionByRange re-samples its range boundaries on the next
+    # job — partition counts could shift between the two executions,
+    # duplicating/skipping ids. The cache pins one materialization.
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -145,8 +154,10 @@ def with_dense_id(
     return (
         ranged.join(F.broadcast(off), "__pid")
         .withColumn(
+            # LongType: this is the path for dimensions past int32 rows —
+            # an int cast would wrap negative at 2^31 and collide ids
             id_col,
-            (F.row_number().over(w) + F.col("__offset")).cast(T.IntegerType()),
+            (F.row_number().over(w) + F.col("__offset")).cast(T.LongType()),
         )
         .drop("__pid", "__offset")
     )

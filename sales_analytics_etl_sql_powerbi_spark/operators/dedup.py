@@ -116,9 +116,15 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     explode triggers Catalyst's InferFiltersFromGenerate, which inlines
     the entire shingle-construction expression into a pre-scan filter
     and recomputes it ~3× per row (measured 13× slower at sf0.1).
+    The NULL filter restores exact inner-explode semantics for
+    NULL-text docs (outer would emit a NULL shingle row that DuckDB's
+    ``unnest`` does not); it sits ABOVE the Generate on the generated
+    column, so no expression duplication is re-inferred.
     """
-    return shingle_sets(docs, k).select(
-        "doc_id", F.explode_outer("sh_set").alias("shingle")
+    return (
+        shingle_sets(docs, k)
+        .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 
@@ -314,11 +320,13 @@ def simhash(docs: DataFrame) -> DataFrame:
     """
     # explode_outer: split() never yields an empty array here, and inner
     # explode would add an inferred filter recomputing the split (see
-    # shingle_docs)
+    # shingle_docs). The NULL filter keeps NULL-text docs OUT of the
+    # output (inner-explode / DuckDB-unnest semantics) without
+    # re-triggering the inferred-filter duplication.
     toks = docs.select(
         "doc_id",
         F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
-    )
+    ).where(F.col("tok").isNotNull())
     h = F.expr(_H63_SPARK.format(s="tok"))
     hashed = toks.select("doc_id", h.alias("h"))
     bit_aggs = [
@@ -490,6 +498,16 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return WRONG clusters (and
+        # diverge from the recursive-CTE oracle) — fail loudly instead
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds; "
+            "the pair graph has a chain longer than max_iters — raise it"
+        )
+    # labels' cache was populated by the final changed-count job; the
+    # edge table is no longer needed
+    sym.unpersist()
     return labels.orderBy("doc_id")
 
 

@@ -322,8 +322,13 @@ def ann_ivf_topk(
     rows-only oracle; recall vs brute force is pinned in
     tests/test_similarity.py.
     """
+    from pyspark.storagelevel import StorageLevel
+
     assigned, centroids = ivf_index(emb, n_clusters, seed)
-    q = quantized(assigned)
+    # three consumers (query collect, candidate side, broadcast query
+    # side) would each re-run KMeans assignment + quantization over the
+    # whole corpus — persist one materialization
+    q = quantized(assigned).persist(StorageLevel.MEMORY_AND_DISK)
 
     queries_local = (
         q.where(F.col("vec_id") < n_queries)

@@ -30,13 +30,18 @@ def salted_join(
     how: str = "inner",
     salt: int = 8,
     salt_col: str = "__salt",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side replicated.
 
     ``on`` key column(s) must exist on both sides. The salt on the large
-    side is ``pmod(hash(all large columns), salt)`` — deterministic, no
-    rand() (reruns produce identical partitioning, and hash(*) spreads
-    a hot key's rows evenly regardless of which columns carry entropy).
+    side is ``pmod(hash(salt_on or all large columns), salt)`` —
+    deterministic (no rand(): salts recompute identically on task retry,
+    which rand()-salting cannot guarantee mid-shuffle). LIMITATION:
+    rows fully identical on the salted columns share one salt, so a hot
+    key made of verbatim-duplicate rows is not spread — pass
+    ``salt_on=[<a high-entropy column>]`` (event id, line number…), or
+    pre-aggregate the duplicates first (cheaper than the join anyway).
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         # right/full outer would surface each unmatched small-side row
@@ -44,8 +49,9 @@ def salted_join(
         # unmatched rows can come from the un-replicated side
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    entropy = salt_on if salt_on else large.columns
     lg = large.withColumn(
-        salt_col, F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))
+        salt_col, F.pmod(F.hash(*[F.col(c) for c in entropy]), F.lit(salt))
     )
     sm = small.withColumn(
         salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
