@@ -310,8 +310,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (KMeans codebook) — rows-only oracle: the training step
-    is not SQL-expressible; recall is pinned in tests/test_similarity.py."""
+    """IVF ANN — deterministic driver-trained codebook; the DuckDB twin
+    retrains the identical codebook from the same parquet sample and
+    inlines it as literals, so this is fully hash-checked."""
     return similarity.ann_ivf_topk(read_table(spark, sf, "embeddings"))
 
 
@@ -629,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
+        "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "embedding_neardup": similarity.embedding_neardup_pairs_sql(threshold=0.5),
         "multimodal_features": multimodal.MULTIMODAL_META_SQL,
         "events_tumbling": stream_win.TUMBLING_SQL,

@@ -30,6 +30,12 @@ __all__ = [
     "ann_lsh_topk",
     "ann_lsh_topk_sql",
     "hyperplanes",
+    "train_ivf_codebook",
+    "ivf_codebook",
+    "codebook_from_parquet",
+    "with_cells",
+    "ann_ivf_topk",
+    "ann_ivf_topk_sql",
 ]
 
 _SCALE = 1_000_000
@@ -274,32 +280,97 @@ ORDER BY vec_a, vec_b
 """
 
 
-def ivf_index(emb: DataFrame, n_clusters: int = 16, seed: int = 42):
-    """IVF coarse quantizer: KMeans centroids + per-vector assignment.
+_IVF_SAMPLE = 4096  # codebook training sample bound (rows collected)
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+_SQDIST_DUCK = "list_sum(list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 
-    The other standard ANN scale path (next to hyperplane LSH): train a
-    small KMeans codebook, route every vector to its nearest centroid,
-    search only the probed cells. Returns ``(assigned, centroids)``
-    where ``assigned`` = emb + ``cell`` column and ``centroids`` is the
-    local list of centroid vectors (k × dim floats — driver-sized by
-    construction, like any IVF codebook).
+
+def _quantize_py(vec) -> list[int]:
+    """Driver-side twin of :func:`quantized` (micro-unit integers)."""
+    return [int(round(float(x) * _SCALE)) for x in vec]
+
+
+def train_ivf_codebook(
+    vecs_q: list[list[int]], n_clusters: int, iters: int = 8
+) -> list[list[int]]:
+    """Deterministic KMeans codebook over micro-unit integer vectors.
+
+    Farthest-point (maxmin) init from index 0, then ``iters`` Lloyd's
+    rounds; every tie breaks to the lowest index, means round half-up —
+    no RNG, no data-order sensitivity beyond the input list order. The
+    returned centroids are micro-unit integers, so downstream cell
+    assignment is EXACT integer arithmetic in both engines (same
+    determinism trick as :func:`quantized`).
+
+    Training on a bounded sample is the standard IVF shape (FAISS
+    trains its coarse quantizer on a corpus sample too); an inexact
+    codebook only shifts recall, never correctness of the cell routing.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    vecs = emb.withColumn("__v", array_to_vector(F.col("embedding").cast("array<double>")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cell").fit(vecs)
-    assigned = model.transform(vecs).drop("__v")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centroids
+    X = np.asarray(vecs_q, dtype=np.float64)
+    k = min(n_clusters, len(X))
+    cents = np.empty((k, X.shape[1]))
+    cents[0] = X[0]
+    d = ((X - cents[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        i = int(np.argmax(d))  # first max on ties — deterministic
+        cents[j] = X[i]
+        d = np.minimum(d, ((X - cents[j]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first min on ties
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = np.floor(members.mean(axis=0) + 0.5)
+    return [[int(v) for v in row] for row in cents]
 
 
-def _nearest_cells(vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
-    def d2(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
+def ivf_codebook(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    sample_n: int = _IVF_SAMPLE,
+    iters: int = 8,
+) -> list[list[int]]:
+    """Train the IVF coarse quantizer from a bounded corpus sample.
 
-    order = sorted(range(len(centroids)), key=lambda i: d2(vec, centroids[i]))
-    return order[:nprobe]
+    The collect is bounded by ``sample_n`` rows (pushed-down
+    ``vec_id < sample_n`` filter) however large the corpus is — the
+    codebook is driver-sized by construction, like any IVF index.
+    """
+    rows = (
+        emb.where(F.col("vec_id") < sample_n).select("vec_id", "embedding").collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    return train_ivf_codebook(
+        [_quantize_py(r.embedding) for r in rows], n_clusters, iters
+    )
+
+
+def _lit_arr_spark(vals: list[int]) -> str:
+    return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
+
+
+def with_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assign each quantized vector to its nearest centroid (``cell``).
+
+    A fused argmin over k inlined centroid literals — one whole-stage
+    codegen projection, NO row amplification (the k× crossJoin shape
+    would shuffle k copies of a 100-TB corpus). Ties break to the
+    lowest cell id (``array_position`` finds the first minimum), and
+    distances are exact integers, so the DuckDB twin's
+    row_number-over-distance assignment picks identical cells.
+    """
+    dists = F.array(
+        *[F.expr(_SQDIST.format(a="__q", b=_lit_arr_spark(c))) for c in centroids]
+    )
+    return q.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
 
 
 def ann_ivf_topk(
@@ -308,49 +379,50 @@ def ann_ivf_topk(
     topk: int = 5,
     n_clusters: int = 16,
     nprobe: int = 4,
-    seed: int = 42,
+    sample_n: int = _IVF_SAMPLE,
 ) -> DataFrame:
     """IVF ANN top-k: search only the ``nprobe`` nearest cells per query.
 
     With k cells and nprobe probes, each query touches ~nprobe/k of the
-    corpus. The query→cell routing happens on the driver against the
-    k×dim codebook (IVF's standard shape); the candidate join is an
-    equi-join on ``cell``. Scale: k grows with corpus
-    (k ≈ sqrt(N) rule of thumb), codebook stays driver-sized.
+    corpus. Codebook training is a deterministic driver-side KMeans
+    over a bounded sample (:func:`ivf_codebook`); everything after is
+    relational: probe routing is a (queries × k)-row broadcast join
+    ranked by exact integer distance, candidate selection is an
+    equi-join on ``cell``. Scale: k grows with corpus (k ≈ sqrt(N) rule
+    of thumb), codebook stays driver-sized.
 
-    Not SQL-expressible (KMeans training) — registered with the
-    rows-only oracle; recall vs brute force is pinned in
-    tests/test_similarity.py.
+    Fully oracle-checked: the DuckDB twin (:func:`ann_ivf_topk_sql`)
+    trains the identical codebook from the same parquet sample and
+    replicates assignment, probing, and scoring in exact integer
+    arithmetic.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    assigned, centroids = ivf_index(emb, n_clusters, seed)
-    # three consumers (query collect, candidate side, broadcast query
-    # side) would each re-run KMeans assignment + quantization over the
-    # whole corpus — persist one materialization
-    q = quantized(assigned).persist(StorageLevel.MEMORY_AND_DISK)
-
-    queries_local = (
-        q.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # n_queries rows — driver-side routing against the codebook only
-    probe_rows = [
-        (int(r.vec_id), cell)
-        for r in queries_local
-        for cell in _nearest_cells([float(x) for x in r.embedding], centroids, nprobe)
-    ]
-    spark = emb.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    centroids = ivf_codebook(emb, n_clusters, sample_n)
+    q = quantized(emb)
 
     queries = q.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
         F.col("__norm").alias("__qn"),
     )
-    cand = (
-        F.broadcast(probes)
-        .join(q.select("vec_id", "cell", "__q", "__norm"), "cell")
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, __c array<long>"
+    )
+    # probe routing: n_queries × k rows, ranked by exact integer sq-dist
+    pw = Window.partitionBy("query_id").orderBy(
+        F.asc("__cdist"), F.asc("cell")
+    )
+    probes = (
+        queries.select("query_id", "__qq")
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("__cdist", F.expr(_SQDIST.format(a="__qq", b="__c")))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = with_cells(q, centroids).select("vec_id", "cell", "__q", "__norm")
+    joined = (
+        cand.join(F.broadcast(probes), "cell")
         .join(F.broadcast(queries), "query_id")
         .where(F.col("vec_id") != F.col("query_id"))
     )
@@ -358,10 +430,105 @@ def ann_ivf_topk(
         _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
         9,
     )
-    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= topk)
         .orderBy("query_id", "rn")
     )
+
+
+def codebook_from_parquet(
+    sf_dir: str,
+    n_clusters: int = 16,
+    sample_n: int = _IVF_SAMPLE,
+    iters: int = 8,
+) -> list[list[int]]:
+    """Oracle-side codebook: same sample, same trainer, no Spark.
+
+    Reads the same ``vec_id < sample_n`` rows straight from the parquet
+    (float32 → Python float is exact in both readers) and runs
+    :func:`train_ivf_codebook` — bit-identical centroids to
+    :func:`ivf_codebook` on the same table.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    rows = sorted(
+        (r for r in t.to_pylist() if r["vec_id"] < sample_n),
+        key=lambda r: r["vec_id"],
+    )
+    return train_ivf_codebook(
+        [_quantize_py(r["embedding"]) for r in rows], n_clusters, iters
+    )
+
+
+def ann_ivf_topk_sql(
+    n_queries: int = 5,
+    topk: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_n: int = _IVF_SAMPLE,
+    dim: int = _DIM,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """DuckDB twin of :func:`ann_ivf_topk` with inlined centroid literals.
+
+    The codebook is retrained from the same parquet sample
+    (:func:`codebook_from_parquet`) and inlined as a VALUES list — the
+    same inline-the-trained-constants trick :func:`ann_lsh_topk_sql`
+    uses for its hyperplanes. Assignment/probing use exact integer
+    distances, so cell choices match Spark bit-for-bit.
+    """
+    centroids = codebook_from_parquet(sf_dir, n_clusters, sample_n)
+    cent_values = ",\n    ".join(
+        f"({i}, [{', '.join(str(v) for v in c)}]::BIGINT[])"
+        for i, c in enumerate(centroids)
+    )
+    probe_d = _SQDIST_DUCK.format(a="q.__qq", b="c.__c", n=dim)
+    assign_d = _SQDIST_DUCK.format(a="z.__q", b="c.__c", n=dim)
+    dot = _DOT_DUCK.format(a="q.__qq", b="a.__q", n=dim)
+    nq = _DOT_DUCK.format(a="q.__qq", b="q.__qq", n=dim)
+    nc = _DOT_DUCK.format(a="a.__q", b="a.__q", n=dim)
+    return f"""
+WITH qz AS (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings),
+cents(cell, __c) AS (VALUES
+    {cent_values}),
+queries AS (SELECT vec_id AS query_id, __q AS __qq FROM qz WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {probe_d}, c.cell) AS prn
+    FROM queries q CROSS JOIN cents c) p
+  WHERE prn <= {nprobe}
+),
+assigned AS (
+  SELECT vec_id, __q, cell FROM (
+    SELECT z.vec_id, z.__q, c.cell,
+           row_number() OVER (PARTITION BY z.vec_id
+                              ORDER BY {assign_d}, c.cell) AS arn
+    FROM qz z CROSS JOIN cents c) a
+  WHERE arn = 1
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN queries q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""

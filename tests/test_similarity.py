@@ -92,6 +92,16 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     assert hits / total >= 0.5
 
 
+def test_ivf_codebook_parity_spark_vs_parquet(spark, sf_dir):
+    """The oracle retrains the codebook from parquet without Spark; both
+    routes must produce bit-identical centroids or the DuckDB twin
+    would route queries to different cells."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.ivf_codebook(emb, n_clusters=8)
+    b = similarity.codebook_from_parquet(sf_dir, n_clusters=8)
+    assert a == b
+
+
 def test_ann_ivf_deterministic(spark):
     df, _ = emb_frame(spark, n=60)
     a = similarity.ann_ivf_topk(df, n_queries=2, topk=3, n_clusters=4).collect()
