@@ -124,22 +124,26 @@ def with_dense_id(
     the ordering key is unique (ties get arbitrary-but-distinct ids,
     same as the window variant).
     """
-    from pyspark.sql import DataFrame
-
-    from pyspark.storagelevel import StorageLevel
-
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    # persist BEFORE the counts job: the offsets are only valid for the
-    # exact partitioning they were counted on, and an unpersisted
-    # repartitionByRange re-samples its range boundaries on the next
-    # job — partition counts could shift between the two executions,
-    # duplicating/skipping ids. The cache pins one materialization.
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # CHECKPOINT (lineage truncation), not persist, before the counts
+    # job: the offsets are only valid for the exact partitioning they
+    # were counted on. A persisted frame silently RECOMPUTES on cache
+    # eviction/executor loss, and the recompute re-samples
+    # repartitionByRange's boundaries — per-partition counts could then
+    # shift between the counts job and the numbering job, duplicating or
+    # skipping ids. A checkpoint cannot recompute: the numbering job
+    # either reads the same materialization the counts came from or
+    # fails loudly. Reliable (FS) checkpoint when a checkpointDir is
+    # configured — the production setting on a cluster, surviving
+    # executor loss — else an eager localCheckpoint.
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        ranged = ranged.checkpoint(eager=True)
+    else:
+        ranged = ranged.localCheckpoint(eager=True)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -43,7 +43,7 @@ from .functions.cleaning import (
     valid_state_code,
 )
 from .functions.dates import calendar_frame
-from .functions.keys import stable_id_expr
+from .functions.keys import stable_id_expr, with_dense_id
 from .operators.rules import (
     TESTDATA_CATEGORY_PASSES,
     TESTDATA_SUBCATEGORY_PASSES,
@@ -179,12 +179,17 @@ def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorized = apply_passes(
         base, TESTDATA_CATEGORY_PASSES + TESTDATA_SUBCATEGORY_PASSES
     ).drop("p_name")
-    return categorized.select(
-        F.row_number()
-        .over(Window.orderBy("product_key"))
-        .cast("int")
-        .alias("product_id"),
-        "*",
+    # IDENTITY(1,1) via the range-partitioned id generator: the product
+    # master is data-sized at a 100-TB deployment, and a
+    # row_number() OVER (ORDER BY ...) global window funnels it through
+    # ONE task (Exchange SinglePartition — the one straggler in the
+    # star build). with_dense_id numbers in parallel with identical
+    # output (parity pinned in tests/test_keys.py); product_key is
+    # unique so the ordering is total.
+    numbered = with_dense_id(categorized, ["product_key"], id_col="product_id")
+    return numbered.select(
+        F.col("product_id").cast("int").alias("product_id"),
+        *[c for c in numbered.columns if c != "product_id"],
     )
 
 
