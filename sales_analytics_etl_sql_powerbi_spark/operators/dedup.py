@@ -47,17 +47,21 @@ _B = [7 + i * 998_244_353 for i in range(_N_PERM)]
 _A = [a % _P31 for a in _A]
 _B = [b % _P31 for b in _B]
 
-#: 63-bit md5 hash of a string expression, as SQL for each engine.
-#: Spark side: two 32-bit conv() halves combined in pure long math —
-#: (hi & 0x7FFFFFFF)*2^32 + lo == int(hex16,16) & (2^63-1) exactly,
-#: ~30% faster than conv-to-decimal(20,0) + pmod (no decimal ops).
-_H63_SPARK = (
-    "((cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint) & 2147483647)"
-    " * 4294967296 + cast(conv(substring(md5({s}), 9, 8), 16, 10) as bigint))"
-)
+#: 63-bit md5 hash of a string expression — DuckDB oracle side.
+#: (hi & 0x7FFFFFFF)*2^32 + lo == int(hex16,16) & (2^63-1) exactly.
 _H63_DUCK = (
     "cast(('0x' || substring(md5({s}), 1, 16))::UBIGINT"
     " % 9223372036854775808::UBIGINT as BIGINT)"
+)
+#: 63-bit reduction of an ALREADY-COMPUTED md5 hex column. Hoisting the
+#: md5 into its own named column (separate select) pins single
+#: evaluation structurally: CollapseProject only inlines a non-cheap
+#: expression referenced once, and {m} is referenced twice here, so the
+#: optimizer keeps the two-project shape (asserted in
+#: tests/test_dedup.py::test_md5_single_evaluation_in_plan).
+_H63_FROM_MD5 = (
+    "((cast(conv(substring({m}, 1, 8), 16, 10) as bigint) & 2147483647)"
+    " * 4294967296 + cast(conv(substring({m}, 9, 8), 16, 10) as bigint))"
 )
 
 
@@ -157,8 +161,9 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
-    h = F.expr(_H63_SPARK.format(s="shingle")) % F.lit(_P31)
-    hashed = sh.select("doc_id", h.alias("h"))
+    pre = sh.select("doc_id", F.md5("shingle").alias("__md5"))
+    h = F.expr(_H63_FROM_MD5.format(m="__md5")) % F.lit(_P31)
+    hashed = pre.select("doc_id", h.alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_P31)).alias(f"m{i}")
         for i in range(_N_PERM)
@@ -180,21 +185,23 @@ GROUP BY doc_id
 """
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, _handles: list | None = None) -> DataFrame:
     """Banded LSH: equi-join docs whose signature agrees on any band.
 
     Bands of _ROWS_PER_BAND rows hashed to one value; candidates =
     pairs sharing (band_id, band_hash). The join key is the band hash —
     NO all-pairs comparison; skew-safe under AQE. The signature table
     is persisted (one row per doc) so the self-join's two sides share
-    one computation instead of re-deriving the minhash pipeline twice;
-    Spark's CacheManager dedupes identical plans, so repeated calls on
-    the same input reuse one cache entry (distinct corpora accumulate
-    entries until session end — caller owns unpersist if that matters).
+    one computation instead of re-deriving the minhash pipeline twice.
+    Cache ownership: when ``_handles`` is passed, the persisted frame is
+    appended there and the caller unpersists after materializing (the
+    :func:`neardup_pairs` path); a direct caller owns the unpersist.
     """
     from pyspark.storagelevel import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if _handles is not None:
+        _handles.append(sig)
     band_structs = F.array(
         *[
             F.struct(
@@ -233,7 +240,9 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def neardup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0) -> DataFrame:
+def neardup_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.0, lazy: bool = False
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
 
     Candidates from the banded join only; the exact Jaccard is
@@ -246,14 +255,25 @@ def neardup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0) -> DataFr
     by corpus size, not shingle count) and four plan branches read it
     (minhash input + both Jaccard sides) — the standard
     materialize-the-signatures LSH shape.
+
+    Cache lifecycle: by default the pair output is materialized eagerly
+    (one job, lineage-truncating localCheckpoint) and BOTH intermediate
+    caches are unpersisted before returning — repeated calls over
+    distinct corpora leak nothing; the only storage entry left is the
+    materialized result the caller holds, reclaimed when they drop it.
+    ``lazy=True`` returns the unexecuted plan instead (intermediates
+    stay cached until session end — the caller owns them).
     """
     from pyspark.storagelevel import StorageLevel
 
+    handles: list[DataFrame] = []
     sets = shingle_sets(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    handles.append(sets)
     cand = lsh_candidate_pairs(
         _minhash_from_shingles(
             sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
-        )
+        ),
+        _handles=handles,
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__sh_b"))
@@ -270,6 +290,10 @@ def neardup_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0) -> DataFr
     )
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
+    if not lazy:
+        out = out.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
     return out.orderBy("doc_a", "doc_b")
 
 
@@ -327,8 +351,9 @@ def simhash(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
     ).where(F.col("tok").isNotNull())
-    h = F.expr(_H63_SPARK.format(s="tok"))
-    hashed = toks.select("doc_id", h.alias("h"))
+    pre = toks.select("doc_id", F.md5("tok").alias("__md5"))
+    h = F.expr(_H63_FROM_MD5.format(m="__md5"))
+    hashed = pre.select("doc_id", h.alias("h"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -505,10 +530,14 @@ def neardup_clusters(
             f"neardup_clusters did not converge in {max_iters} rounds; "
             "the pair graph has a chain longer than max_iters — raise it"
         )
-    # labels' cache was populated by the final changed-count job; the
-    # edge table is no longer needed
+    # hand the caller a self-contained materialization and release every
+    # intermediate cache: the edge table and the final labels cache
+    # (populated by the last changed-count job) would otherwise outlive
+    # this call
     sym.unpersist()
-    return labels.orderBy("doc_id")
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out.orderBy("doc_id")
 
 
 def neardup_clusters_sql(k: int = 3, threshold: float = 0.8) -> str:

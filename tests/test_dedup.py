@@ -96,3 +96,34 @@ def test_neardup_clusters_singletons_kept(spark):
     assert len(out) == 5  # every doc appears
     assert out[0] == out[2] == 0  # exact dups collapse
     assert out[3] == 3 and out[4] == 4  # singletons own cluster
+
+
+def test_md5_single_evaluation_in_plan(spark):
+    """The 63-bit hash splits the md5 hex twice; hoisting md5 into its
+    own named column must survive optimization (CollapseProject keeps a
+    non-cheap expression referenced twice in its own project) so each
+    shingle/token is hashed exactly once per row."""
+    docs = docs_frame(spark)
+    for df in (dedup.minhash_signatures(docs), dedup.simhash(docs)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5(") == 1, plan
+
+
+def test_neardup_pairs_leaks_no_intermediate_caches(spark):
+    """Repeated calls over distinct corpora must not accumulate
+    signature/shingle-set cache entries: only the materialized result
+    itself may occupy storage (reclaimed when the caller drops it)."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    results = []
+    for salt in ("x", "y", "z"):
+        docs = docs_frame(spark).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" " + salt))
+        )
+        out = dedup.neardup_pairs(docs)
+        out.collect()
+        results.append(out)
+    grown = jsc.getPersistentRDDs().size() - before
+    # one localCheckpoint entry per live result is allowed; the 2
+    # intermediate caches per call (signatures + shingle sets) are not
+    assert grown <= len(results), f"leaked {grown} storage entries"
