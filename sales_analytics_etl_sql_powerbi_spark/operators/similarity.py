@@ -30,6 +30,7 @@ __all__ = [
     "ann_lsh_topk",
     "ann_lsh_topk_sql",
     "hyperplanes",
+    "auto_n_planes",
     "train_ivf_codebook",
     "ivf_codebook",
     "codebook_from_parquet",
@@ -39,8 +40,39 @@ __all__ = [
 ]
 
 _SCALE = 1_000_000
-_N_PLANES = 4  # 16 buckets over 500-5M docs; raise for bigger corpora
+_N_PLANES = 4  # floor: 16 buckets; auto_n_planes raises it with corpus size
+_MAX_PLANES = 24  # ceiling: 16M buckets — bucket metadata stays executor-sized
+_TARGET_BUCKET = 128  # aim for ~this many vectors per bucket
 _DIM = 64
+
+
+def auto_n_planes(
+    n_rows: int,
+    target_bucket_size: int = _TARGET_BUCKET,
+    lo: int = _N_PLANES,
+    hi: int = _MAX_PLANES,
+) -> int:
+    """Hyperplane count sized to the corpus: ≈log2(N / target_bucket).
+
+    With p planes there are 2^p buckets, so expected bucket size is
+    N / 2^p; solving for ~target_bucket_size vectors per bucket gives
+    p = ceil(log2(N / target)). Clamped to [lo, hi] so tiny corpora
+    keep enough co-bucketing for recall and huge ones don't blow up the
+    bucket-id space. Both engines call this from the SAME row count, so
+    the generated hyperplane literals stay in lockstep.
+    """
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
+
+
+def _embeddings_rowcount_parquet(sf_dir: str) -> int:
+    """Oracle-side corpus count without Spark (parquet metadata only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
 
 
 def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[int]]:
@@ -136,8 +168,17 @@ ORDER BY query_id, rn
 """
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
-    """Random-hyperplane bucket id per vector (sign-bit concatenation)."""
+def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+    """Random-hyperplane bucket id per vector (sign-bit concatenation).
+
+    ``n_planes=None`` auto-sizes from the corpus row count
+    (:func:`auto_n_planes`) — a parquet-metadata-cheap count() job —
+    so bucket sizes stay ~constant as the corpus grows instead of
+    growing linearly with it. Pass an explicit count to pin the
+    bucketing (e.g. for cross-run comparability).
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
     planes = hyperplanes(n_planes)
     q = quantized(emb)
     bucket = None
@@ -149,15 +190,18 @@ def lsh_buckets(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     return q.withColumn("bucket", bucket.cast("int"))
 
 
-def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, topk: int = 5) -> DataFrame:
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 5, topk: int = 5, n_planes: int | None = None
+) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket.
 
     The candidate join is an equi-join on ``bucket`` — with B buckets
     it touches ~1/B of the corpus per query instead of all of it;
-    recall is traded for the usual LSH bound. Scale path: bucket count
-    grows with corpus (n_planes ≈ log2(corpus / target_bucket_size)).
+    recall is traded for the usual LSH bound. The bucket count
+    auto-sizes with the corpus (:func:`auto_n_planes`), so per-query
+    candidate work stays ~target_bucket_size however big the corpus.
     """
-    b = lsh_buckets(emb)
+    b = lsh_buckets(emb, n_planes)
     queries = b.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
@@ -183,8 +227,16 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 5, topk: int = 5) -> DataFrame
     )
 
 
-def ann_lsh_topk_sql(n_queries: int = 5, topk: int = 5, dim: int = _DIM) -> str:
-    planes = hyperplanes()
+def ann_lsh_topk_sql(
+    n_queries: int = 5,
+    topk: int = 5,
+    dim: int = _DIM,
+    n_planes: int | None = None,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    if n_planes is None:
+        n_planes = auto_n_planes(_embeddings_rowcount_parquet(sf_dir))
+    planes = hyperplanes(n_planes)
     bits = []
     for j, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
@@ -217,19 +269,22 @@ ORDER BY query_id, rn
 """
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidates only.
 
     The dedup-by-embedding variant (training-data pipelines): any pair
     with cosine ≥ threshold is a near-dup candidate for collapse. The
     candidate join is a *self* equi-join on the hyperplane bucket —
-    O(sum of bucket² ) instead of all-pairs; at 100 TB, raise
-    ``_N_PLANES`` so buckets stay executor-sized. The usual LSH recall
-    trade-off (cross-bucket pairs missed) is the documented contract —
-    the DuckDB twin replicates the bucketing exactly, so the oracle
-    checks the implementation, not a stricter ideal.
+    O(sum of bucket²) instead of all-pairs, and the bucket count
+    auto-sizes with the corpus (:func:`auto_n_planes`) so buckets stay
+    executor-sized at 100 TB. The usual LSH recall trade-off
+    (cross-bucket pairs missed) is the documented contract — the DuckDB
+    twin replicates the bucketing exactly, so the oracle checks the
+    implementation, not a stricter ideal.
     """
-    b = lsh_buckets(emb)
+    b = lsh_buckets(emb, n_planes)
     a = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("__q").alias("__qa"),
@@ -254,8 +309,15 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame
     )
 
 
-def embedding_neardup_pairs_sql(threshold: float = 0.9, dim: int = _DIM) -> str:
-    planes = hyperplanes()
+def embedding_neardup_pairs_sql(
+    threshold: float = 0.9,
+    dim: int = _DIM,
+    n_planes: int | None = None,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    if n_planes is None:
+        n_planes = auto_n_planes(_embeddings_rowcount_parquet(sf_dir))
+    planes = hyperplanes(n_planes)
     bits = []
     for j, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"

@@ -107,3 +107,29 @@ def test_ann_ivf_deterministic(spark):
     a = similarity.ann_ivf_topk(df, n_queries=2, topk=3, n_clusters=4).collect()
     b = similarity.ann_ivf_topk(df, n_queries=2, topk=3, n_clusters=4).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_auto_n_planes_scales_and_clamps():
+    """Bucket count must grow ~log2 with the corpus so buckets stay
+    target-sized; floor keeps tiny corpora recall-safe, ceiling bounds
+    the bucket-id space."""
+    assert similarity.auto_n_planes(500) == 4  # floor for small corpora
+    assert similarity.auto_n_planes(100_000) == 10
+    assert similarity.auto_n_planes(10**9) == 23
+    assert similarity.auto_n_planes(10**12) == 24  # ceiling
+    sizes = [10**k for k in range(2, 13)]
+    planes = [similarity.auto_n_planes(n) for n in sizes]
+    assert planes == sorted(planes)
+
+
+def test_lsh_bucket_count_grows_with_n_planes(spark):
+    df, _ = emb_frame(spark, n=120)
+    b2 = similarity.lsh_buckets(df, 2).select("bucket").distinct().count()
+    b6 = similarity.lsh_buckets(df, 6).select("bucket").distinct().count()
+    assert b6 > b2
+    # auto path on a small frame hits the floor — same literals as the
+    # pinned-4-plane oracle
+    auto = similarity.lsh_buckets(df)
+    assert {r.bucket for r in auto.select("bucket").distinct().collect()} <= set(
+        range(2**4)
+    )
