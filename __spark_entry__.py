@@ -29,7 +29,10 @@ from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
     backfill_from_staging,
     upsert_missing,
 )
-from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+    read_input,
+    read_table,
+)
 from sales_analytics_etl_sql_powerbi_spark.streaming import windows as stream_win
 
 # ---------------------------------------------------------------------------
@@ -82,6 +85,20 @@ def _view(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_staging_clean(spark: SparkSession, sf: str) -> DataFrame:
     return _staging(spark, sf)
+
+
+def q_staging_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S3 driver-verified: a deterministic CSV export (written from
+    the sf parquet by DuckDB — identical bytes whichever engine asks
+    first) ingested through the extension dispatch + all-string CSV
+    scan + the full cleaning stack; the oracle ingests the same file
+    with read_csv(all_varchar=true)."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
+        ensure_order_export_csv,
+    )
+
+    path = ensure_order_export_csv(sf)
+    return pipeline.clean_order_export(read_input(spark, path))
 
 
 def q_dim_platform(spark: SparkSession, sf: str) -> DataFrame:
@@ -364,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "staging_clean": q_staging_clean,
+        "staging_csv_roundtrip": q_staging_csv_roundtrip,
         "dim_platform": q_dim_platform,
         "dim_product_rules": q_dim_product_rules,
         "dim_customer": q_dim_customer,
@@ -419,6 +437,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 
 
+def _csv_fixture_path() -> str:
+    """The sf0.01 CSV export for the oracle side (the driver compares
+    at sf0.01); written on demand so either side can run first."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
+        ensure_order_export_csv,
+    )
+
+    return ensure_order_export_csv("/root/testdata/sf0.01")
+
+
 def oracle_sql() -> dict[str, str]:
     W = oracles.with_star
     pivot_cols = ",\n  ".join(
@@ -432,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * REPLACE (cast(revenue AS DOUBLE) AS revenue) FROM staging",
             ("staging",),
         ),
+        "staging_csv_roundtrip": oracles.csv_roundtrip_sql(_csv_fixture_path()),
         "dim_platform": W("SELECT * FROM dim_platform", ("dim_platform",)),
         "dim_product_rules": W("SELECT * FROM dim_product", ("dim_product",)),
         "dim_customer": W("SELECT * FROM dim_customer", ("dim_customer",)),

@@ -163,6 +163,36 @@ JOIN dim_platform pl ON f.platform_id = pl.platform_id
 """
 
 
+def csv_roundtrip_sql(csv_path: str) -> str:
+    """Twin of ``read_input`` + :func:`..pipeline.clean_order_export`.
+
+    ``read_csv(all_varchar=true)`` mirrors the all-string Spark CSV
+    scan; headers are referenced as DuckDB reports them (its reader
+    trims header whitespace, so ' Line-Number ' reads as "Line-Number";
+    name normalization is a rename, invisible to the value hash). The
+    whitespace pre-strip uses the 'g' flag — Spark's regexp_replace
+    replaces all matches.
+    """
+    return f"""
+SELECT cast("Order ID" AS INT) AS order_id,
+       cast("Line-Number" AS INT) AS line_number,
+       coalesce(try_strptime(__ts, '%Y-%m-%d %H:%M:%S'),
+                try_cast(__ts AS TIMESTAMP)) AS submit_ts,
+       coalesce(try_cast(trunc(try_cast("Units" AS DOUBLE)) AS INT), 1) AS units,
+       coalesce(nullif(trim("Master SKU"), ''), nullif(trim("Alt SKU"), '')) AS product_key,
+       CASE WHEN regexp_matches(upper(trim("State")), '^[A-Z]{{2}}$')
+            THEN upper(trim("State")) END AS state_code,
+       substring("Notes", 1, 30) AS notes,
+       cast(NULL AS VARCHAR) AS discount_code
+FROM (
+  SELECT *, nullif(regexp_replace("Submit Time",
+                                  '^[\\t\\r\\n ]+|[\\t\\r\\n ]+$', '', 'g'),
+                   '') AS __ts
+  FROM read_csv('{csv_path}', all_varchar=true, header=true)
+) r
+"""
+
+
 def with_star(final_select: str, needs: tuple[str, ...] = ()) -> str:
     """Compose a full oracle query: star CTEs + the final SELECT.
 

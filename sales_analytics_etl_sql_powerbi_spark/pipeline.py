@@ -38,8 +38,11 @@ from pyspark.sql import types as T
 
 from .functions.cleaning import (
     coalesce_product_key,
+    ensure_columns,
     int_with_default,
+    parse_timestamp,
     strip_units_to_double,
+    truncate_to_widths,
     valid_state_code,
 )
 from .functions.dates import calendar_frame
@@ -133,6 +136,31 @@ def staging_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         volume_raw.alias("volume_raw"),
         strip_units_to_double(volume_raw).alias("volume_num"),
         F.lit("0.00").cast(T.DecimalType(18, 2)).alias("revenue"),
+    )
+
+
+def clean_order_export(raw: DataFrame) -> DataFrame:
+    """Typed staging frame from a raw all-string CSV order export.
+
+    The reference's CSV front door end-to-end (etl/order_info_etl.py:176,
+    182-242): header normalization happened in the reader (P1); here the
+    value stack — ensure-columns for the optional discount code (P8),
+    width truncation (P11), timestamp parse with fallback-to-NULL (P4),
+    int coercion with default (P7), SKU coalesce with blank-as-null
+    (P10), state validation (P6) — all as ONE fused projection over the
+    distributed CSV scan. SQL twin: :func:`..oracles.csv_roundtrip_sql`.
+    """
+    raw = ensure_columns(raw, {"Discount_Code": T.StringType()})
+    raw = truncate_to_widths(raw, {"Notes": 30})
+    return raw.select(
+        F.col("Order_ID").cast("int").alias("order_id"),
+        F.col("Line_Number").cast("int").alias("line_number"),
+        parse_timestamp("Submit_Time").alias("submit_ts"),
+        int_with_default("Units", 1).alias("units"),
+        coalesce_product_key("Master_SKU", "Alt_SKU").alias("product_key"),
+        valid_state_code("State").alias("state_code"),
+        F.col("Notes").alias("notes"),
+        F.col("Discount_Code").alias("discount_code"),
     )
 
 

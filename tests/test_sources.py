@@ -139,3 +139,28 @@ def test_clustered_write_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert {r.k for r in back.select("k").distinct().collect()} == set(range(7))
+
+
+def test_csv_export_roundtrip_clean(spark, sf_dir):
+    """The CSV front door end-to-end: deterministic export fixture →
+    extension dispatch → all-string scan → normalized headers → typed
+    cleaning stack. Dirt rows must land as NULL/default, never error."""
+    from sales_analytics_etl_sql_powerbi_spark import pipeline
+    from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
+        ensure_order_export_csv,
+    )
+
+    path = ensure_order_export_csv(sf_dir)
+    raw = read_input(spark, path)
+    assert all(f.dataType.simpleString() == "string" for f in raw.schema.fields)
+    assert "Line_Number" in raw.columns  # ' Line-Number ' normalized
+    out = pipeline.clean_order_export(raw)
+    rows = out.collect()
+    assert len(rows) > 0
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["order_id"] == "int" and types["submit_ts"] == "timestamp"
+    # deterministic dirt: some timestamps NULL (unparseable), none raise
+    assert any(r.submit_ts is None for r in rows)
+    assert all(r.units is not None for r in rows)  # default applied
+    assert all(r.discount_code is None for r in rows)  # ensured column
+    assert max(len(r.notes) for r in rows) <= 30  # width truncation
