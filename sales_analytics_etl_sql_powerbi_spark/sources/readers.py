@@ -71,29 +71,29 @@ def read_csv_all_string(
 def read_excel(
     spark: SparkSession, path: str, sheet: int | str = 0, normalize_names: bool = True
 ) -> DataFrame:
-    """S2 — Excel ingest shim (driver-side pandas → createDataFrame).
+    """S2 — Excel ingest shim (driver-side parse → createDataFrame).
 
     Mirrors ``pd.read_excel(path, sheet_name=SHEET, dtype=str)``
     (reference etl/order_info_etl.py:178, sheet config :13). xlsx is a
     zip container — not splittable — so a driver-side read is the honest
-    architecture; Arrow ships the frame to the JVM in batches. Gated
-    behind an import-try: raises a clear error if no engine is present.
+    architecture; the parse is a pure-stdlib zip+XML reader
+    (:mod:`.xlsx`, no Excel engine needed) and every value arrives as a
+    raw string, like every other source. Legacy binary ``.xls`` has no
+    in-container parser and raises.
     """
-    import pandas as pd
-
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)
-    except ImportError as exc:  # openpyxl/xlrd not installed in container
+    if path.lower().endswith(".xls"):
         raise NotImplementedError(
-            "Excel ingest requires openpyxl/xlrd; not available in this "
-            "environment. The CSV path (read_csv_all_string) is the "
-            "supported scale path."
-        ) from exc
-    pdf = pdf.astype("string").where(pdf.notna(), None)
+            "Legacy binary .xls needs xlrd, which is not available in this "
+            "environment; re-export as .xlsx or CSV (read_csv_all_string "
+            "is the supported scale path)."
+        )
+    from .xlsx import read_xlsx_table
+
+    headers, rows = read_xlsx_table(path, sheet)
     schema = T.StructType(
-        [T.StructField(str(c), T.StringType(), True) for c in pdf.columns]
+        [T.StructField(str(h), T.StringType(), True) for h in headers]
     )
-    df = spark.createDataFrame(pdf, schema=schema)
+    df = spark.createDataFrame(rows, schema=schema)
     if normalize_names:
         df = df.toDF(*[normalize_colname(c) for c in df.columns])
     return df

@@ -1,0 +1,219 @@
+"""Minimal pure-stdlib xlsx reader (S2 support — no openpyxl needed).
+
+The reference ingests ``.xls/.xlsx`` sheets with
+``pd.read_excel(dtype=str)`` (reference etl/order_info_etl.py:178,
+sheet config :13). This container has no Excel engine, and an xlsx
+file is just a zip of XML parts — so the ingest shim reads the parts
+directly with ``zipfile`` + ``xml.etree``: workbook sheet registry,
+shared-string table, and the sheet's cell grid, every value surfaced
+as a raw string (dtype=str semantics; schema-on-write happens in the
+cleaning stack like every other source).
+
+Scope honestly bounded to what the reference's exports contain:
+shared/inline/plain strings, numbers, booleans. Style-driven dates
+come out as their raw serial-number strings (documented divergence —
+pandas would localize them; the reference sheets carry text columns).
+Legacy binary ``.xls`` is NOT parseable without an engine and still
+raises.
+
+A matching minimal writer is included for tests and fixtures — it
+emits the same part layout (shared strings included) so the reader's
+full path is exercisable in-container.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_NS_REL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_NS_PKG = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+__all__ = ["read_xlsx_table", "write_minimal_xlsx"]
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27 (0-based column from an A1-style ref)."""
+    letters = re.match(r"[A-Z]+", cell_ref)
+    idx = 0
+    for ch in letters.group(0) if letters else "A":
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, member_path)] in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target_by_rid = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.findall(f"{_NS_PKG}Relationship")
+    }
+    out = []
+    for sheet in wb.find(f"{_NS}sheets").findall(f"{_NS}sheet"):
+        target = target_by_rid[sheet.get(f"{_NS_REL}id")]
+        if not target.startswith("/"):
+            target = "xl/" + target
+        out.append((sheet.get("name"), target.lstrip("/")))
+    return out
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    strings = []
+    for si in root.findall(f"{_NS}si"):
+        # plain <t> or rich-text runs <r><t> — concatenate all t nodes
+        strings.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return strings
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_NS}is")
+        return "".join(tt.text or "" for tt in is_el.iter(f"{_NS}t")) if is_el is not None else None
+    v = c.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return "TRUE" if v.text.strip() == "1" else "FALSE"
+    return v.text  # 'n' (number-as-written) / 'str' (formula result)
+
+
+def read_xlsx_table(
+    path: str, sheet: int | str = 0
+) -> tuple[list[str], list[list[str | None]]]:
+    """(headers, data_rows) of the sheet, every value a raw string.
+
+    ``sheet`` is a 0-based index or a sheet name — the reference's
+    ``SHEET_NAME`` config accepts both. Rows are padded/positioned by
+    each cell's A1 reference, so sparse rows keep column alignment.
+    """
+    with zipfile.ZipFile(path) as zf:
+        sheets = _sheet_targets(zf)
+        if isinstance(sheet, int):
+            if not 0 <= sheet < len(sheets):
+                raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
+            target = sheets[sheet][1]
+        else:
+            by_name = {n: t for n, t in sheets}
+            if sheet not in by_name:
+                raise ValueError(f"sheet {sheet!r} not found; have {sorted(by_name)}")
+            target = by_name[sheet]
+        shared = _shared_strings(zf)
+        root = ET.fromstring(zf.read(target))
+        grid: list[list[str | None]] = []
+        for row in root.iter(f"{_NS}row"):
+            cells: list[str | None] = []
+            for c in row.findall(f"{_NS}c"):
+                ref = c.get("r")
+                idx = _col_index(ref) if ref else len(cells)
+                while len(cells) < idx:
+                    cells.append(None)
+                cells.append(_cell_value(c, shared))
+            grid.append(cells)
+    if not grid:
+        return [], []
+    width = max(len(r) for r in grid)
+    grid = [r + [None] * (width - len(r)) for r in grid]
+    headers = [h if h is not None else f"col_{i}" for i, h in enumerate(grid[0])]
+    return headers, grid[1:]
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (tests/fixtures only — emits sharedStrings so the
+# reader's full path runs in-container)
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+</Relationships>"""
+
+
+def _col_letter(idx: int) -> str:
+    s = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        s = chr(65 + rem) + s
+    return s
+
+
+def write_minimal_xlsx(
+    path: str,
+    headers: list[str],
+    rows: list[list],
+    sheet_name: str = "Sheet1",
+) -> str:
+    """Write a one-sheet xlsx: strings via sharedStrings, numbers plain."""
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def cell_xml(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        s = str(v)
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return f'<c r="{ref}" t="s"><v>{shared_idx[s]}</v></c>'
+
+    body = []
+    for rno, row in enumerate([headers] + rows, start=1):
+        cells = "".join(
+            cell_xml(f"{_col_letter(i)}{rno}", v) for i, v in enumerate(row)
+        )
+        body.append(f'<row r="{rno}">{cells}</row>')
+    sheet_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_NS[1:-1]}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_NS[1:-1]}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t xml:space=\"preserve\">{esc(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_NS[1:-1]}" '
+        f'xmlns:r="{_NS_REL[1:-1]}">'
+        f'<sheets><sheet name="{esc(sheet_name)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    return path

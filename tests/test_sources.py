@@ -83,33 +83,51 @@ def test_read_table_all_tables(spark, sf_dir):
         assert read_table(spark, sf_dir, t).count() > 0
 
 
-def test_excel_shim_gated(spark, tmp_path):
-    """S2 — driver-side Excel ingest; clear error when no engine present."""
+def test_excel_ingest_live(spark, tmp_path):
+    """S2 — driver-side Excel ingest runs in-container: a real .xlsx
+    round-trip through the stdlib zip+XML reader, every value a raw
+    string (dtype=str semantics), headers normalized."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_excel
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
+
+    p = str(tmp_path / "orders.xlsx")
+    write_minimal_xlsx(
+        p,
+        ["Order No", "goodsNumber", "Notes"],
+        [
+            ["A1", 3, "first & <escaped>"],
+            ["A2", 4.5, None],  # sparse row cell + float formatting
+            [None, 7, "third"],  # leading gap keeps column alignment
+        ],
+    )
+    df = read_excel(spark, p)
+    assert df.columns == ["Order_No", "goodsNumber", "Notes"]
+    rows = df.collect()
+    assert [r.Order_No for r in rows] == ["A1", "A2", None]
+    assert [r.goodsNumber for r in rows] == ["3", "4.5", "7"]
+    assert rows[0].Notes == "first & <escaped>"
+    assert rows[1].Notes is None
+
+
+def test_excel_sheet_selection_and_errors(spark, tmp_path):
     import pytest as _pytest
 
-    try:
-        import openpyxl  # noqa: F401
-
-        have_engine = True
-    except ImportError:
-        have_engine = False
-
     from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_excel
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
 
-    p = tmp_path / "orders.xlsx"
-    if not have_engine:
-        p.write_bytes(b"not really an xlsx")
-        with _pytest.raises((NotImplementedError, ValueError, ImportError)):
-            read_excel(spark, str(p))
-    else:
-        import pandas as pd
-
-        pd.DataFrame({"Order No": ["A1"], "goodsNumber": [3]}).to_excel(
-            str(p), index=False
-        )
-        df = read_excel(spark, str(p))
-        assert df.columns == ["Order_No", "goodsNumber"]
-        assert df.first().goodsNumber == "3"  # dtype=str semantics
+    p = str(tmp_path / "sheeted.xlsx")
+    write_minimal_xlsx(p, ["K"], [["v"]], sheet_name="Export")
+    assert read_excel(spark, p, sheet="Export").first().K == "v"
+    with _pytest.raises(ValueError, match="not found"):
+        read_excel(spark, p, sheet="Missing")
+    with _pytest.raises(ValueError, match="out of range"):
+        read_excel(spark, p, sheet=3)
+    with _pytest.raises(NotImplementedError, match="xls"):
+        read_excel(spark, str(tmp_path / "legacy.xls"))
 
 
 def test_fact_partition_pruning_roundtrip(spark, sf_dir, tmp_path):
