@@ -665,6 +665,15 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": stream_win.TUMBLING_SQL,
         "events_sliding": stream_win.SLIDING_SQL,
         "events_sessions": stream_win.SESSION_SQL,
-        "events_dedup": "SELECT * FROM events",
+        # one deterministic row PER event_id — encodes the dedup
+        # contract itself rather than assuming the generator never
+        # collides ids (duplicate source rows are identical, so min()
+        # picks the same row Spark's arbitrary-keep does)
+        "events_dedup": """
+            SELECT event_id, min(ts) AS ts, min(user_id) AS user_id,
+                   min(event_type) AS event_type, min(value) AS value,
+                   min(props) AS props
+            FROM events GROUP BY event_id
+        """,
         "events_running_totals": stream_win.RUNNING_TOTALS_SQL,
     }

@@ -97,7 +97,9 @@ def main() -> None:
         "grand_total",
         "events_json",
         "events_tumbling",
+        "events_sliding",
         "events_sessions",
+        "events_dedup",
         "text_stats",
         "token_counts",
         "dedup_exact",
@@ -106,7 +108,9 @@ def main() -> None:
         "simhash",
         "cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "embedding_neardup",
+        "staging_csv_roundtrip",
         "quality_filter",
         "corpus_clean",
         "category_rollup",

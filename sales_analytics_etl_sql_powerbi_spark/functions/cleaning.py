@@ -24,14 +24,17 @@ from pyspark.sql import types as T
 
 
 def normalize_colname(name: str) -> str:
-    """strip, drop BOM (anywhere), each space/hyphen -> one underscore.
+    """strip, then drop BOM (anywhere), each space/hyphen -> one underscore.
 
-    Matches the reference exactly: ``.replace('\\ufeff','').strip()``
-    then per-character replacement — 'Urgent  Orders' becomes
-    'Urgent__Orders' (two underscores), not 'Urgent_Orders'
-    (reference etl/order_info_etl.py:31-35).
+    Matches the reference exactly, INCLUDING operation order:
+    ``.strip().replace('\\ufeff','')`` then per-character replacement
+    (reference etl/order_info_etl.py:31-35). Order matters:
+    '\\ufeff name' strips to itself (U+FEFF is not str.strip
+    whitespace), loses the BOM, and keeps its now-leading space →
+    '_name'. 'Urgent  Orders' becomes 'Urgent__Orders' (two
+    underscores), not 'Urgent_Orders'.
     """
-    n = name.replace("﻿", "").strip()
+    n = name.strip().replace("﻿", "")
     n = re.sub(r"[ \-]", "_", n)
     return n
 

@@ -75,8 +75,9 @@ def state_platform_pivot(view: DataFrame) -> DataFrame:
 
     Reference dashboard_platform_performance.png (right table). Pivot
     values are pinned (no discovery pass) — at 100 TB an unpinned pivot
-    means an extra distinct scan. Empty cells stay NULL (pivot-sum
-    semantics; the oracle's no-ELSE CASE matches).
+    means an extra distinct scan. Empty cells are zero-filled (the
+    oracle's coalesce(...,0) matches) so the columns stay non-nullable
+    BIGINT in both engines.
     """
     pivoted = (
         view.where(F.col("state_code").isNotNull())
