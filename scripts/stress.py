@@ -83,5 +83,67 @@ def main() -> None:
     print(f"plan joins: broadcast={n_bhj} sortmerge={n_smj}")
 
 
+def docs_main() -> None:
+    """Documents-corpus scaling: the minhash/LSH near-dup curve.
+
+    Unions the sf0.1 documents table mult× with offset doc_ids and
+    per-copy text salt (copies must NOT be mutual duplicates — an
+    all-dup corpus degenerates to O(copies²) pairs, which is a corpus
+    property, not an engine one). Times signatures and the full
+    LSH+verify pair pipeline at each scale.
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-docs")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(mult)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(64).persist(StorageLevel.MEMORY_AND_DISK)
+    n = big.count()
+    print(f"documents rows: {n}")
+
+    t0 = time.time()
+    nsig = dedup.minhash_signatures(big).count()
+    print(f"minhash_signatures ({nsig} rows): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    pairs = dedup.neardup_pairs(big)
+    npairs = pairs.count()
+    print(f"neardup_pairs ({npairs} pairs): {time.time()-t0:.1f}s")
+
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"persistent storage entries after run: {leftover}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--docs":
+        docs_main()
+    else:
+        main()
