@@ -184,13 +184,32 @@ def build_dim_platform(staging: DataFrame) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) → numbered product dim. The dim build ends in
+#: an EAGER checkpoint (with_dense_id pins its partitioning), so without
+#: memoization every star() call would re-run the numbering jobs; a
+#: warehouse materializes each dim once per load (the reference keeps
+#: dim_product as a SQL Server table) and this is that contract.
+#: Keyed by applicationId so a new session never sees a stale frame.
+_DIM_PRODUCT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product dim from the part master + rules-engine categorization.
 
     Reference etl/order_info_etl.py:421-429 (insert) +
     sql/transformations/10_*/30_*.sql (rules). product_key mirrors the
     staging-side master/alt SKU synthesis so the fact join closes.
+    Memoized per (session, sf_dir): the numbering step materializes
+    eagerly (see :func:`..functions.keys.with_dense_id`), and the
+    checkpointed result is self-contained, so every later consumer in
+    the session reuses it instead of re-running the build.
     """
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _DIM_PRODUCT_CACHE.get(key)
+    if cached is not None:
+        return cached
     part = read_table(spark, sf_dir, "part")
     product_key = F.when(
         (F.col("p_partkey") % 7 == 0) | (F.col("p_partkey") % 11 == 0),
@@ -215,10 +234,12 @@ def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output (parity pinned in tests/test_keys.py); product_key is
     # unique so the ordering is total.
     numbered = with_dense_id(categorized, ["product_key"], id_col="product_id")
-    return numbered.select(
+    out = numbered.select(
         F.col("product_id").cast("int").alias("product_id"),
         *[c for c in numbered.columns if c != "product_id"],
     )
+    _DIM_PRODUCT_CACHE[key] = out
+    return out
 
 
 def build_dim_customer(staging: DataFrame) -> DataFrame:
