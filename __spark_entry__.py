@@ -166,6 +166,23 @@ def q_enrich_product(spark: SparkSession, sf: str) -> DataFrame:
     return enrich_coalesce(holed, staged, "product_key", ["p_brand"])
 
 
+def q_merge_product_master(spark: SparkSession, sf: str) -> DataFrame:
+    """J3+J4 composite — full MERGE: drop a fifth of the dim's rows and
+    hole a third of the brands, then one merge_dim (enrich-matched +
+    insert-missing) from the staged master restores the canonical dim."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import merge_dim
+
+    dim = pipeline.build_dim_product(spark, sf)
+    existing = dim.where(F.col("product_id") % 5 != 0)
+    holed = existing.withColumn(
+        "p_brand",
+        F.when(F.col("product_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("p_brand")
+        ),
+    )
+    return merge_dim(holed, dim, "product_key", enrich_cols=["p_brand"])
+
+
 def q_platform_rank_in_state(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.platform_rank_in_state(_view(spark, sf))
 
@@ -395,6 +412,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "day_of_week_trend": q_day_of_week_trend,
         "category_rollup": q_category_rollup,
         "enrich_product": q_enrich_product,
+        "merge_product_master": q_merge_product_master,
         "platform_rank_in_state": q_platform_rank_in_state,
         "top_products_per_state": q_top_products_per_state,
         "top_offenders": q_top_offenders,
@@ -544,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
             ("vw",),
         ),
         "enrich_product": W("SELECT * FROM dim_product", ("dim_product",)),
+        # the merge restores the canonical dim exactly (inserted rows
+        # carry their staged attributes incl. ids; holes re-enriched)
+        "merge_product_master": W("SELECT * FROM dim_product", ("dim_product",)),
         "platform_rank_in_state": W(
             """
             SELECT state_code, platform_name, units_sold,

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["upsert_missing", "enrich_coalesce", "backfill_from_staging"]
+__all__ = [
+    "upsert_missing",
+    "enrich_coalesce",
+    "backfill_from_staging",
+    "merge_dim",
+]
 
 
 def upsert_missing(dim: DataFrame, staged: DataFrame, key: str | list[str]) -> DataFrame:
@@ -68,6 +73,27 @@ def enrich_coalesce(
         )
         out = out.withColumn(c, new)
     return out.drop(*[f"__stg_{c}" for c in enrich_cols]).select(*dim.columns)
+
+
+def merge_dim(
+    dim: DataFrame,
+    staged: DataFrame,
+    key: str | list[str],
+    enrich_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full MERGE semantics: update-matched + insert-missing, one op.
+
+    The reference's product upsert runs both statements back to back —
+    insert-if-missing (etl/product_info_etl.py:363-372) then the
+    COALESCE-enrich UPDATE of matched rows (:374-386). This composes
+    the same pair as one rebuild (the ``MERGE … WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT`` shape on an engine without
+    in-place update): enrich first so existing rows pick up staged
+    attributes, then append staged keys the dim lacks. Both sides stay
+    broadcast-friendly; the dim side never shuffles.
+    """
+    out = enrich_coalesce(dim, staged, key, enrich_cols) if enrich_cols else dim
+    return upsert_missing(out, staged, key)
 
 
 def backfill_from_staging(

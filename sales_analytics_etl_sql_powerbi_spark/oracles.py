@@ -188,7 +188,7 @@ FROM (
   SELECT *, nullif(regexp_replace("Submit Time",
                                   '^[\\t\\r\\n ]+|[\\t\\r\\n ]+$', '', 'g'),
                    '') AS __ts
-  FROM read_csv('{csv_path}', all_varchar=true, header=true)
+  FROM read_csv('{csv_path}/*.csv', all_varchar=true, header=true)
 ) r
 """
 

@@ -21,7 +21,12 @@ from __future__ import annotations
 import os
 
 #: bump when the export query changes — stale fixtures regenerate
-_VERSION = "v1"
+_VERSION = "v2"
+#: export as a DIRECTORY of N part files: the realistic shape of a
+#: large export (daily/regional drops), and what makes the Spark scan
+#: split across tasks — a single 60 MB csv is one task under the
+#: default maxPartitionBytes, an 8-file directory parses 8-way.
+_N_PARTS = 8
 
 #: the export derivation (single source of truth for both engines).
 #: Dirt, all deterministic: tab/space-padded + unparseable timestamps
@@ -62,27 +67,37 @@ def _fixture_root() -> str:
 
 
 def ensure_order_export_csv(sf_dir: str) -> str:
-    """Materialize the CSV export for ``sf_dir``; returns the file path.
+    """Materialize the CSV export directory for ``sf_dir``; returns its path.
 
-    Idempotent: skipped when the versioned file already exists, so the
-    Spark query entry and the DuckDB oracle can both call it in any
-    order and read identical bytes.
+    The export is a directory of ``_N_PARTS`` csv files bucketed by
+    order key (deterministic file contents) — Spark reads the directory
+    as one distributed scan, DuckDB reads ``<dir>/*.csv``. Idempotent:
+    skipped when the versioned directory already exists, so the Spark
+    query entry and the DuckDB oracle can both call it in any order and
+    read identical bytes; creation is write-to-temp + atomic rename.
     """
+    import shutil
+
     import duckdb
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     out_dir = os.path.join(_fixture_root(), "csv_roundtrip", sf_name)
     path = os.path.join(out_dir, f"order_export_{_VERSION}.csv")
-    if os.path.exists(path) and os.path.getsize(path) > 0:
+    if os.path.isdir(path) and os.listdir(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     con = duckdb.connect()
     try:
-        tmp = path + ".tmp"
-        con.execute(
-            f"COPY ({_EXPORT_SQL.format(sf=sf_dir)}) TO '{tmp}' (HEADER, DELIMITER ',')"
-        )
-        os.replace(tmp, path)  # atomic: readers never see a partial file
+        base = _EXPORT_SQL.format(sf=sf_dir)
+        for i in range(_N_PARTS):
+            part_sql = f"SELECT * FROM ({base}) e WHERE \"Order ID\"::BIGINT % {_N_PARTS} = {i}"
+            con.execute(
+                f"COPY ({part_sql}) TO '{tmp}/part-{i}.csv' (HEADER, DELIMITER ',')"
+            )
+        os.replace(tmp, path)  # atomic: readers never see a partial dir
     finally:
         con.close()
     return path

@@ -50,3 +50,21 @@ def test_backfill_only_fills_nulls(spark):
     )
     out = {r.k: r.a for r in backfill_from_staging(dim, staged, "k", ["a"]).collect()}
     assert out == {"k1": "fill", "k2": "set"}
+
+
+def test_merge_dim_enriches_and_inserts(spark):
+    """Full MERGE in one op: matched rows pick up staged attributes,
+    missing keys are appended — and a second run is a no-op."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import merge_dim
+
+    dim = spark.createDataFrame(
+        [(1, "k1", None), (2, "k2", "B2")], "id int, key string, brand string"
+    )
+    staged = spark.createDataFrame(
+        [(1, "k1", "B1"), (3, "k3", "B3")], "id int, key string, brand string"
+    )
+    out = merge_dim(dim, staged, "key", enrich_cols=["brand"])
+    got = {r.key: (r.id, r.brand) for r in out.collect()}
+    assert got == {"k1": (1, "B1"), "k2": (2, "B2"), "k3": (3, "B3")}
+    again = merge_dim(out, staged, "key", enrich_cols=["brand"])
+    assert again.count() == 3  # idempotent
