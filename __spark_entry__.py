@@ -303,6 +303,30 @@ def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return text.doc_length_quantiles(_docs(spark, sf))
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf), chunk_size=32, overlap=8)
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text.vocab_topk(_docs(spark, sf))
+
+
+_PII_SUFFIX = " contact alice.b@example.com via https://ex.co/a?q=1"
+
+
+def q_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the synthetic docs carry no emails/URLs, so a
+    deterministic seventh of them get a PII suffix injected (mirrored
+    in the oracle) so the scrub does real work."""
+    d = _docs(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    return text.scrub_pii(d)
+
+
 def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return text.quality_filter(_docs(spark, sf))
 
@@ -429,6 +453,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "chunk_documents": q_chunk_documents,
+        "vocab_topk": q_vocab_topk,
+        "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
         "corpus_clean": q_corpus_clean,
         "dedup_exact": q_dedup_exact,
@@ -670,6 +697,15 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "doc_length_quantiles": text.DOC_LENGTH_QUANTILES_SQL,
+        "chunk_documents": text.chunk_documents_sql(chunk_size=32, overlap=8),
+        "vocab_topk": text.vocab_topk_sql(),
+        "scrub_pii": text.scrub_pii_sql(
+            source=(
+                "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+                f"THEN text || '{_PII_SUFFIX}' ELSE text END AS text "
+                "FROM documents) injected"
+            )
+        ),
         "quality_filter": text.quality_filter_sql(),
         "corpus_clean": text.corpus_clean_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

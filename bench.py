@@ -110,6 +110,10 @@ def main() -> None:
         "events_dedup",
         "text_stats",
         "token_counts",
+        "chunk_documents",
+        "vocab_topk",
+        "scrub_pii",
+        "merge_product_master",
         "dedup_exact",
         "minhash_signatures",
         "neardup_pairs",

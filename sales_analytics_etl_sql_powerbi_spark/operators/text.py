@@ -20,6 +20,12 @@ __all__ = [
     "token_count_bpe",
     "lang_id",
     "doc_fingerprint",
+    "chunk_documents",
+    "chunk_documents_sql",
+    "vocab_topk",
+    "vocab_topk_sql",
+    "scrub_pii",
+    "scrub_pii_sql",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -250,6 +256,128 @@ canonical AS (
 SELECT s.lang, count(1) AS n_docs, cast(sum(length(s.text)) AS BIGINT) AS n_chars
 FROM surviving s JOIN canonical c ON s.doc_id = c.doc_id
 GROUP BY s.lang ORDER BY s.lang
+"""
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Overlapping token-window chunking — the pre-training shard step.
+
+    Each doc yields windows of ``chunk_size`` tokens starting every
+    ``chunk_size - overlap`` tokens (the standard sliding chunker ahead
+    of tokenize-and-pack). One explode per doc — output volume is
+    ~n_tokens/(chunk_size-overlap) rows however large the corpus; no
+    shuffle at all (chunking is embarrassingly parallel). NULL-text
+    docs produce no chunks — filtered at the scan; explode_outer (not
+    inner) keeps Catalyst's InferFiltersFromGenerate from duplicating
+    the window expression (see dedup.shingle_docs for the war story).
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    # NULL-text docs produce no chunks; the filter sits on the base
+    # column so it pushes to the scan (greatest(NULL,0)=0 would
+    # otherwise emit a NULL chunk row)
+    d = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens_expr("text").alias("__tok")
+    )
+    n = F.size("__tok")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
+    exploded = d.select(
+        "doc_id", "__tok", F.explode_outer(starts).alias("__start")
+    ).where(F.col("__start").isNotNull())
+    chunk = F.slice(F.col("__tok"), F.col("__start") + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        (F.col("__start") / step).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def chunk_documents_sql(chunk_size: int = 64, overlap: int = 16) -> str:
+    step = chunk_size - overlap
+    return f"""
+SELECT doc_id,
+       cast(__start / {step} AS INT) AS chunk_id,
+       cast(len(__tok[__start + 1 : __start + {chunk_size}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(__tok[__start + 1 : __start + {chunk_size}], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, __tok,
+         unnest(range(0, greatest(len(__tok) - {overlap} - 1, 0) + 1, {step})) AS __start
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok
+        FROM documents WHERE text IS NOT NULL) d
+) e
+ORDER BY doc_id, chunk_id
+"""
+
+
+def vocab_topk(docs: DataFrame, topk: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency with doc frequency.
+
+    One explode + one groupBy(token) — counts partial-aggregate
+    map-side; the distinct-doc count rides the same shuffle. The final
+    top-k is a TakeOrderedAndProject over unique-token-sized data.
+    """
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
+    ).where(F.col("token").isNotNull())
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(topk)
+
+
+def vocab_topk_sql(topk: int = 100) -> str:
+    return f"""
+SELECT token, count(1) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM documents
+) t
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {topk}
+"""
+
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+_URL_RE = "https?://[^ ]+"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and URLs — the standard pre-training PII pass.
+
+    Two chained regexp_replace over one scan (fused projection), with
+    per-doc redaction counts for audit. Regexes use only portable char
+    classes so the Java (Spark) and RE2 (DuckDB) dialects agree.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(_URL_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+    )
+
+
+def scrub_pii_sql(source: str = "documents", text_expr: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace({text_expr}, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_URL_RE}', '<URL>', 'g') AS scrubbed_text,
+       cast(len(regexp_extract_all({text_expr}, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       cast(len(regexp_extract_all({text_expr}, '{_URL_RE}')) AS BIGINT) AS n_urls
+FROM {source}
 """
 
 

@@ -73,3 +73,55 @@ def test_corpus_clean_dedups_and_counts(spark):
     )
     got = {r.lang: r.n_docs for r in text.corpus_clean(df).collect()}
     assert got == {"en": 1, "de": 1}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks, "en"), (2, "short doc", "en"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = text.chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,2,4,6 (last start < n_tokens - overlap), windows of ≤4
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t2 t3 t4 t5"  # 2-token overlap
+    assert c1[3].chunk_text == "t6 t7 t8 t9"
+    # short doc: one whole-doc chunk; NULL text: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+    assert 3 not in by_doc
+
+
+def test_vocab_topk_ranks_by_frequency(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a", "en"), (2, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = text.vocab_topk(docs, topk=2).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 2, 2),
+    ]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today", "en"),
+            (2, "see https://a.example.com/path?q=1 and http://b.co", "en"),
+            (3, "nothing sensitive here", "en"),
+            (4, None, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r for r in text.scrub_pii(docs).collect()}
+    assert got[1].scrubbed_text == "mail me at <EMAIL> today"
+    assert (got[1].n_emails, got[1].n_urls) == (1, 0)
+    assert got[2].scrubbed_text == "see <URL> and <URL>"
+    assert got[2].n_urls == 2
+    assert got[3].scrubbed_text == "nothing sensitive here"
+    assert got[4].scrubbed_text is None and got[4].n_emails is None
