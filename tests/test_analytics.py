@@ -91,3 +91,16 @@ def test_platform_share_approx_error_bound(star):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05  # HLL++ rsd=0.02, 5% headroom
+
+
+def test_observed_rowcounts_free_pass(spark):
+    """A10 — observation metrics ride the caller's own action: row and
+    non-null counts arrive without a second scan."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id int, v string"
+    )
+    obs_df, obs = quality.observed(df, nonnull_cols=["v"])
+    assert obs_df.count() == 3  # the action the pipeline runs anyway
+    assert quality.observed_metrics(obs) == {"row_count": 3, "nonnull_v": 2}
