@@ -198,3 +198,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     w0 = closed.get(t0)
     assert w0 is not None
     assert w0[0] == 6 and w0[1] == 6.0  # events at :00..:50, value 1.0 each
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    from sales_analytics_etl_sql_powerbi_spark.streaming import sinks
+
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    src = str(tmp_path / "sink_src")
+    df.write.parquet(src)
+    out = str(tmp_path / "sink_out")
+    q = sinks.stream_to_parquet(
+        spark.readStream.schema(EVENTS).parquet(src),
+        out,
+        str(tmp_path / "sink_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == df.count()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """The streaming insert-if-missing: a second full replay of the
+    source (fresh checkpoint — forced reprocessing) appends nothing."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming import sinks
+
+    df = spark.createDataFrame(events_rows(), EVENTS)
+    src = str(tmp_path / "ups_src")
+    df.write.parquet(src)
+    out = str(tmp_path / "ups_out")
+
+    for attempt in range(2):
+        q = sinks.foreach_batch_upsert_parquet(
+            spark.readStream.schema(EVENTS).parquet(src),
+            out,
+            str(tmp_path / f"ups_ckpt_{attempt}"),  # new ckpt = full replay
+            key_cols=["event_id"],
+        )
+        q.awaitTermination(120)
+        back = spark.read.parquet(out)
+        assert back.count() == df.select("event_id").distinct().count()
