@@ -14,6 +14,7 @@ from sales_analytics_etl_sql_powerbi_spark.functions.keys import (
     stable_id_expr,
     stable_id_pandas_udf,
     stable_id_sql,
+    with_dense_id,
 )
 
 ROWS = [
@@ -91,3 +92,22 @@ def test_with_dense_id_matches_global_window(spark):
     # matches the window-based variant exactly
     w = df.select("k", dense_surrogate_id(["k"]).alias("id"))
     assert sorted((r.k, r.id) for r in w.collect()) == rows
+
+
+def test_with_dense_id_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpointDir configured (the cluster production setting)
+    the range-partitioned numbering uses a reliable FS checkpoint and
+    still matches the single-partition window ids exactly."""
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.createDataFrame(
+            [(f"k{i:05d}", i * 7 % 100) for i in range(2000)], "k string, v int"
+        )
+        out = with_dense_id(df, ["k"], id_col="id", num_partitions=8)
+        rows = out.orderBy("k").collect()
+        assert [r.id for r in rows] == list(range(1, 2001))
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)

@@ -8,16 +8,27 @@ refactor that silently degrades the plan (a lost broadcast hint, a
 projection that widens the scan) fails loudly here instead of at 100 TB.
 """
 
+import pytest
+
 from sales_analytics_etl_sql_powerbi_spark import pipeline
 from sales_analytics_etl_sql_powerbi_spark.operators import analytics
+
+
+@pytest.fixture(scope="module")
+def plan_sf() -> str:
+    """Own sf dir: other tests build (and sometimes cache) the star at
+    the shared fixture's sf — Spark's CacheManager would then swap an
+    InMemoryRelation into these plans and the shape assertions would
+    inspect the cached-plan text instead of the live one."""
+    return "/root/testdata/sf0.01"
 
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_star_view_is_all_broadcast_joins(spark, sf_dir):
-    plan = _plan(pipeline.star(spark, sf_dir)["view"])
+def test_star_view_is_all_broadcast_joins(spark, plan_sf):
+    plan = _plan(pipeline.star(spark, plan_sf)["view"])
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("BroadcastHashJoin") >= 6  # staging 3 + view 3
     # No shuffle of the fact-sized side before the view materializes:
@@ -33,27 +44,27 @@ def test_star_view_is_all_broadcast_joins(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 3, plan
 
 
-def test_lineitem_scan_is_column_pruned(spark, sf_dir):
-    plan = _plan(pipeline.star(spark, sf_dir)["view"])
+def test_lineitem_scan_is_column_pruned(spark, plan_sf):
+    plan = _plan(pipeline.star(spark, plan_sf)["view"])
     # the staging projection needs 4 lineitem columns; the wide ones
     # must not reach the parquet reader
     for wide_col in ("l_comment", "l_extendedprice", "l_tax", "l_shipinstruct"):
         assert wide_col not in plan, f"{wide_col} leaked into a scan"
 
 
-def test_bi_aggregates_are_partial_final(spark, sf_dir):
-    plan = _plan(analytics.exec_overview_states(pipeline.star(spark, sf_dir)["view"]))
+def test_bi_aggregates_are_partial_final(spark, plan_sf):
+    plan = _plan(analytics.exec_overview_states(pipeline.star(spark, plan_sf)["view"]))
     # map-side combine: partial aggregate below the exchange
     assert "partial_sum" in plan or "partial_finalmerge" in plan, plan
 
 
-def test_dim_product_has_no_single_partition_exchange(spark, sf_dir):
-    plan = _plan(pipeline.build_dim_product(spark, sf_dir))
+def test_dim_product_has_no_single_partition_exchange(spark, plan_sf):
+    plan = _plan(pipeline.build_dim_product(spark, plan_sf))
     assert "Exchange SinglePartition" not in plan, plan
 
 
-def test_fact_filters_reach_the_scan(spark, sf_dir):
-    plan = _plan(pipeline.star(spark, sf_dir)["fact"])
+def test_fact_filters_reach_the_scan(spark, plan_sf):
+    plan = _plan(pipeline.star(spark, plan_sf)["fact"])
     # FK-not-null conjuncts must appear as data filters on the scans,
     # not only as post-join filters
     assert "PushedFilters: [" in plan
