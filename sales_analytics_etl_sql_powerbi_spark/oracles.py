@@ -179,7 +179,7 @@ SELECT cast("Order ID" AS INT) AS order_id,
        coalesce(try_strptime(__ts, '%Y-%m-%d %H:%M:%S'),
                 try_cast(__ts AS TIMESTAMP)) AS submit_ts,
        coalesce(try_cast(trunc(try_cast("Units" AS DOUBLE)) AS INT), 1) AS units,
-       coalesce(nullif(trim("Master SKU"), ''), nullif(trim("Alt SKU"), '')) AS product_key,
+       coalesce(nullif(trim("mainSkuCode"), ''), nullif(trim("Second SKU"), '')) AS product_key,
        CASE WHEN regexp_matches(upper(trim("State")), '^[A-Z]{{2}}$')
             THEN upper(trim("State")) END AS state_code,
        substring("Notes", 1, 30) AS notes,

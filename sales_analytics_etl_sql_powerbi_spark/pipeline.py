@@ -144,12 +144,18 @@ def clean_order_export(raw: DataFrame) -> DataFrame:
 
     The reference's CSV front door end-to-end (etl/order_info_etl.py:176,
     182-242): header normalization happened in the reader (P1); here the
-    value stack — ensure-columns for the optional discount code (P8),
-    width truncation (P11), timestamp parse with fallback-to-NULL (P4),
-    int coercion with default (P7), SKU coalesce with blank-as-null
-    (P10), state validation (P6) — all as ONE fused projection over the
-    distributed CSV scan. SQL twin: :func:`..oracles.csv_roundtrip_sql`.
+    fuzzy column auto-map discovers the export's SKU alias headers
+    (``mainSkuCode``/``Second SKU`` → masterSku/sku — P2/P3, reference
+    product_info_etl.py:192-202), then the value stack — ensure-columns
+    for the optional discount code (P8), width truncation (P11),
+    timestamp parse with fallback-to-NULL (P4), int coercion with
+    default (P7), SKU coalesce with blank-as-null (P10), state
+    validation (P6) — all as ONE fused projection over the distributed
+    CSV scan. SQL twin: :func:`..oracles.csv_roundtrip_sql`.
     """
+    from .functions.cleaning import auto_map_columns
+
+    raw, _colmap = auto_map_columns(raw)
     raw = ensure_columns(raw, {"Discount_Code": T.StringType()})
     raw = truncate_to_widths(raw, {"Notes": 30})
     return raw.select(
@@ -157,7 +163,7 @@ def clean_order_export(raw: DataFrame) -> DataFrame:
         F.col("Line_Number").cast("int").alias("line_number"),
         parse_timestamp("Submit_Time").alias("submit_ts"),
         int_with_default("Units", 1).alias("units"),
-        coalesce_product_key("Master_SKU", "Alt_SKU").alias("product_key"),
+        coalesce_product_key("masterSku", "sku").alias("product_key"),
         valid_state_code("State").alias("state_code"),
         F.col("Notes").alias("notes"),
         F.col("Discount_Code").alias("discount_code"),

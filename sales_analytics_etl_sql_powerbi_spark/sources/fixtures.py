@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 
 #: bump when the export query changes — stale fixtures regenerate
-_VERSION = "v2"
+_VERSION = "v3"
 #: export as a DIRECTORY of N part files: the realistic shape of a
 #: large export (daily/regional drops), and what makes the Spark scan
 #: split across tasks — a single 60 MB csv is one task under the
@@ -46,8 +46,8 @@ SELECT
        ELSE cast(cast(floor(l.l_quantity) AS INT) AS VARCHAR) END AS "Units",
   CASE WHEN l.l_partkey % 7 = 0 THEN NULL
        WHEN l.l_partkey % 11 = 0 THEN '  '
-       ELSE 'SKU-' || cast(l.l_partkey AS VARCHAR) END AS "Master SKU",
-  'ALT-' || cast(l.l_partkey AS VARCHAR) AS "Alt SKU",
+       ELSE 'SKU-' || cast(l.l_partkey AS VARCHAR) END AS "mainSkuCode",
+  'ALT-' || cast(l.l_partkey AS VARCHAR) AS "Second SKU",
   CASE WHEN l.l_suppkey % 13 = 5 THEN 'XYZ'
        WHEN l.l_suppkey % 11 = 7
          THEN ' ' || lower(chr(cast(65 + l.l_suppkey % 26 AS INT)) || chr(cast(65 + (l.l_suppkey * 3) % 26 AS INT))) || ' '
