@@ -386,6 +386,21 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Strided-byte 'resize' over binary payloads; the oracle compares
+    the scalar projection (dims + checksum), binary equality is unit-
+    test-pinned."""
+    return multimodal.resize_images(
+        multimodal.attach_binary_payload(_docs(spark, sf))
+    ).select("doc_id", "n_bytes", "width", "height", "checksum")
+
+
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    return multimodal.sample_frames(
+        multimodal.attach_binary_payload(_docs(spark, sf))
+    )
+
+
 def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return stream_win.tumbling_counts(_events(spark, sf))
 
@@ -469,6 +484,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -719,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
         "embedding_neardup": similarity.embedding_neardup_pairs_sql(threshold=0.5),
         "multimodal_features": multimodal.MULTIMODAL_META_SQL,
+        "multimodal_resize": multimodal.RESIZE_SQL,
+        "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
         "events_tumbling": stream_win.TUMBLING_SQL,
         "events_sliding": stream_win.SLIDING_SQL,
         "events_sessions": stream_win.SESSION_SQL,

@@ -21,7 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["attach_binary_payload", "extract_features", "FEATURE_SCHEMA", "MULTIMODAL_META_SQL"]
+__all__ = [
+    "attach_binary_payload",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "FEATURE_SCHEMA",
+    "RESIZED_SCHEMA",
+    "FRAME_SCHEMA",
+    "MULTIMODAL_META_SQL",
+    "RESIZE_SQL",
+    "SAMPLE_FRAMES_SQL",
+]
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -84,6 +95,182 @@ def extract_features(with_payload: DataFrame, codec: str = "raw") -> DataFrame:
 
     return with_payload.mapInPandas(run, schema=FEATURE_SCHEMA)
 
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int, codec: str = "raw") -> bytes:
+    """Deterministic fake 'resize': strided byte downsample to ≤w·h
+    bytes. A real build plugs PIL's ``Image.resize`` here — the Spark
+    plumbing (batch shape, output schema, metadata update) is what this
+    module pins; only this function changes."""
+    if codec != "raw":
+        raise NotImplementedError(
+            f"media codec {codec!r} unavailable in this environment; "
+            "only the 'raw' strided-byte stub is implemented"
+        )
+    target = width * height
+    if not payload:
+        return b""
+    stride = max(len(payload) // target, 1)
+    return payload[::stride][:target]
+
+
+def resize_images(
+    with_payload: DataFrame, width: int = 8, height: int = 8, codec: str = "raw"
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (mapInPandas).
+
+    One Python call per Arrow batch, no shuffle — the embarrassingly
+    parallel media shape. Output carries the resized payload plus the
+    updated dimensions and a checksum (the oracle compares the scalar
+    projection; binary equality is pinned by unit test).
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None or len(b) == 0:  # mirrors the oracle's n>0 gate
+                    continue
+                rb = resize_stub(bytes(b), width, height, codec)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": rb,
+                        "n_bytes": len(rb),
+                        "width": width,
+                        "height": height,
+                        "checksum": sum(rb) % 1_000_003,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "payload", "n_bytes", "width", "height", "checksum",
+                ],
+            )
+
+    return with_payload.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    with_payload: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+    max_frames: int = 3,
+) -> DataFrame:
+    """Frame sampling: one row per kept frame (row-EXPANDING mapInPandas).
+
+    Treats the payload as a sequence of ``frame_bytes`` chunks (a fake
+    video container), keeps every ``every_n``-th frame up to
+    ``max_frames`` — the decode-side sampling a video pipeline does
+    before feature extraction. Output cardinality is data-dependent
+    (0..max_frames rows per doc): exactly the iterator shape
+    ``mapInPandas`` exists for, where a scalar pandas_udf could not
+    change the row count.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                frames = [
+                    b[i : i + frame_bytes] for i in range(0, len(b), frame_bytes)
+                ]
+                for k, frame in enumerate(frames[::every_n][:max_frames]):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_id": k * every_n,
+                            "n_frame_bytes": len(frame),
+                            "frame_checksum": sum(frame) % 1_000_003,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "n_frame_bytes", "frame_checksum"],
+            )
+
+    return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: byte at 1-based position {p} of the utf-8 blob's hex encoding
+_BYTE_AT = "cast(('0x' || substring(__hex, 2*({p}) - 1, 2)) AS INT)"
+
+
+def resize_sql(width: int = 8, height: int = 8) -> str:
+    """DuckDB twin of resize_images' scalar projection (strided bytes)."""
+    target = width * height
+    idx = f"1 + i * greatest(__n // {target}, 1)"
+    picked = (
+        f"list_transform(range(0, least({target}, "
+        f"cast(ceil(__n / cast(greatest(__n // {target}, 1) AS DOUBLE)) AS BIGINT))), "
+        f"i -> {_BYTE_AT.format(p=idx)})"
+    )
+    return f"""
+SELECT doc_id,
+       cast(len({picked}) AS BIGINT) AS n_bytes,
+       {width} AS width, {height} AS height,
+       cast(coalesce(list_sum({picked}), 0) % 1000003 AS BIGINT) AS checksum
+FROM (
+  SELECT doc_id, octet_length(encode(text)) AS __n, to_hex(encode(text)) AS __hex
+  FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+) b
+"""
+
+
+def sample_frames_sql(
+    frame_bytes: int = 64, every_n: int = 2, max_frames: int = 3
+) -> str:
+    """DuckDB twin of sample_frames: frame grid → filter → byte math."""
+    start = f"fid * {frame_bytes}"
+    nfb = f"least({frame_bytes}, __n - {start})"
+    checksum = (
+        f"list_sum(list_transform(range(1, {nfb} + 1), "
+        f"i -> {_BYTE_AT.format(p=f'{start} + i')}))"
+    )
+    return f"""
+SELECT doc_id, cast(fid AS INT) AS frame_id,
+       cast({nfb} AS BIGINT) AS n_frame_bytes,
+       cast(coalesce({checksum}, 0) % 1000003 AS BIGINT) AS frame_checksum
+FROM (
+  SELECT doc_id, __n, __hex,
+         unnest(range(0, cast(ceil(__n / cast({frame_bytes} AS DOUBLE)) AS BIGINT))) AS fid
+  FROM (SELECT doc_id, octet_length(encode(text)) AS __n, to_hex(encode(text)) AS __hex
+        FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0) b
+) f
+WHERE fid % {every_n} = 0 AND fid // {every_n} < {max_frames}
+ORDER BY doc_id, frame_id
+"""
+
+
+RESIZE_SQL = resize_sql()
+SAMPLE_FRAMES_SQL = sample_frames_sql()
 
 #: DuckDB twin of attach_binary_payload→extract_features over documents
 #: (payload == utf-8 text bytes). Byte values come from the hex encoding
