@@ -401,6 +401,13 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of backward join: each purchase + the user's latest prior view."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import events_asof
+
+    return events_asof(_events(spark, sf))
+
+
 def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return stream_win.tumbling_counts(_events(spark, sf))
 
@@ -486,6 +493,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "events_asof": q_events_asof,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -497,6 +505,12 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 # oracle SQL — DuckDB twins
 # ---------------------------------------------------------------------------
+
+
+def _asof_sql() -> str:
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import events_asof_sql
+
+    return events_asof_sql()
 
 
 def _csv_fixture_path() -> str:
@@ -738,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": multimodal.MULTIMODAL_META_SQL,
         "multimodal_resize": multimodal.RESIZE_SQL,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
+        "events_asof": _asof_sql(),
         "events_tumbling": stream_win.TUMBLING_SQL,
         "events_sliding": stream_win.SLIDING_SQL,
         "events_sessions": stream_win.SESSION_SQL,

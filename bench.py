@@ -104,6 +104,7 @@ def main() -> None:
     for name in (
         "grand_total",
         "events_json",
+        "events_asof",
         "events_tumbling",
         "events_sliding",
         "events_sessions",
