@@ -78,12 +78,19 @@ def staging_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
 
-    # orders/customer/nation are small relative to lineitem at every SF
-    # (15k vs 60k at sf0.01; 1:4 at 100 TB too) — broadcast the dims,
-    # never shuffle the lineitem side.
+    # Join-strategy discipline: nation is bounded by construction
+    # (≤ dozens of rows) — force-broadcast it. orders/customer are
+    # DATA-SCALED (1:4 / 1:10 of lineitem at every SF): at test scale
+    # Catalyst broadcasts them anyway (under the 64 MB threshold), but
+    # a forced broadcast() hint would OOM a 100-TB deployment where
+    # orders is terabytes — so let Catalyst/AQE pick from size stats,
+    # degrading to shuffle joins exactly when the data demands it. At
+    # that scale the shuffle is removed by co-locating the tables:
+    # write lineitem+orders bucketed on the order key
+    # (sinks.write_bucketed) and the join needs no exchange at all.
     joined = (
-        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
 
@@ -279,6 +286,7 @@ def build_fact(
     dim_platform: DataFrame,
     dim_product: DataFrame,
     date_source: str = "submit_ts",
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Fact load — J1: left dim lookups + FK-not-null filters (⇒ inner).
 
@@ -290,12 +298,22 @@ def build_fact(
     ``date_source`` mirrors the reference's ``FACT_DATE_SOURCE`` config
     (etl/order_info_etl.py:26) — which timestamp becomes ``date_id``
     (``submit_ts`` default; ``ship_ts`` is the other staging candidate).
+
+    ``broadcast_dims``: the explicit hints are needed because the
+    numbered product dim is checkpoint-backed (no size statistics —
+    Catalyst would assume worst-case and sort-merge). For a deployment
+    whose product master exceeds executor memory, pass ``False``: the
+    joins degrade to shuffles, which bucketing both sides on the join
+    key removes (sinks.write_bucketed).
     """
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_dims else df
+
     f = (
         staging.join(
-            F.broadcast(dim_platform), on="platform_name", how="left"
+            hint(dim_platform), on="platform_name", how="left"
         ).join(
-            F.broadcast(dim_product.select("product_id", "product_key")),
+            hint(dim_product.select("product_id", "product_key")),
             on="product_key",
             how="left",
         )
@@ -326,17 +344,24 @@ def sales_product_geo_view(
     dim_date: DataFrame,
     dim_product: DataFrame,
     dim_platform: DataFrame,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """The denormalized reporting view — J2, the 4-way star join.
 
     Reference sql/views/vw_sales_product_geo.View.sql:26-57. All three
-    dims broadcast; the fact side streams through one whole-stage
-    codegen pipeline with zero shuffles.
+    dims broadcast by default; the fact side streams through one
+    whole-stage codegen pipeline with zero shuffles. ``broadcast_dims``
+    as in :func:`build_fact` — date/platform are bounded by
+    construction, the product master is the one that can outgrow a
+    broadcast at extreme scale.
     """
+    def hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_dims else df
+
     return (
         fact.join(F.broadcast(dim_date), on="date_id")
         .join(
-            F.broadcast(
+            hint(
                 dim_product.select(
                     "product_id", "product_key", "english_name", "category", "subcategory"
                 )
@@ -365,7 +390,9 @@ def sales_product_geo_view(
     )
 
 
-def star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def star(
+    spark: SparkSession, sf_dir: str, broadcast_dims: bool = True
+) -> dict[str, DataFrame]:
     """Build the whole star once: staging, 4 dims, fact, reporting view.
 
     ``staging`` is deliberately NOT persisted: each consumer needs only
@@ -381,8 +408,10 @@ def star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dim_product = build_dim_product(spark, sf_dir)
     dim_customer = build_dim_customer(staging)
     dim_date = build_dim_date(spark, staging)
-    fact = build_fact(staging, dim_platform, dim_product)
-    view = sales_product_geo_view(fact, dim_date, dim_product, dim_platform)
+    fact = build_fact(staging, dim_platform, dim_product, broadcast_dims=broadcast_dims)
+    view = sales_product_geo_view(
+        fact, dim_date, dim_product, dim_platform, broadcast_dims=broadcast_dims
+    )
     return {
         "staging": staging,
         "dim_platform": dim_platform,

@@ -182,3 +182,32 @@ def test_csv_export_roundtrip_clean(spark, sf_dir):
     assert all(r.units is not None for r in rows)  # default applied
     assert all(r.discount_code is None for r in rows)  # ensured column
     assert max(len(r.notes) for r in rows) <= 30  # width truncation
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → the join plans without a
+    shuffle: the scale answer for fact-to-fact joins that cannot
+    broadcast (lineitem⋈orders at 100 TB)."""
+    import uuid
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.sinks import write_bucketed
+
+    # bucketed tables need the catalog; they land in the session's
+    # spark-warehouse dir (gitignored) and are dropped at the end
+    suffix = uuid.uuid4().hex[:8]
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, f"li_b_{suffix}", ["l_orderkey"], n_buckets=8)
+    write_bucketed(orders, f"ord_b_{suffix}", ["o_orderkey"], n_buckets=8)
+    a = spark.table(f"li_b_{suffix}")
+    b = spark.table(f"ord_b_{suffix}")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == li.count()
+    spark.sql(f"DROP TABLE li_b_{suffix}")
+    spark.sql(f"DROP TABLE ord_b_{suffix}")
