@@ -335,6 +335,28 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     return text.corpus_clean(_docs(spark, sf))
 
 
+def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressed Bernoulli sample — reproducible across runs,
+    engines, and partitionings (no rand())."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    return sampling.deterministic_sample(_docs(spark, sf), "doc_id", 0.25)
+
+
+def q_corpus_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable train/val/test assignment from the doc_id hash."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    return sampling.split_assign(_docs(spark, sf), "doc_id")
+
+
+def q_docs_per_lang_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic quota sample: ≤20 docs per language by hash order."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    return sampling.sample_per_group(_docs(spark, sf), "lang", "doc_id", n=20)
+
+
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf))
 
@@ -480,6 +502,9 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scrub_pii": q_scrub_pii,
         "quality_filter": q_quality_filter,
         "corpus_clean": q_corpus_clean,
+        "corpus_sample": q_corpus_sample,
+        "corpus_splits": q_corpus_splits,
+        "docs_per_lang_sample": q_docs_per_lang_sample,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "neardup_pairs": q_neardup_pairs,
@@ -505,6 +530,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 # oracle SQL — DuckDB twins
 # ---------------------------------------------------------------------------
+
+
+def _sampling_sql(which: str) -> str:
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    if which == "sample":
+        return sampling.deterministic_sample_sql("documents", "doc_id", 0.25)
+    if which == "splits":
+        return sampling.split_assign_sql("documents", "doc_id")
+    return sampling.sample_per_group_sql("documents", "lang", "doc_id", n=20)
 
 
 def _asof_sql() -> str:
@@ -739,6 +774,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_filter": text.quality_filter_sql(),
         "corpus_clean": text.corpus_clean_sql(),
+        "corpus_sample": _sampling_sql("sample"),
+        "corpus_splits": _sampling_sql("splits"),
+        "docs_per_lang_sample": _sampling_sql("per_group"),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "minhash_signatures": dedup.minhash_signatures_sql(),
         "neardup_pairs": dedup.neardup_pairs_sql(),

@@ -115,6 +115,9 @@ def main() -> None:
         "vocab_topk",
         "scrub_pii",
         "merge_product_master",
+        "corpus_sample",
+        "corpus_splits",
+        "docs_per_lang_sample",
         "dedup_exact",
         "minhash_signatures",
         "neardup_pairs",

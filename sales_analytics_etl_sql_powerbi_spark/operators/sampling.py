@@ -1,0 +1,159 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` and ``rand()`` are nondeterministic under task retry
+and re-partitioning — poison for reproducible corpus builds. Every
+operator here derives its randomness from md5 of a KEY COLUMN, so:
+
+- the same row lands in the same sample/split on every run, every
+  engine, every partitioning (content-addressed, not position-based);
+- adding/removing other rows never perturbs a row's assignment
+  (unlike sortBy-then-limit sampling);
+- everything is exact integer arithmetic — the DuckDB twins hash-match
+  bit-for-bit.
+
+All three are single-pass projections or one windowed shuffle — no
+collect, no rand(), 100-TB-shaped by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "split_assign",
+    "sample_per_group",
+    "deterministic_sample_sql",
+    "split_assign_sql",
+    "sample_per_group_sql",
+]
+
+#: bucket space — 1e6 buckets gives 1e-6 rate granularity
+_BUCKETS = 1_000_000
+
+_H63_DUCK = (
+    "cast(('0x' || substring(md5({s}), 1, 16))::UBIGINT"
+    " % 9223372036854775808::UBIGINT as BIGINT)"
+)
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt ∥ key) — the shared
+    randomness source (salt decorrelates independent samples)."""
+    c = F.col(key) if isinstance(key, str) else key
+    s = F.concat(F.lit(salt), c.cast("string"))
+    # the two substring halves of one md5 call are CSE'd in codegen;
+    # this expression appears once per operator, so no hoisting needed
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        * F.lit(4294967296)
+        + F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    ) % F.lit(_BUCKETS)
+
+
+def _bucket_duck(key_expr: str, salt: str = "") -> str:
+    s = f"'{salt}' || cast({key_expr} AS VARCHAR)"
+    return f"({_H63_DUCK.format(s=s)}) % {_BUCKETS}"
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = "s1"
+) -> DataFrame:
+    """Content-addressed Bernoulli sample: keep rows whose hash bucket
+    falls under ``rate`` — reproducible across runs/engines/partitions.
+    One fused filter on the scan; expected |out| = rate·N.
+    """
+    threshold = int(rate * _BUCKETS)
+    return df.where(hash_bucket(key, salt) < threshold)
+
+
+def deterministic_sample_sql(
+    source: str, key_expr: str, rate: float, salt: str = "s1"
+) -> str:
+    threshold = int(rate * _BUCKETS)
+    return f"SELECT * FROM {source} WHERE {_bucket_duck(key_expr, salt)} < {threshold}"
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    col_name: str = "split",
+) -> DataFrame:
+    """Stable train/val/test assignment from the key hash.
+
+    Splits are cumulative bucket ranges in dict order; a row's split
+    never changes as the corpus grows (content-addressed). Weights must
+    sum to ~1; the last split absorbs rounding remainder.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(key, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(acc * _BUCKETS)
+        expr = (
+            F.when(b < bound, F.lit(name))
+            if expr is None
+            else expr.when(b < bound, F.lit(name))
+        )
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(col_name, expr)
+
+
+def split_assign_sql(
+    source: str,
+    key_expr: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    col_name: str = "split",
+) -> str:
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = _bucket_duck(key_expr, salt)
+    names = list(weights)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {b} < {int(acc * _BUCKETS)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT *, {case} AS {col_name} FROM {source}"
+
+
+def sample_per_group(
+    df: DataFrame, group: str, key: str, n: int, salt: str = "grp"
+) -> DataFrame:
+    """Deterministic quota sample: up to ``n`` rows per group, chosen
+    by hash order (not arrival order). One windowed shuffle on the
+    group key; the hash ordering makes the quota stable as data grows
+    EXCEPT at the quota boundary (a new row can displace the old n-th —
+    inherent to any fixed-quota scheme).
+    """
+    w = Window.partitionBy(group).orderBy(
+        hash_bucket(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def sample_per_group_sql(
+    source: str, group: str, key_expr: str, n: int, salt: str = "grp"
+) -> str:
+    b = _bucket_duck(key_expr, salt)
+    return f"""
+SELECT * EXCLUDE (__rn) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group} ORDER BY {b} ASC, {key_expr} ASC) AS __rn
+  FROM {source}
+) r WHERE __rn <= {n}
+"""

@@ -1,0 +1,57 @@
+"""Deterministic sampling: reproducibility, stability, quotas."""
+
+from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+
+def frame(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "de", "es"][i % 3]) for i in range(n)],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_sample_reproducible_and_rate(spark):
+    df = frame(spark)
+    a = {r.doc_id for r in sampling.deterministic_sample(df, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in sampling.deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # no rand(): identical on every run
+    assert 0.15 < len(a) / 400 < 0.45  # Bernoulli around the rate
+    # different salt → decorrelated sample
+    c = {r.doc_id for r in sampling.deterministic_sample(df, "doc_id", 0.3, salt="s2").collect()}
+    assert c != a
+
+
+def test_sample_content_addressed_under_growth(spark):
+    """A row's membership must not change when OTHER rows are added."""
+    small = frame(spark, 200)
+    big = frame(spark, 400)
+    a = {r.doc_id for r in sampling.deterministic_sample(small, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in sampling.deterministic_sample(big, "doc_id", 0.3).collect()}
+    assert a == {x for x in b if x < 200}
+
+
+def test_split_assign_partitions_completely(spark):
+    df = frame(spark)
+    out = sampling.split_assign(df, "doc_id").collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == 400  # total partition
+    assert len(by_split["train"]) > len(by_split["val"])  # 80/10/10 shape
+    # stability: same row, same split, every time
+    again = {r.doc_id: r.split for r in sampling.split_assign(df, "doc_id").collect()}
+    for split, ids in by_split.items():
+        assert all(again[i] == split for i in ids)
+
+
+def test_sample_per_group_quota(spark):
+    df = frame(spark)
+    out = sampling.sample_per_group(df, "lang", "doc_id", n=7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.doc_id)
+    assert set(per) == {"en", "de", "es"}
+    assert all(len(v) == 7 for v in per.values())
+    # hash-ordered, not arrival-ordered: not simply doc_id 0..6
+    assert sorted(per["en"])[:7] != [0, 3, 6, 9, 12, 15, 18]
