@@ -142,8 +142,72 @@ def docs_main() -> None:
     print(f"persistent storage entries after run: {leftover}")
 
 
+def events_main() -> None:
+    """Events-corpus scaling: as-of join + event-time windows.
+
+    Unions the sf0.1 events table mult× with offset event_ids and
+    jittered user_ids (user cardinality grows with the corpus so the
+    per-user window state stays bounded — the realistic shape).
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-events")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import events_asof
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_events
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    ev = read_events(spark, sf_dir)
+    n0 = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * n0)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(mult)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(64).persist(StorageLevel.MEMORY_AND_DISK)
+    n = big.count()
+    print(f"events rows: {n}")
+
+    for name, fn in [
+        ("events_asof", lambda d: events_asof(d)),
+        ("tumbling", W.tumbling_counts),
+        ("sessions", W.session_windows),
+    ]:
+        t0 = time.time()
+        cnt = fn(big).count()
+        print(f"{name} ({cnt} rows): {time.time()-t0:.1f}s")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--events":
+        events_main()
     else:
         main()
