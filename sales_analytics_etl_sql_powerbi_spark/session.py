@@ -62,4 +62,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # reliable checkpoint dir (used by keys.with_dense_id to pin range
+    # partitioning): on a cluster point this at durable storage so the
+    # numbering materialization survives executor loss; unset, the code
+    # falls back to localCheckpoint (fails loudly instead of silently
+    # recomputing).
+    ckpt = os.environ.get("SPARK_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

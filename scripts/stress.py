@@ -138,6 +138,11 @@ def docs_main() -> None:
     npairs = pairs.count()
     print(f"neardup_pairs ({npairs} pairs): {time.time()-t0:.1f}s")
 
+    t0 = time.time()
+    clusters = dedup.neardup_clusters(big, threshold=0.8)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(f"neardup_clusters ({n_clusters} clusters over {n} docs): {time.time()-t0:.1f}s")
+
     leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
     print(f"persistent storage entries after run: {leftover}")
 
