@@ -373,6 +373,12 @@ def train_ivf_codebook(
     """
     import numpy as np
 
+    if not vecs_q:
+        raise ValueError(
+            "IVF codebook training got an empty sample — the corpus has "
+            "no rows with vec_id < sample_n (ids must start near 0, or "
+            "pass a larger sample_n)"
+        )
     X = np.asarray(vecs_q, dtype=np.float64)
     k = min(n_clusters, len(X))
     cents = np.empty((k, X.shape[1]))
