@@ -128,21 +128,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a proper TimestampType column.
 
-    The driver writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is set. The conf is runtime-settable, so it is applied here rather
-    than trusting the caller's session config (the driver builds its own
-    SparkSession). The long nanos are truncated to microseconds with
-    integer division — ``/ 1000`` through DOUBLE would lose precision at
-    1.7e18 — exactly what DuckDB's microsecond TIMESTAMP does, so both
-    engines see identical values.
+    The driver's generator has shipped ``ts`` in two encodings across
+    rounds, so both are normalized here rather than trusting the file:
+
+    - parquet INT64 TIMESTAMP(NANOS), which Spark's reader rejects
+      unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (the conf
+      is runtime-settable, so it is applied here — the driver builds
+      its own SparkSession). The long nanos are truncated to
+      microseconds with integer division — ``/ 1000`` through DOUBLE
+      would lose precision at 1.7e18 — exactly what DuckDB's
+      microsecond TIMESTAMP does, so both engines see identical values.
+    - parquet ``timestamp[us]`` without a zone, which Spark reads as
+      TimestampNTZType. The session TZ is pinned to UTC
+      (session.get_spark), so casting to TimestampType relabels the
+      same wall-clock instant — values stay identical to DuckDB's
+      naive TIMESTAMP read of the same file.
+
+    Downstream (streaming watermarks, window(), the oracle hash
+    compare) always sees one stable type: TimestampType.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
