@@ -46,7 +46,7 @@ from .functions.cleaning import (
     valid_state_code,
 )
 from .functions.dates import calendar_frame
-from .functions.keys import stable_id_expr, with_dense_id
+from .functions.keys import dense_surrogate_id, stable_id_expr, with_dense_id
 from .operators.rules import (
     TESTDATA_CATEGORY_PASSES,
     TESTDATA_SUBCATEGORY_PASSES,
@@ -197,29 +197,52 @@ def build_dim_platform(staging: DataFrame) -> DataFrame:
     )
 
 
-#: (applicationId, sf_dir) → numbered product dim. The dim build ends in
-#: an EAGER checkpoint (with_dense_id pins its partitioning), so without
-#: memoization every star() call would re-run the numbering jobs; a
-#: warehouse materializes each dim once per load (the reference keeps
-#: dim_product as a SQL Server table) and this is that contract.
-#: Keyed by applicationId so a new session never sees a stale frame.
-_DIM_PRODUCT_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: (applicationId, sf_dir, threshold) → numbered product dim. On the
+#: scale path the dim build ends in an EAGER checkpoint (with_dense_id
+#: pins its partitioning), so without memoization every star() call
+#: would re-run the numbering jobs; a warehouse materializes each dim
+#: once per load (the reference keeps dim_product as a SQL Server
+#: table) and this is that contract. Keyed by applicationId so a new
+#: session never sees a stale frame.
+_DIM_PRODUCT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+#: Above this row count the IDENTITY numbering switches from the global
+#: row_number window (one task sorts the whole dim — fine for bounded
+#: dims, a straggler for data-sized ones) to the range-partitioned
+#: generator. 1M rows of this dim ≈ a few hundred MB through one task —
+#: comfortably inside an executor; the same size-based strategy choice
+#: Catalyst makes between broadcast and shuffle joins.
+DENSE_ID_THRESHOLD = 1_000_000
 
 
-def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_dim_product(
+    spark: SparkSession, sf_dir: str, dense_id_threshold: int | None = None
+) -> DataFrame:
     """Product dim from the part master + rules-engine categorization.
 
     Reference etl/order_info_etl.py:421-429 (insert) +
     sql/transformations/10_*/30_*.sql (rules). product_key mirrors the
     staging-side master/alt SKU synthesis so the fact join closes.
-    Memoized per (session, sf_dir): the numbering step materializes
-    eagerly (see :func:`..functions.keys.with_dense_id`), and the
-    checkpointed result is self-contained, so every later consumer in
-    the session reuses it instead of re-running the build.
+
+    IDENTITY(1,1) numbering is size-adaptive: a product master at or
+    under ``dense_id_threshold`` rows (a cheap parquet-metadata count)
+    numbers through one ``row_number()`` window — two fewer jobs and no
+    materialization; past the threshold it switches to
+    :func:`..functions.keys.with_dense_id`, the range-partitioned
+    generator with NO single-partition exchange, so a data-sized master
+    numbers in parallel. Both paths produce identical ids (parity
+    pinned in tests/test_keys.py and tests/test_plans.py); the plan
+    guard pins the scale path's shape with ``dense_id_threshold=0``.
+
+    Memoized per (session, sf_dir, threshold): on the scale path the
+    numbering materializes eagerly, and the checkpointed result is
+    self-contained, so every later consumer in the session reuses it
+    instead of re-running the build.
     """
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    threshold = DENSE_ID_THRESHOLD if dense_id_threshold is None else dense_id_threshold
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), threshold)
     cached = _DIM_PRODUCT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -239,14 +262,15 @@ def build_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorized = apply_passes(
         base, TESTDATA_CATEGORY_PASSES + TESTDATA_SUBCATEGORY_PASSES
     ).drop("p_name")
-    # IDENTITY(1,1) via the range-partitioned id generator: the product
-    # master is data-sized at a 100-TB deployment, and a
-    # row_number() OVER (ORDER BY ...) global window funnels it through
-    # ONE task (Exchange SinglePartition — the one straggler in the
-    # star build). with_dense_id numbers in parallel with identical
-    # output (parity pinned in tests/test_keys.py); product_key is
-    # unique so the ordering is total.
-    numbered = with_dense_id(categorized, ["product_key"], id_col="product_id")
+    # IDENTITY(1,1), strategy by size (product_key is unique, so the
+    # ordering is total and both paths agree row-for-row). part.count()
+    # is a parquet-metadata job — no data scan.
+    if part.count() <= threshold:
+        numbered = categorized.withColumn(
+            "product_id", dense_surrogate_id(["product_key"])
+        )
+    else:
+        numbered = with_dense_id(categorized, ["product_key"], id_col="product_id")
     out = numbered.select(
         F.col("product_id").cast("int").alias("product_id"),
         *[c for c in numbered.columns if c != "product_id"],

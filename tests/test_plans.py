@@ -58,9 +58,19 @@ def test_bi_aggregates_are_partial_final(spark, plan_sf):
     assert "partial_sum" in plan or "partial_finalmerge" in plan, plan
 
 
-def test_dim_product_has_no_single_partition_exchange(spark, plan_sf):
-    plan = _plan(pipeline.build_dim_product(spark, plan_sf))
+def test_dim_product_scale_path_has_no_single_partition_exchange(spark, plan_sf):
+    # threshold=0 forces the range-partitioned numbering — the path a
+    # data-sized product master takes at 100 TB
+    plan = _plan(pipeline.build_dim_product(spark, plan_sf, dense_id_threshold=0))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dim_product_numbering_paths_agree(spark, plan_sf):
+    # the size-adaptive strategy must be invisible in the output: the
+    # bounded-dim window path and the scale path yield identical rows
+    small = pipeline.build_dim_product(spark, plan_sf).collect()
+    scale = pipeline.build_dim_product(spark, plan_sf, dense_id_threshold=0).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, scale))
 
 
 def test_fact_filters_reach_the_scan(spark, plan_sf):
