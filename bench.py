@@ -103,6 +103,7 @@ def main() -> None:
     raw = entrymod._RAW_QUERIES
     for name in (
         "grand_total",
+        "staging_profile",
         "events_json",
         "events_asof",
         "events_tumbling",
@@ -110,24 +111,22 @@ def main() -> None:
         "events_sessions",
         "events_dedup",
         "text_stats",
-        "token_counts",
+        "doc_profile",
         "chunk_documents",
         "vocab_topk",
         "scrub_pii",
+        "reference_rules",
         "merge_product_master",
-        "corpus_sample",
-        "corpus_splits",
-        "docs_per_lang_sample",
+        "customer_dim_repair",
+        "corpus_sampling",
         "dedup_exact",
-        "minhash_signatures",
         "neardup_pairs",
-        "simhash",
+        "neardup_clusters",
         "cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_neardup",
         "staging_csv_roundtrip",
-        "quality_filter",
         "corpus_clean",
         "category_rollup",
         "events_running_totals",

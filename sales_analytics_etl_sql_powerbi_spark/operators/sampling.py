@@ -25,9 +25,11 @@ __all__ = [
     "deterministic_sample",
     "split_assign",
     "sample_per_group",
+    "sampling_profile",
     "deterministic_sample_sql",
     "split_assign_sql",
     "sample_per_group_sql",
+    "sampling_profile_sql",
 ]
 
 #: bucket space — 1e6 buckets gives 1e-6 rate granularity
@@ -156,4 +158,58 @@ SELECT * EXCLUDE (__rn) FROM (
     PARTITION BY {group} ORDER BY {b} ASC, {key_expr} ASC) AS __rn
   FROM {source}
 ) r WHERE __rn <= {n}
+"""
+
+
+def sampling_profile(
+    df: DataFrame,
+    key: str,
+    group: str,
+    rate: float = 0.25,
+    n_per_group: int = 20,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """All three sampling assignments as FLAG COLUMNS on every row:
+    ``split`` (train/val/test), ``in_sample`` (Bernoulli at ``rate``),
+    ``in_group_quota`` (within the first ``n_per_group`` of its group
+    by hash order). The decision surface a corpus-build audit wants —
+    who would each sampler pick — without materializing three separate
+    outputs. One projection + one windowed shuffle on the group key;
+    the flag semantics are exactly :func:`deterministic_sample` /
+    :func:`split_assign` / :func:`sample_per_group` (same salts, same
+    buckets — filtering on a flag reproduces the operator's output
+    row-for-row).
+    """
+    threshold = int(rate * _BUCKETS)
+    d = split_assign(df, key, weights).withColumn(
+        "in_sample", hash_bucket(key, "s1") < threshold
+    )
+    w = Window.partitionBy(group).orderBy(
+        hash_bucket(key, "grp").asc(), F.col(key).asc()
+    )
+    return d.withColumn(
+        "in_group_quota", F.row_number().over(w) <= n_per_group
+    )
+
+
+def sampling_profile_sql(
+    source: str,
+    key_expr: str,
+    group: str,
+    rate: float = 0.25,
+    n_per_group: int = 20,
+    weights: dict[str, float] | None = None,
+) -> str:
+    threshold = int(rate * _BUCKETS)
+    inner = split_assign_sql(source, key_expr, weights)
+    b_sample = _bucket_duck(key_expr, "s1")
+    b_grp = _bucket_duck(key_expr, "grp")
+    return f"""
+SELECT * EXCLUDE (__rn), __rn <= {n_per_group} AS in_group_quota
+FROM (
+  SELECT *, {b_sample} < {threshold} AS in_sample,
+         row_number() OVER (
+           PARTITION BY {group} ORDER BY {b_grp} ASC, {key_expr} ASC) AS __rn
+  FROM ({inner}) s
+) r
 """

@@ -375,9 +375,8 @@ def train_ivf_codebook(
 
     if not vecs_q:
         raise ValueError(
-            "IVF codebook training got an empty sample — the corpus has "
-            "no rows with vec_id < sample_n (ids must start near 0, or "
-            "pass a larger sample_n)"
+            "IVF codebook training got an empty sample — the embeddings "
+            "table has no rows"
         )
     X = np.asarray(vecs_q, dtype=np.float64)
     k = min(n_clusters, len(X))
@@ -406,14 +405,22 @@ def ivf_codebook(
 ) -> list[list[int]]:
     """Train the IVF coarse quantizer from a bounded corpus sample.
 
-    The collect is bounded by ``sample_n`` rows (pushed-down
-    ``vec_id < sample_n`` filter) however large the corpus is — the
-    codebook is driver-sized by construction, like any IVF index.
+    The sample is the first ``sample_n`` rows in MD5-OF-ID ORDER — a
+    deterministic hash shuffle, so on a real corpus where vec_id
+    encodes ingest order the codebook trains on a uniform slice of the
+    whole corpus, not the earliest shard (an id-prefix sample would).
+    Spark executes it as TakeOrderedAndProject (per-partition top-k +
+    driver merge — no global sort materialization), so the collect is
+    bounded by ``sample_n`` rows however large the corpus is; the
+    codebook is driver-sized by construction, like any IVF index. The
+    DuckDB twin replays the identical hash order from the same parquet.
     """
     rows = (
-        emb.where(F.col("vec_id") < sample_n).select("vec_id", "embedding").collect()
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(sample_n)
+        .collect()
     )
-    rows.sort(key=lambda r: r.vec_id)
     return train_ivf_codebook(
         [_quantize_py(r.embedding) for r in rows], n_clusters, iters
     )
@@ -515,11 +522,14 @@ def codebook_from_parquet(
 ) -> list[list[int]]:
     """Oracle-side codebook: same sample, same trainer, no Spark.
 
-    Reads the same ``vec_id < sample_n`` rows straight from the parquet
-    (float32 → Python float is exact in both readers) and runs
+    Replays :func:`ivf_codebook`'s md5-ordered top-``sample_n`` sample
+    straight from the parquet (float32 → Python float is exact in both
+    readers; ``hashlib.md5`` of the decimal id string is byte-identical
+    to Spark's ``md5(cast(vec_id AS STRING))``) and runs
     :func:`train_ivf_codebook` — bit-identical centroids to
     :func:`ivf_codebook` on the same table.
     """
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
@@ -528,9 +538,12 @@ def codebook_from_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     rows = sorted(
-        (r for r in t.to_pylist() if r["vec_id"] < sample_n),
-        key=lambda r: r["vec_id"],
-    )
+        t.to_pylist(),
+        key=lambda r: (
+            hashlib.md5(str(r["vec_id"]).encode()).hexdigest(),
+            r["vec_id"],
+        ),
+    )[:sample_n]
     return train_ivf_codebook(
         [_quantize_py(r["embedding"]) for r in rows], n_clusters, iters
     )

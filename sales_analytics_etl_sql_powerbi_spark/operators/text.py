@@ -20,6 +20,8 @@ __all__ = [
     "token_count_bpe",
     "lang_id",
     "doc_fingerprint",
+    "doc_profile",
+    "doc_profile_sql",
     "chunk_documents",
     "chunk_documents_sql",
     "vocab_topk",
@@ -181,6 +183,95 @@ FROM documents
 
 def text_stats_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
     return TEXT_STATS_SQL.format(stop=", ".join(f"'{w}'" for w in stopwords))
+
+
+_PROFILE_SIM_BITS = 32
+
+
+def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Per-document signature profile, fused into ONE scan-side projection:
+    token counts (BPE-ish + whitespace), predicted language, content
+    fingerprints, and a 32-bit SimHash — the columns a corpus curation
+    pass annotates every document with before routing.
+
+    Value-identical to running :func:`token_count_bpe` ⋈ :func:`lang_id`
+    ⋈ :func:`doc_fingerprint` ⋈ ``dedup.simhash`` on doc_id (that is the
+    oracle twin, :func:`doc_profile_sql`) — but with no joins and no
+    explode/groupBy shuffle: the SimHash bit votes run as higher-order
+    array folds over the in-row token list, so a 100 TB corpus annotates
+    in a single embarrassingly-parallel pass.
+    """
+    markers = markers or LANG_MARKERS
+    d = docs.withColumn("__tok", tokens_expr("text"))
+    # lang-id argmax with lang-name tie-break (same fold as lang_id())
+    scores = {
+        lang: _in_list_count(F.col("__tok"), words) for lang, words in markers.items()
+    }
+    langs = sorted(markers)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        improved = scores[lang] > best_score
+        best = F.when(improved, F.lit(lang)).otherwise(best)
+        best_score = F.when(improved, scores[lang]).otherwise(best_score)
+    # SimHash over lowercased tokens (dedup.simhash tokenization): 63-bit
+    # md5 per token, ±1 vote per bit, folded per-row — no explode
+    lower_toks = F.split(F.lower(F.trim(F.col("text"))), " +")
+    hi = lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")  # noqa: E731
+    lo = lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")  # noqa: E731
+    d = d.withColumn(
+        "__h",
+        F.transform(
+            lower_toks,
+            lambda t: hi(F.md5(t)).bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(4294967296)
+            + lo(F.md5(t)),
+        ),
+    )
+    def _bit_vote(j: int):
+        def fold(acc, h):
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return fold
+
+    packed = None
+    for j in range(_PROFILE_SIM_BITS):
+        vote = F.aggregate(F.col("__h"), F.lit(0).cast("long"), _bit_vote(j))
+        term = F.when(vote >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.col("__tok")).cast("long").alias("n_ws_tokens"),
+        best.alias("predicted_lang"),
+        best_score.cast("long").alias("marker_hits"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(F.col("__tok"))), " ")).alias(
+            "fingerprint"
+        ),
+        F.md5(F.col("text")).alias("exact_hash"),
+        packed.alias("simhash"),
+    )
+
+
+def doc_profile_sql(markers: dict[str, tuple[str, ...]] | None = None) -> str:
+    """Oracle twin: the proven per-operator SQL twins joined on doc_id
+    (the oracle runs once at sf0.01 — plan quality is irrelevant there;
+    reusing the twins keeps one source of truth per operator)."""
+    from .dedup import simhash_sql
+
+    return f"""
+SELECT t.doc_id, l.labeled_lang, t.n_bpe_tokens, t.n_ws_tokens,
+       l.predicted_lang, l.marker_hits, f.fingerprint, f.exact_hash,
+       s.simhash
+FROM ({TOKEN_COUNT_SQL}) t
+JOIN ({lang_id_sql(markers)}) l ON t.doc_id = l.doc_id
+JOIN ({DOC_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
+JOIN ({simhash_sql()}) s ON t.doc_id = s.doc_id
+"""
 
 
 def quality_filter(

@@ -139,10 +139,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       would lose precision at 1.7e18 — exactly what DuckDB's
       microsecond TIMESTAMP does, so both engines see identical values.
     - parquet ``timestamp[us]`` without a zone, which Spark reads as
-      TimestampNTZType. The session TZ is pinned to UTC
-      (session.get_spark), so casting to TimestampType relabels the
-      same wall-clock instant — values stay identical to DuckDB's
-      naive TIMESTAMP read of the same file.
+      TimestampNTZType. The NTZ→TimestampType cast interprets the
+      wall-clock value in the SESSION time zone, so it is pinned to
+      UTC here (runtime-settable, same defensive treatment as
+      nanosAsLong — the driver builds its own SparkSession and may
+      not run in UTC) before casting; values stay identical to
+      DuckDB's naive TIMESTAMP read of the same file.
 
     Downstream (streaming watermarks, window(), the oracle hash
     compare) always sees one stable type: TimestampType.
@@ -155,6 +157,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, T.TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 

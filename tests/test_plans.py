@@ -27,21 +27,74 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _node_depth(line: str) -> int:
+    """Depth of a plan-tree line = column of its first content char
+    (tree glyphs are drawn with ' ', ':', '+', '-')."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return len(line)
+
+
+def _live_lines(plan: str) -> list[str]:
+    """Plan lines NOT inside an InMemoryRelation subtree.
+
+    A persisted dim's printed plan includes the cached relation's build
+    plan, but that subtree executes at most once per load (cache fill),
+    not per consumer — exchanges inside it are not per-query cost.
+    Ancestors of a line are the nearest lines above with smaller depth.
+    """
+    lines = plan.splitlines()
+    live: list[str] = []
+    for i, line in enumerate(lines):
+        depth = _node_depth(line)
+        cached = False
+        for j in range(i - 1, -1, -1):
+            d = _node_depth(lines[j])
+            if d < depth:
+                if "InMemoryRelation" in lines[j]:
+                    cached = True
+                    break
+                depth = d
+                if d == 0:
+                    break
+        if not cached:
+            live.append(line)
+    return live
+
+
 def test_star_view_is_all_broadcast_joins(spark, plan_sf):
     plan = _plan(pipeline.star(spark, plan_sf)["view"])
+    live = _live_lines(plan)
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("BroadcastHashJoin") >= 6  # staging 3 + view 3
     # No shuffle of the fact-sized side before the view materializes:
-    # every non-broadcast exchange must sit in a dim-sized subtree —
-    # keyed on a dim attribute (platform_name distinct+window,
-    # dim_product's __pid numbering). A hashpartitioning keyed on a
-    # fact column (order key, product_key, customer_id...) fails here.
-    for line in plan.splitlines():
+    # every live (non-cache-fill) exchange must be a broadcast. The
+    # bounded dims persist in star() — their build-side reductions
+    # (platform distinct+window, product numbering, date min/max) run
+    # once per load inside the cache fill, so the per-query plan is
+    # scan → broadcast joins → project with NO exchange of any kind on
+    # the fact-sized stream.
+    for line in live:
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
-            assert ("platform_name" in line) or ("__pid" in line), line
-    # SinglePartition only for bounded reductions: the platform id
-    # window (5 rows) and the dim_date min/max bounds (1 row)
-    assert plan.count("Exchange SinglePartition") <= 3, plan
+            raise AssertionError(f"live shuffle in star view: {line}")
+    assert sum("Exchange SinglePartition" in l for l in live) == 0, plan
+    # the dims really are cache-backed (not silently rebuilt inline)
+    assert plan.count("InMemoryTableScan") >= 4  # platform x2, product x2, date
+
+
+def test_dim_build_funnels_are_bounded(spark, plan_sf):
+    """The cache-fill plans themselves keep their documented shape: the
+    only single-partition funnels are bounded reductions — the platform
+    id window (rows = #platforms) and the dim_date min/max (1 row).
+    The small-path product numbering window is bounded by
+    DENSE_ID_THRESHOLD; past that build_dim_product switches to the
+    range-partitioned path pinned below."""
+    staging = pipeline.staging_orders(spark, plan_sf)
+    platform_plan = _plan(pipeline.build_dim_platform(staging))
+    assert platform_plan.count("Exchange SinglePartition") <= 1, platform_plan
+    date_plan = _plan(pipeline.build_dim_date(spark, staging))
+    assert date_plan.count("Exchange SinglePartition") <= 1, date_plan
 
 
 def test_lineitem_scan_is_column_pruned(spark, plan_sf):
