@@ -449,12 +449,20 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
-    """Strided-byte 'resize' over binary payloads; the oracle compares
-    the scalar projection (dims + checksum), binary equality is unit-
-    test-pinned."""
+    """Strided-byte 'resize' over binary payloads. The compared frame
+    includes the resized payload itself as hex, so the driver's value
+    hash covers the binary path end to end (the resized payload is
+    ≤ width·height = 64 bytes, so the hex column stays tiny)."""
     return multimodal.resize_images(
         multimodal.attach_binary_payload(_docs(spark, sf))
-    ).select("doc_id", "n_bytes", "width", "height", "checksum")
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "checksum",
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:

@@ -224,7 +224,11 @@ _BYTE_AT = "cast(('0x' || substring(__hex, 2*({p}) - 1, 2)) AS INT)"
 
 
 def resize_sql(width: int = 8, height: int = 8) -> str:
-    """DuckDB twin of resize_images' scalar projection (strided bytes)."""
+    """DuckDB twin of resize_images: scalar projection PLUS the resized
+    payload itself as uppercase hex (``payload_hex``) — the driver's
+    hash thereby covers the output BYTES, not just dims+checksum
+    (Spark's ``hex(binary)`` and the reassembled DuckDB hex pairs are
+    both uppercase)."""
     target = width * height
     idx = f"1 + i * greatest(__n // {target}, 1)"
     picked = (
@@ -236,7 +240,10 @@ def resize_sql(width: int = 8, height: int = 8) -> str:
 SELECT doc_id,
        cast(len({picked}) AS BIGINT) AS n_bytes,
        {width} AS width, {height} AS height,
-       cast(coalesce(list_sum({picked}), 0) % 1000003 AS BIGINT) AS checksum
+       cast(coalesce(list_sum({picked}), 0) % 1000003 AS BIGINT) AS checksum,
+       array_to_string(list_transform({picked},
+                                      b -> right('0' || to_hex(b), 2)), '')
+         AS payload_hex
 FROM (
   SELECT doc_id, octet_length(encode(text)) AS __n, to_hex(encode(text)) AS __hex
   FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) > 0

@@ -21,12 +21,13 @@ from __future__ import annotations
 import os
 
 #: bump when the export query changes — stale fixtures regenerate
-_VERSION = "v3"
+_VERSION = "v4"
 #: export as a DIRECTORY of N part files: the realistic shape of a
 #: large export (daily/regional drops), and what makes the Spark scan
 #: split across tasks — a single 60 MB csv is one task under the
-#: default maxPartitionBytes, an 8-file directory parses 8-way.
-_N_PARTS = 8
+#: default maxPartitionBytes; 32 files parse as wide as the bench's
+#: local[32] session.
+_N_PARTS = 32
 
 #: the export derivation (single source of truth for both engines).
 #: Dirt, all deterministic: tab/space-padded + unparseable timestamps

@@ -209,10 +209,86 @@ def events_main() -> None:
         print(f"{name} ({cnt} rows): {time.time()-t0:.1f}s")
 
 
+def rules_main() -> None:
+    """Rules-engine scaling: the 8 chained reference passes over a
+    10M-row product master.
+
+    The claim under test (SURVEY §2.8): apply_passes compiles to
+    chained projections that Catalyst fuses into ONE whole-stage-
+    codegen span over the scan — zero shuffles, zero extra passes,
+    however many rule passes are stacked. Names/SKUs cycle through the
+    reference keyword vocabulary so every CASE chain actually fires.
+    """
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-rules")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    import __spark_entry__ as entry
+    from sales_analytics_etl_sql_powerbi_spark.operators.rules import (
+        REFERENCE_CATEGORY_PASSES,
+        REFERENCE_SUBCATEGORY_PASSES,
+        apply_passes,
+    )
+
+    k = F.col("id")
+    sku = None
+    for i, pfx in enumerate(entry._REF_SKU_PREFIXES):
+        b = F.concat(F.lit(pfx), k.cast("string"))
+        sku = F.when(k % 11 == i, b) if sku is None else sku.when(k % 11 == i, b)
+    names = F.array(*[F.lit(nm) for nm in entry._REF_RULE_NAMES])
+    master = spark.range(n_rows).select(
+        k.alias("product_id"),
+        sku.otherwise(F.concat(F.lit("PK"), k.cast("string"))).alias("main_sku_code"),
+        F.element_at(names, (k % len(entry._REF_RULE_NAMES) + 1).cast("int")).alias(
+            "english_name"
+        ),
+    )
+
+    passes = REFERENCE_CATEGORY_PASSES + REFERENCE_SUBCATEGORY_PASSES
+    out = apply_passes(master, passes)
+    t0 = time.time()
+    counts = (
+        out.groupBy("category").agg(F.count(F.lit(1)).alias("n")).orderBy("category")
+    ).collect()
+    dt = time.time() - t0
+    total = sum(r.n for r in counts)
+    print(f"rules over {total} rows, {len(passes)} passes: {dt:.1f}s")
+    for r in counts:
+        print(f"  {r.category}: {r.n}")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators print with a '*(stage)' prefix in toString
+    n_cg = plan.count("*(")
+    stages = {
+        plan[i + 2 : plan.index(")", i)] for i in range(len(plan)) if plan.startswith("*(", i)
+    }
+    n_ex = plan.count("Exchange")
+    print(
+        f"plan: codegen'd operators={n_cg} in {len(stages)} span(s), exchanges={n_ex}"
+    )
+    assert n_ex == 0, "rule projection chain must not shuffle"
+    assert len(stages) == 1, "rule chain must fuse into ONE codegen span"
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rules":
+        rules_main()
     else:
         main()

@@ -55,3 +55,23 @@ def test_sample_per_group_quota(spark):
     assert all(len(v) == 7 for v in per.values())
     # hash-ordered, not arrival-ordered: not simply doc_id 0..6
     assert sorted(per["en"])[:7] != [0, 3, 6, 9, 12, 15, 18]
+
+
+def test_sampling_profile_flags_match_operators(spark):
+    """Filtering on each flag must reproduce the standalone operator's
+    output row-for-row (same salts, same buckets)."""
+    df = frame(spark)
+    prof = sampling.sampling_profile(df, "doc_id", "lang", rate=0.3, n_per_group=15)
+    rows = prof.collect()
+
+    sampled = {r.doc_id for r in sampling.deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert {r.doc_id for r in rows if r.in_sample} == sampled
+
+    splits = {r.doc_id: r.split for r in sampling.split_assign(df, "doc_id").collect()}
+    assert {r.doc_id: r.split for r in rows} == splits
+
+    quota = {
+        r.doc_id
+        for r in sampling.sample_per_group(df, "lang", "doc_id", n=15).collect()
+    }
+    assert {r.doc_id for r in rows if r.in_group_quota} == quota

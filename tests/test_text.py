@@ -125,3 +125,41 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2].n_urls == 2
     assert got[3].scrubbed_text == "nothing sensitive here"
     assert got[4].scrubbed_text is None and got[4].n_emails is None
+
+
+def test_doc_profile_matches_per_operator_composition(spark):
+    """The fused single-pass profile must be value-identical to running
+    the four standalone operators and joining on doc_id (that is also
+    the shape of its DuckDB oracle twin)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze", "de"),
+            (2, "the fast cat of the house", "en"),
+            (3, "el que de los rios", "es"),
+            (4, "hello world42! mixed  spacing", "en"),
+        ],
+        DOCS,
+    )
+    fused = {r.doc_id: r for r in text.doc_profile(df).collect()}
+    toks = {r.doc_id: r for r in text.token_count_bpe(df).collect()}
+    langs = {r.doc_id: r for r in text.lang_id(df).collect()}
+    fps = {r.doc_id: r for r in text.doc_fingerprint(df).collect()}
+    sims = {r.doc_id: r for r in dedup.simhash(df).collect()}
+    assert set(fused) == {1, 2, 3, 4}
+    for i, r in fused.items():
+        assert r.n_bpe_tokens == toks[i].n_bpe_tokens
+        assert r.n_ws_tokens == toks[i].n_ws_tokens
+        assert r.labeled_lang == langs[i].labeled_lang
+        assert r.predicted_lang == langs[i].predicted_lang
+        assert r.marker_hits == langs[i].marker_hits
+        assert r.fingerprint == fps[i].fingerprint
+        assert r.exact_hash == fps[i].exact_hash
+        assert r.simhash == sims[i].simhash
+
+
+def test_doc_profile_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c", "en")], DOCS)
+    plan = text.doc_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # one scan-side projection
