@@ -223,17 +223,30 @@ def q_customer_dim_repair(spark: SparkSession, sf: str) -> DataFrame:
     seed the dim with only even-keyed customers and hole out a third of
     their state codes, then anti-join insert-if-missing (upsert) and
     NULL-backfill from staging. The pair must restore the canonical dim
-    exactly — the oracle compares against a clean build."""
-    staging = _staging(spark, sf)
-    dim = pipeline.build_dim_customer(staging.where(F.col("customer_id") % 2 == 0))
+    exactly — the oracle compares against a clean build.
+
+    The customer-level attributes are distinct-reduced from staging
+    ONCE and persisted (customer-sized, tiny) — seeding, the upsert
+    side, and the backfill source all reuse that one reduction instead
+    of re-running the staging join per consumer (4 scans → 1). Same
+    values by construction: build_dim_customer IS that distinct, and
+    the backfill's max-per-key over distinct tuples equals max over
+    raw rows.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    cust = pipeline.build_dim_customer(_staging(spark, sf)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dim = cust.where(F.col("customer_id") % 2 == 0)
     holed = dim.withColumn(
         "state_code",
         F.when(F.col("customer_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
             F.col("state_code")
         ),
     )
-    upserted = upsert_missing(holed, staging, "customer_id")
-    return backfill_from_staging(upserted, staging, "customer_id", ["state_code"])
+    upserted = upsert_missing(holed, cust, "customer_id")
+    return backfill_from_staging(upserted, cust, "customer_id", ["state_code"])
 
 
 _REF_RULE_NAMES = (

@@ -56,6 +56,9 @@ def main() -> None:
     # whichever query runs first.
     spark.range(10).count()
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warm the Arrow collection path too (first toPandas pays ~3s of
+    # one-time Arrow/codegen init that is session cost, not query cost)
+    spark.range(1000).selectExpr("id", "cast(id as string) s").toPandas()
     # the CSV roundtrip query times the distributed SCAN + cleaning; the
     # one-time fixture export (a DuckDB COPY of the raw order export) is
     # environment setup, not query cost — materialize it outside the clock
