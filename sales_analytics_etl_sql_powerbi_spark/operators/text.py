@@ -202,7 +202,12 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
     in a single embarrassingly-parallel pass.
     """
     markers = markers or LANG_MARKERS
-    d = docs.withColumn("__tok", tokens_expr("text"))
+    # NULL-text docs are excluded (nothing to profile): matches the
+    # oracle twin, whose inner join against the simhash subquery —
+    # token streams only exist for non-NULL text — drops them too.
+    d = docs.where(F.col("text").isNotNull()).withColumn(
+        "__tok", tokens_expr("text")
+    )
     # lang-id argmax with lang-name tie-break (same fold as lang_id())
     scores = {
         lang: _in_list_count(F.col("__tok"), words) for lang, words in markers.items()

@@ -108,3 +108,106 @@ def test_int_with_default_overflow_to_default(spark):
     )
     got = [r.v for r in df.select(int_with_default("n").alias("v")).collect()]
     assert got == [1, 1, 2147483647]
+
+
+# ---------------------------------------------------------------------------
+# Rules-compiler equivalence fuzz: arbitrary pass structures must compile
+# identically to Catalyst expressions (apply_passes) and ANSI SQL
+# (passes_to_sql → DuckDB). Operands stay ASCII — the property under test
+# is the COMPILER (pass order, guards, ELSE modes, first-match-wins), not
+# unicode case folding.
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefgh ", min_size=1, max_size=8)
+_operand = st.builds(
+    lambda w, pre, suf: f"{'%' if pre else ''}{w}{'%' if suf else ''}",
+    _word,
+    st.booleans(),
+    st.booleans(),
+)
+_pred = st.tuples(
+    st.sampled_from(["main_sku_code", "english_name", "category"]),
+    st.sampled_from(["like", "eq"]),
+    _operand,
+)
+_when = st.builds(
+    lambda v, preds: __import__(
+        "sales_analytics_etl_sql_powerbi_spark.operators.rules", fromlist=["When"]
+    ).When(v, tuple(preds)),
+    st.text(alphabet="ABCDEFxyz", min_size=1, max_size=6),
+    st.lists(_pred, min_size=1, max_size=2),
+)
+
+
+def _mk_guard(kind, col, val):
+    from sales_analytics_etl_sql_powerbi_spark.operators.rules import Guard
+
+    if kind == "none":
+        return None
+    if kind == "null":
+        return Guard(null=(col,))
+    if kind == "null_or_blank":
+        return Guard(null_or_blank=(col,))
+    return Guard(eq=((col, val),))
+
+
+_rule_pass = st.builds(
+    lambda target, whens, gkind, gcol, gval, else_kind, else_val: __import__(
+        "sales_analytics_etl_sql_powerbi_spark.operators.rules", fromlist=["RulePass"]
+    ).RulePass(
+        target=target,
+        whens=tuple(whens),
+        guard=_mk_guard(gkind, gcol, gval),
+        else_={"keep": "__KEEP__", "lit": else_val, "null": None}[else_kind],
+    ),
+    st.sampled_from(["category", "subcategory"]),
+    st.lists(_when, max_size=3),
+    st.sampled_from(["none", "null", "null_or_blank", "eq"]),
+    st.sampled_from(["category", "subcategory"]),
+    st.text(alphabet="abcdXY", max_size=5),
+    st.sampled_from(["keep", "lit", "null"]),
+    st.text(alphabet="KLMn", min_size=1, max_size=4),
+)
+
+_cell = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("  "),
+    st.text(alphabet="ABCDEFGHabcdefgh %_", max_size=14),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_rule_pass, min_size=1, max_size=4),
+    st.lists(st.tuples(_cell, _cell, _cell, _cell), min_size=1, max_size=12),
+)
+def test_rules_compilers_agree_on_arbitrary_passes(spark, passes, cells):
+    from sales_analytics_etl_sql_powerbi_spark.operators.rules import (
+        apply_passes,
+        passes_to_sql,
+    )
+
+    cols = ["main_sku_code", "english_name", "category", "subcategory"]
+    rows = [(str(i),) + c[1:] for i, c in enumerate(cells)]  # unique key col
+    df = spark.createDataFrame(
+        rows,
+        "main_sku_code string, english_name string, category string, subcategory string",
+    )
+    spark_out = {
+        r.main_sku_code: (r.category, r.subcategory)
+        for r in apply_passes(df, passes).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base (main_sku_code VARCHAR, english_name VARCHAR,"
+        " category VARCHAR, subcategory VARCHAR)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", rows)
+    sql = passes_to_sql("SELECT * FROM base", passes, base_columns=cols)
+    duck_out = {r[0]: (r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert spark_out == duck_out
