@@ -399,9 +399,13 @@ def q_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality gate → exact dedup → per-lang counts, composed end to
-    end (the quality_filter operator is exercised inside this chain)."""
-    return text.corpus_clean(_docs(spark, sf))
+    """Quality gate → benchmark decontamination → exact dedup →
+    per-lang counts, composed end to end (quality_filter and
+    decontaminate are exercised inside this chain; the 'benchmark' is a
+    deterministic 1/97 slice of the corpus, mirrored in the oracle)."""
+    docs = _docs(spark, sf)
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return text.corpus_clean(docs, benchmark=benchmark)
 
 
 def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
@@ -856,7 +860,9 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents) injected"
             )
         ),
-        "corpus_clean": text.corpus_clean_sql(),
+        "corpus_clean": text.corpus_clean_sql(
+            benchmark_source="(SELECT * FROM documents WHERE doc_id % 97 = 0) bm"
+        ),
         "corpus_sampling": _sampling_profile_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "neardup_pairs": dedup.neardup_pairs_sql(),

@@ -132,7 +132,7 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _shingle_sets_duck(k: int = 3) -> str:
+def _shingle_sets_duck(k: int = 3, source: str = "documents") -> str:
     parts = " || ' ' || ".join(f"__tok[i + {j}]" for j in range(k))
     return f"""
 SELECT doc_id, list_sort(list_distinct(
@@ -140,13 +140,13 @@ SELECT doc_id, list_sort(list_distinct(
        THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
        ELSE [array_to_string(__tok, ' ')] END)) AS sh_set
 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
-      FROM documents) d
+      FROM {source}) d
 """
 
 
-def _shingles_duck(k: int = 3) -> str:
+def _shingles_duck(k: int = 3, source: str = "documents") -> str:
     return f"""
-SELECT doc_id, unnest(sh_set) AS shingle FROM ({_shingle_sets_duck(k)}) s
+SELECT doc_id, unnest(sh_set) AS shingle FROM ({_shingle_sets_duck(k, source)}) s
 """
 
 

@@ -22,6 +22,8 @@ __all__ = [
     "doc_fingerprint",
     "doc_profile",
     "doc_profile_sql",
+    "decontaminate",
+    "decontaminate_sql",
     "chunk_documents",
     "chunk_documents_sql",
     "vocab_topk",
@@ -318,14 +320,85 @@ WHERE n_tokens >= {min_tokens}
 """
 
 
-def corpus_clean(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
-    """End-to-end corpus cleaning: quality gate → exact dedup → per-lang
-    counts. The composition a pre-training data pipeline runs nightly;
-    every stage is the oracle-checked operator above, fused by Catalyst
-    into one scan + one aggregate exchange per stage.
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, k: int = 3, min_overlap: int = 2
+) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene step that
+    keeps eval data out of the training corpus: flag every doc sharing
+    at least ``min_overlap`` distinct lowercased word ``k``-grams with
+    the benchmark corpus.
+
+    Scale shape: the benchmark side (eval sets — thousands of rows,
+    never TBs) distinct-reduces to its shingle vocabulary and
+    BROADCASTS; the corpus side is one explode + broadcast hash join +
+    doc-keyed count. Nothing corpus-sized shuffles — the only exchange
+    carries (doc_id, hit) rows for docs that overlap at all
+    (output-bound, like the LSH pair path).
+    """
+    from .dedup import shingle_docs
+
+    bench_sh = shingle_docs(benchmark, k).select("shingle").distinct()
+    hits = (
+        shingle_docs(docs, k)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_hits"))
+    )
+    n = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_contaminated_shingles"),
+        (n >= min_overlap).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    benchmark_source: str,
+    corpus_source: str = "documents",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    from .dedup import _shingles_duck
+
+    return f"""
+WITH bench_sh AS (
+  SELECT DISTINCT shingle FROM ({_shingles_duck(k, benchmark_source)}) b
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT shingle) AS n_hits
+  FROM ({_shingles_duck(k, corpus_source)}) s
+  JOIN bench_sh USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_shingles,
+       coalesce(h.n_hits, 0) >= {min_overlap} AS contaminated
+FROM {corpus_source} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def corpus_clean(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    benchmark: DataFrame | None = None,
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate → benchmark
+    decontamination (when a ``benchmark`` frame is given) → exact dedup
+    → per-lang counts. The composition a pre-training data pipeline
+    runs nightly; every stage is the oracle-checked operator above,
+    fused by Catalyst into one scan + one aggregate exchange per stage.
     """
     kept = quality_filter(docs, stopwords=stopwords).select("doc_id")
     surviving = docs.join(kept, "doc_id")
+    if benchmark is not None:
+        clean_ids = (
+            decontaminate(surviving, benchmark, k, min_overlap)
+            .where(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        surviving = surviving.join(clean_ids, "doc_id")
     canonical = surviving.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -340,17 +413,32 @@ def corpus_clean(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
     )
 
 
-def corpus_clean_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
+def corpus_clean_sql(
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    benchmark_source: str | None = None,
+    k: int = 3,
+    min_overlap: int = 2,
+) -> str:
+    decontam = ""
+    surviving_src = "surviving"
+    if benchmark_source is not None:
+        decontam = f""",
+decontam AS ({decontaminate_sql(benchmark_source, "surviving", k, min_overlap)}),
+clean AS (
+  SELECT s.* FROM surviving s
+  JOIN decontam dc ON s.doc_id = dc.doc_id AND NOT dc.contaminated
+)"""
+        surviving_src = "clean"
     return f"""
 WITH kept AS (SELECT doc_id FROM ({quality_filter_sql(stopwords=stopwords)}) q),
 surviving AS (
   SELECT d.* FROM documents d JOIN kept k ON d.doc_id = k.doc_id
-),
+){decontam},
 canonical AS (
-  SELECT min(doc_id) AS doc_id FROM surviving GROUP BY md5(text)
+  SELECT min(doc_id) AS doc_id FROM {surviving_src} GROUP BY md5(text)
 )
 SELECT s.lang, count(1) AS n_docs, cast(sum(length(s.text)) AS BIGINT) AS n_chars
-FROM surviving s JOIN canonical c ON s.doc_id = c.doc_id
+FROM {surviving_src} s JOIN canonical c ON s.doc_id = c.doc_id
 GROUP BY s.lang ORDER BY s.lang
 """
 

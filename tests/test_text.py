@@ -163,3 +163,47 @@ def test_doc_profile_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c", "en")], DOCS)
     plan = text.doc_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # one scan-side projection
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "quick brown fox is here today with news", "en"),
+            (3, "completely unrelated text about sales data", "en"),
+            (4, "brown fox", "en"),  # short doc: whole text is one shingle
+        ],
+        DOCS,
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps high", "en")], DOCS
+    )
+    got = {r.doc_id: r for r in text.decontaminate(docs, bench, k=3).collect()}
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps' -> contaminated
+    assert got[1].contaminated and got[1].n_contaminated_shingles >= 2
+    # doc 2 shares only 'quick brown fox' -> below min_overlap=2
+    assert not got[2].contaminated and got[2].n_contaminated_shingles == 1
+    assert not got[3].contaminated and got[3].n_contaminated_shingles == 0
+    assert not got[4].contaminated  # 'brown fox' 2-gram is not a bench 3-gram
+
+
+def test_corpus_clean_drops_contaminated_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, "unrelated healthy document with plenty of distinct tokens here", "en"),
+            (3, "another clean document carrying many different words indeed", "de"),
+        ],
+        DOCS,
+    )
+    bench = spark.createDataFrame([(9, base, "en")], DOCS)
+    with_bm = {
+        (r.lang): r.n_docs
+        for r in text.corpus_clean(docs, benchmark=bench).collect()
+    }
+    without_bm = {
+        (r.lang): r.n_docs for r in text.corpus_clean(docs).collect()
+    }
+    assert without_bm.get("en", 0) == with_bm.get("en", 0) + 1  # doc 1 dropped
+    assert with_bm.get("de") == without_bm.get("de")
