@@ -143,6 +143,18 @@ def docs_main() -> None:
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"neardup_clusters ({n_clusters} clusters over {n} docs): {time.time()-t0:.1f}s")
 
+    # benchmark decontamination: a 1% corpus slice plays the eval set
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as text_ops
+
+    bench = big.where(F.col("doc_id") % 100 == 0)
+    t0 = time.time()
+    flagged = (
+        text_ops.decontaminate(big, bench)
+        .where(F.col("contaminated"))
+        .count()
+    )
+    print(f"decontaminate ({flagged} contaminated of {n}): {time.time()-t0:.1f}s")
+
     leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
     print(f"persistent storage entries after run: {leftover}")
 
