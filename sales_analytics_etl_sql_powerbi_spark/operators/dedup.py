@@ -474,14 +474,17 @@ def neardup_clusters(
     pairs with Jaccard ≥ threshold; unpaired docs are their own
     cluster.
 
-    Iterative min-label propagation, Spark-style: each round is one
-    join + aggregate over (edges ∪ self-loops); the driver only reads a
-    single changed-row COUNT per round (no data collected). Rounds
-    needed = graph diameter — near-dup clusters are shallow (dup sets,
-    not long chains), so convergence is fast; ``max_iters`` bounds the
+    Iterative min-label propagation, Spark-style: each round is ONE job
+    — join + aggregate over (edges ∪ self-loops) — with the
+    convergence signal (changed-row count) riding that same job as an
+    ``observe`` metric, so the driver never runs a second pass or
+    collects data to decide termination. Rounds needed = graph
+    diameter — near-dup clusters are shallow (dup sets, not long
+    chains), so convergence is fast; ``max_iters`` bounds the
     pathological chain. DuckDB twin: recursive-CTE transitive closure +
     min per node (exact same fixpoint).
     """
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     edges = neardup_pairs(docs, k, threshold).select("doc_a", "doc_b")
@@ -503,22 +506,27 @@ def neardup_clusters(
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("dst", "doc_id")
         )
+        relabeled = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("__old"),
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+            relabeled.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("cluster_id") != F.col("__old")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
             )
+            .select("doc_id", "cluster_id")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_labels.count()  # materializes the round AND fills the metric
+        changed = obs.get["changed"]
         labels.unpersist()
         labels = new_labels
         if changed == 0:
