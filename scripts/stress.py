@@ -221,6 +221,79 @@ def events_main() -> None:
         print(f"{name} ({cnt} rows): {time.time()-t0:.1f}s")
 
 
+def skew_main() -> None:
+    """AQE skew-join probe: one hot key carrying ~half the fact rows.
+
+    The realistic shape behind the reference's numbers (Amazon ~56% of
+    units, FL ~10% of states): a shuffle join where one key's partition
+    dwarfs the rest. Verifies AQE's skew-join splitting actually
+    engages (`isSkew=true` in the final adaptive plan) and the join
+    finishes without a straggler dominating wall-clock; the salting
+    operator (`operators/skew.py`) remains the manual fallback for
+    engines/settings without AQE.
+    """
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-skew")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # force the shuffle path: a broadcast join would hide the skew
+        # (AQE has its own runtime broadcast threshold — disable both)
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    # ~50% of rows share key 0; the rest spread over 100k keys
+    fact = spark.range(n_rows).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 100_000)
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        # widen rows so the hot partition crosses the skew threshold
+        F.repeat(F.concat(F.lit("pad-"), F.col("id").cast("string")), 8).alias("pad"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id").cast("string")).alias("attr")
+    )
+
+    # Downstream shape matters: a groupBy on the JOIN KEY would reuse
+    # the join's hash distribution, and AQE then declines to split the
+    # skewed partition (splitting would force a re-shuffle; override
+    # exists via spark.sql.adaptive.forceOptimizeSkewedJoin). A global
+    # aggregate — or any consumer without a same-key distribution
+    # requirement, e.g. a write — lets the split happen. Probed both;
+    # asserting on the shape where the optimization applies.
+    joined = fact.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    t0 = time.time()
+    row = joined.collect()[0]
+    dt = time.time() - t0
+    print(f"skew join+agg over {n_rows} rows: {dt:.1f}s; joined rows: {row.n}")
+
+    # read the plan from the EXECUTED frame — AQE's skew decision only
+    # exists in the final adaptive plan, after runtime stats arrive
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    skew_marks = plan.count("skew=true") + plan.count("and skewed")
+    print(f"final adaptive plan skew-split markers: {skew_marks}")
+    assert "isFinalPlan=true" in plan, "plan was not executed adaptively"
+    assert skew_marks > 0, "AQE skew splitting did not engage — check thresholds"
+
+
 def rules_main() -> None:
     """Rules-engine scaling: the 8 chained reference passes over a
     10M-row product master.
@@ -302,5 +375,7 @@ if __name__ == "__main__":
         events_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--rules":
         rules_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_main()
     else:
         main()
