@@ -519,6 +519,13 @@ def q_events_running_totals(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf: str) -> DataFrame:
+            # The driver builds its own SparkSession; every DATE→
+            # TIMESTAMP boundary cast (and string timestamp parse)
+            # interprets wall-clock values in the SESSION zone, while
+            # the DuckDB oracle is zone-naive. Pin UTC defensively
+            # (runtime-settable) so hashes cannot shift under a
+            # non-UTC driver environment.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return _boundary(fn(spark, sf))
 
         return run

@@ -234,19 +234,28 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
             + lo(F.md5(t)),
         ),
     )
-    def _bit_vote(j: int):
-        def fold(acc, h):
-            return acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return fold
-
-    packed = None
-    for j in range(_PROFILE_SIM_BITS):
-        vote = F.aggregate(F.col("__h"), F.lit(0).cast("long"), _bit_vote(j))
-        term = F.when(vote >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
+    # ONE fold accumulates all 32 bit votes as an array (vs 32 separate
+    # folds — 32x less generated code, one pass over the token hashes),
+    # then a second tiny fold packs the sign vector into the integer
+    b = _PROFILE_SIM_BITS
+    packed = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              __h,
+              array_repeat(0L, {b}),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {b - 1}),
+                          j -> CASE WHEN (shiftright(h, j) & 1) = 1
+                               THEN 1L ELSE -1L END),
+                (a, v) -> a + v)),
+            sequence(0, {b - 1}),
+            (s, j) -> CASE WHEN s >= 0 THEN shiftleft(1L, j) ELSE 0L END),
+          0L, (a, t) -> a + t)
+        """
+    )
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
