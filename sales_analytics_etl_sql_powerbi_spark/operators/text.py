@@ -402,8 +402,12 @@ def corpus_clean(
     kept = quality_filter(docs, stopwords=stopwords).select("doc_id")
     surviving = docs.join(kept, "doc_id")
     if benchmark is not None:
+        # contamination is a per-doc property vs the benchmark shingle
+        # vocabulary only, so it runs over the RAW scan and intersects —
+        # identical result to decontaminating the quality-filtered set,
+        # without recomputing the quality stack under the shingle branch
         clean_ids = (
-            decontaminate(surviving, benchmark, k, min_overlap)
+            decontaminate(docs, benchmark, k, min_overlap)
             .where(~F.col("contaminated"))
             .select("doc_id")
         )
@@ -432,7 +436,7 @@ def corpus_clean_sql(
     surviving_src = "surviving"
     if benchmark_source is not None:
         decontam = f""",
-decontam AS ({decontaminate_sql(benchmark_source, "surviving", k, min_overlap)}),
+decontam AS ({decontaminate_sql(benchmark_source, "documents", k, min_overlap)}),
 clean AS (
   SELECT s.* FROM surviving s
   JOIN decontam dc ON s.doc_id = dc.doc_id AND NOT dc.contaminated
