@@ -285,6 +285,13 @@ _REF_RULE_NAMES = (
     "rack",
     "Spare Filter Pack",
     "Gizmo Multi Tool",
+    # reachable pass-C refinements not shadowed by pass-B keywords
+    "Dining Set Deluxe",
+    "Velvet Chaise Lounge",
+    "Oak Nightstand",
+    "Toy Organizer Bin",
+    "White Bookshelf Tall",
+    "Canopy Bundle Kit",
 )
 
 _REF_SKU_PREFIXES = ("CN", "NB", "HZ", "SZ", "HIFINE", "CN1139-")
