@@ -170,6 +170,9 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_id", T.IntegerType()),
         T.StructField("n_frame_bytes", T.LongType()),
         T.StructField("frame_checksum", T.LongType()),
+        # the frame BYTES as uppercase hex — puts the binary content
+        # itself under the driver's value hash, like resize's payload_hex
+        T.StructField("frame_hex", T.StringType()),
     ]
 )
 
@@ -209,11 +212,15 @@ def sample_frames(
                             "frame_id": k * every_n,
                             "n_frame_bytes": len(frame),
                             "frame_checksum": sum(frame) % 1_000_003,
+                            "frame_hex": frame.hex().upper(),
                         }
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "frame_id", "n_frame_bytes", "frame_checksum"],
+                columns=[
+                    "doc_id", "frame_id", "n_frame_bytes", "frame_checksum",
+                    "frame_hex",
+                ],
             )
 
     return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
@@ -264,7 +271,8 @@ def sample_frames_sql(
     return f"""
 SELECT doc_id, cast(fid AS INT) AS frame_id,
        cast({nfb} AS BIGINT) AS n_frame_bytes,
-       cast(coalesce({checksum}, 0) % 1000003 AS BIGINT) AS frame_checksum
+       cast(coalesce({checksum}, 0) % 1000003 AS BIGINT) AS frame_checksum,
+       substring(__hex, ({start}) * 2 + 1, ({nfb}) * 2) AS frame_hex
 FROM (
   SELECT doc_id, __n, __hex,
          unnest(range(0, cast(ceil(__n / cast({frame_bytes} AS DOUBLE)) AS BIGINT))) AS fid

@@ -236,3 +236,36 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
         q.awaitTermination(120)
         back = spark.read.parquet(out)
         assert back.count() == df.select("event_id").distinct().count()
+
+
+def test_stream_order_export_matches_batch(spark, tmp_path):
+    """The continuous CSV front door must produce exactly the batch
+    path's typed staging frame (same cleaning stack, same values)."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
+        ensure_order_export_csv,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_input
+    from sales_analytics_etl_sql_powerbi_spark.pipeline import clean_order_export
+    from sales_analytics_etl_sql_powerbi_spark.streaming.ingest import (
+        stream_order_export,
+    )
+
+    path = ensure_order_export_csv("/root/testdata/sf0.001")
+    batch = clean_order_export(read_input(spark, path))
+
+    out = stream_order_export(spark, path, max_files_per_trigger=8)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_ingest")
+    assert got.schema == batch.schema
+    key = lambda r: (r.order_id, r.line_number)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, batch.collect()), key=lambda t: (t[0], t[1])
+    )
