@@ -102,7 +102,11 @@ def read_excel(
 def read_input(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """S3 — dispatch by extension, raise on unknown.
 
-    Mirrors reference etl/order_info_etl.py:174-180.
+    Mirrors reference etl/order_info_etl.py:174-180, widened with the
+    corpus drop formats a training-data pipeline ingests: JSON-lines
+    (schema inferred — JSON carries types, unlike the all-string CSV
+    contract) and raw text (one row per line, ``value`` column). All
+    are distributed scans; only the Excel shim is driver-side.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".csv":
@@ -111,6 +115,10 @@ def read_input(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFram
         return read_excel(spark, path, sheet=sheet)
     if ext == ".parquet":
         return spark.read.parquet(path)
+    if ext in (".json", ".jsonl", ".ndjson"):
+        return spark.read.json(path)
+    if ext == ".txt":
+        return spark.read.text(path)
     raise ValueError(f"Unsupported input extension: {ext!r} ({path})")
 
 

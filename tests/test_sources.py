@@ -32,7 +32,7 @@ def test_csv_all_string_bom_header(spark, tmp_path):
 
 def test_read_input_dispatch(spark, tmp_path):
     with pytest.raises(ValueError, match="Unsupported input extension"):
-        read_input(spark, "/nope/file.txt")
+        read_input(spark, "/nope/file.avro")
 
 
 def test_read_events_nanos_normalized(spark, sf_dir):
@@ -211,3 +211,21 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
     assert joined.count() == li.count()
     spark.sql(f"DROP TABLE li_b_{suffix}")
     spark.sql(f"DROP TABLE ord_b_{suffix}")
+
+
+def test_read_input_jsonl_and_text(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello"}\n{"doc_id": 2, "text": "world"}\n')
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_input
+
+    df = read_input(spark, str(p))
+    assert sorted((r.doc_id, r.text) for r in df.collect()) == [
+        (1, "hello"),
+        (2, "world"),
+    ]
+
+    t = tmp_path / "corpus.txt"
+    t.write_text("line one\nline two\n")
+    tf = read_input(spark, str(t))
+    assert tf.columns == ["value"]
+    assert sorted(r.value for r in tf.collect()) == ["line one", "line two"]
