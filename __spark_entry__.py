@@ -232,6 +232,16 @@ def q_customer_dim_repair(spark: SparkSession, sf: str) -> DataFrame:
     values by construction: build_dim_customer IS that distinct, and
     the backfill's max-per-key over distinct tuples equals max over
     raw rows.
+
+    Cache lifetime (deliberate, documented): the persist has no
+    matching unpersist because the returned DataFrame is lazy — the
+    driver materializes it AFTER this function returns, so unpersisting
+    here would defeat the reuse. Repeat calls do not grow the cache:
+    Spark's CacheManager deduplicates by analyzed plan, and every call
+    with the same (spark, sf) builds the identical plan, so all calls
+    share ONE customer-sized (bounded: ≤ distinct customers) entry
+    that lives until session end or LRU eviction — the same contract
+    ``pipeline.star`` documents for its bounded-dim persists.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -300,8 +310,9 @@ _REF_SKU_PREFIXES = ("CN", "NB", "HZ", "SZ", "HIFINE", "CN1139-")
 def _ref_rules_base(spark: SparkSession, sf: str) -> DataFrame:
     """Synthetic product master carrying the REFERENCE rule vocabulary,
     derived deterministically from the part table (identical derivation
-    in the DuckDB twin). 5 of 11 SKUs hit a prefix rule (pass 1), the
-    rest fall through to the name-keyword passes; CN1139- exercises the
+    in the DuckDB twin). 6 of 11 SKUs hit a prefix rule (pass 1:
+    ``k % 11 in 0..5`` across the six ``_REF_SKU_PREFIXES``), the rest
+    fall through to the name-keyword passes; CN1139- exercises the
     unguarded pass-3 override of a pass-1 result."""
     k = F.col("p_partkey")
     sku = None
@@ -529,11 +540,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # The driver builds its own SparkSession; every DATE→
             # TIMESTAMP boundary cast (and string timestamp parse)
             # interprets wall-clock values in the SESSION zone, while
-            # the DuckDB oracle is zone-naive. Pin UTC defensively
-            # (runtime-settable) so hashes cannot shift under a
-            # non-UTC driver environment.
+            # the DuckDB oracle is zone-naive. Pin UTC around plan
+            # construction so hashes cannot shift under a non-UTC
+            # driver environment, then RESTORE the caller's zone:
+            # timezone-sensitive expressions capture their zone at
+            # analysis time (Catalyst's ResolveTimeZone rule binds the
+            # session zone into Cast/date expressions when the
+            # DataFrame is built — verified empirically: a cast
+            # analyzed under UTC keeps UTC wall-clock semantics when
+            # executed under another session zone), so the returned —
+            # already analyzed — plan stays UTC-correct while the
+            # shared session config is left exactly as the caller had
+            # it. Residual caveat (documented, not silently papered
+            # over): client-side RENDERING via toPandas localizes to
+            # the session zone at collect time, so a deliberately
+            # non-UTC caller sees wall-clock values in its own zone —
+            # that is that caller's choice, no longer masked by us.
+            prior = spark.conf.get("spark.sql.session.timeZone", None)
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return _boundary(fn(spark, sf))
+            try:
+                return _boundary(fn(spark, sf))
+            finally:
+                if prior and prior != "UTC":
+                    spark.conf.set("spark.sql.session.timeZone", prior)
 
         return run
 

@@ -447,6 +447,17 @@ def star(
     Server. dim_customer stays lazy: it is data-scaled and not
     referenced by the fact/view path at all. dim_product persists
     inside build_dim_product (memoized, size-adaptive).
+
+    Cache lifetime: these persists have no matching unpersist because
+    the returned frames are lazy — callers materialize them after
+    ``star`` returns. Growth across repeat calls is bounded by
+    CacheManager plan-deduplication (same (spark, sf_dir) → identical
+    analyzed plans → one shared entry per dim), and every persisted
+    input is construction-bounded (5-row platform, ~calendar-sized
+    date), so worst-case residency is a few thousand rows per distinct
+    sf_dir until session end or LRU eviction. A long-lived service
+    embedding this should call ``spark.catalog.clearCache()`` between
+    unrelated loads.
     """
     staging = staging_orders(spark, sf_dir)
     dim_platform = build_dim_platform(staging).persist(StorageLevel.MEMORY_AND_DISK)

@@ -27,8 +27,28 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    force_skew_split: bool = False,
 ) -> SparkSession:
-    """Build (or reuse) the tuned SparkSession."""
+    """Build (or reuse) the tuned SparkSession.
+
+    ``force_skew_split`` sets ``spark.sql.adaptive.forceOptimizeSkewedJoin``,
+    which makes AQE split skewed join partitions even when the split
+    forces an extra shuffle downstream. Background (measured in the
+    round-4 AQE probe, ``scripts/stress.py --skew``, PLAN_AUDIT.md): a
+    20M-row join where one key carries 50% of the rows completes in
+    ~4.9s with the default settings — AQE splits the skewed partition
+    (``SortMergeJoin(skew=true)``) whenever the join output feeds a
+    global aggregate, a DIFFERENT-key aggregation, or a write. The one
+    shape where AQE declines to split is a groupBy on the SAME key as
+    the join (the split would break the reusable hash distribution and
+    force a re-shuffle). Flip this knob ON for deployments where that
+    same-key-downstream skew hurts more than the extra exchange —
+    e.g. a platform-share rollup immediately after a platform-keyed
+    join under an Amazon-56%-of-units distribution; leave it OFF
+    (default) when the downstream aggregate benefits from reusing the
+    join's partitioning. Manual salting (``operators/skew.py``) remains
+    the surgical per-join alternative.
+    """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -42,6 +62,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "true" if force_skew_split else "false",
+        )
         # -- shuffle sizing --
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # -- scan sizing: 128MB splits keep 100TB scans at ~800k tasks --

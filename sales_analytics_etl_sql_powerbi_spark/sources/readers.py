@@ -165,8 +165,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(dt, T.TimestampNTZType):
+        # Pin UTC only around building the cast — the session zone is
+        # bound into the Cast at analysis time (ResolveTimeZone), so
+        # the caller's zone can be restored immediately without the
+        # plan changing meaning. No lasting session mutation.
+        prior = spark.conf.get("spark.sql.session.timeZone", None)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        try:
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        finally:
+            if prior and prior != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", prior)
     return df
 
 

@@ -130,7 +130,14 @@ def test_scrub_pii_redacts_and_counts(spark):
 def test_doc_profile_matches_per_operator_composition(spark):
     """The fused single-pass profile must be value-identical to running
     the four standalone operators and joining on doc_id (that is also
-    the shape of its DuckDB oracle twin)."""
+    the shape of its DuckDB oracle twin).
+
+    The fixture deliberately covers the degenerate shapes where an
+    independent reimplementation drifts first: NULL text (excluded from
+    the profile — and must stay excluded), empty string, whitespace-only
+    text, runs of internal spaces + leading/trailing space, unicode
+    (accents, CJK, emoji), a single token, and duplicated tokens (the
+    SimHash vote weight and fingerprint's distinct-set must agree)."""
     from sales_analytics_etl_sql_powerbi_spark.operators import dedup
 
     df = spark.createDataFrame(
@@ -139,6 +146,13 @@ def test_doc_profile_matches_per_operator_composition(spark):
             (2, "the fast cat of the house", "en"),
             (3, "el que de los rios", "es"),
             (4, "hello world42! mixed  spacing", "en"),
+            (5, None, "en"),  # NULL text: excluded everywhere
+            (6, "", "en"),  # empty string
+            (7, "   ", "en"),  # whitespace-only
+            (8, "  der   hund  und   die  ", "de"),  # space runs + padding
+            (9, "café naïve 猫と犬 🚀 émigré", "fr"),  # unicode
+            (10, "solo", "en"),  # single token
+            (11, "the the the cat cat", "en"),  # duplicate tokens
         ],
         DOCS,
     )
@@ -147,7 +161,8 @@ def test_doc_profile_matches_per_operator_composition(spark):
     langs = {r.doc_id: r for r in text.lang_id(df).collect()}
     fps = {r.doc_id: r for r in text.doc_fingerprint(df).collect()}
     sims = {r.doc_id: r for r in dedup.simhash(df).collect()}
-    assert set(fused) == {1, 2, 3, 4}
+    assert set(fused) == {1, 2, 3, 4, 6, 7, 8, 9, 10, 11}  # 5 (NULL) dropped
+    assert 5 not in sims  # standalone simhash drops NULL text too
     for i, r in fused.items():
         assert r.n_bpe_tokens == toks[i].n_bpe_tokens
         assert r.n_ws_tokens == toks[i].n_ws_tokens
