@@ -132,3 +132,108 @@ def test_fact_filters_reach_the_scan(spark, plan_sf):
     # not only as post-join filters
     assert "PushedFilters: [" in plan
     assert "isnotnull" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN plan guards — the "never all-pairs" claims from
+# PLAN_AUDIT.md, pinned as assertions (VERDICT r4 item 3). Candidate
+# generation in every near-dup / ANN path must stay an equi-join
+# (hash- or sort-merge-based on the band/bucket/cell key); the only
+# nested-loop the family is allowed is the IVF probe-routing cross of
+# two bounded sides (n_queries rows × k centroids).
+# ---------------------------------------------------------------------------
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the plan subtree rooted at lines[i] (tree-drawing depth)."""
+    root_depth = _node_depth(lines[i])
+    out = [lines[i]]
+    for j in range(i + 1, len(lines)):
+        if _node_depth(lines[j]) <= root_depth:
+            break
+        out.append(lines[j])
+    return out
+
+
+def _docs(spark, sf):
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    return read_table(spark, sf, "documents")
+
+
+def _emb(spark, sf):
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    return read_table(spark, sf, "embeddings")
+
+
+def test_neardup_pairs_candidates_are_band_equi_join(spark, plan_sf):
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    plan = _plan(dedup.neardup_pairs(_docs(spark, plan_sf), lazy=True))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the self-join key is the band hash, not doc×doc
+    join_lines = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+    ]
+    assert any("band_hash" in l for l in join_lines), plan
+
+
+def test_embedding_neardup_candidates_are_bucket_equi_join(spark, plan_sf):
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_neardup_pairs(_emb(spark, plan_sf)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    join_lines = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+    ]
+    assert any("bucket" in l for l in join_lines), plan
+
+
+def test_ann_lsh_topk_is_broadcast_bucket_join(spark, plan_sf):
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+
+    plan = _plan(similarity.ann_lsh_topk(_emb(spark, plan_sf)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # tiny query side broadcast → the corpus side is NEVER shuffled for
+    # the candidate join (the only live exchanges are the broadcast
+    # itself and the candidate-sized window repartition)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ann_ivf_topk_nested_loop_is_bounded_probe_routing_only(spark, plan_sf):
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+
+    plan = _plan(similarity.ann_ivf_topk(_emb(spark, plan_sf)))
+    assert "CartesianProduct" not in plan, plan
+    # candidate selection + query re-attach are broadcast equi-joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # at most ONE nested loop: the probe-routing cross of the
+    # vec_id<n_queries slice with the k-row literal centroid table —
+    # both sides bounded by construction, and the corpus scan must NOT
+    # appear inside it
+    lines = plan.splitlines()
+    bnlj = [i for i, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) <= 1, plan
+    for i in bnlj:
+        sub = _subtree(lines, i)
+        # one side is the literal centroid table (compiles to either a
+        # LocalTableScan or a Scan ExistingRDD depending on the
+        # createDataFrame path)…
+        assert any(
+            "LocalTableScan" in l or "Scan ExistingRDD" in l for l in sub
+        ), "\n".join(sub)
+        # …and any file scan on the other side is the filtered query
+        # slice (vec_id < n_queries), never the whole corpus
+        assert any(
+            "Filter" in l and "vec_id" in l and "< 5" in l for l in sub
+        ), "\n".join(sub)
