@@ -99,6 +99,82 @@ def read_excel(
     return df
 
 
+def read_excel_distributed(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    normalize_names: bool = True,
+) -> DataFrame:
+    """S2 at corpus scale — many-file Excel ingest as a distributed scan.
+
+    The single-file shim (:func:`read_excel`) matches the reference's
+    one-sheet semantics (etl/order_info_etl.py:178) and is honest for a
+    single workbook — an xlsx is a non-splittable zip. But a partner
+    landing zone holds MANY workbooks, and there the parallelism unit
+    is the FILE: ``binaryFile`` scan → Arrow-batched ``mapInPandas``
+    with the same pure-stdlib zip+XML parser running per-executor, one
+    workbook per row. 10k workbooks become 10k-way parallel parses with
+    no driver involvement beyond listing.
+
+    Semantics per workbook are identical to :func:`read_excel` (same
+    parser, same ``sheet`` selection, every value a raw string).
+    Columns are aligned BY NORMALIZED HEADER NAME across workbooks:
+    the declared schema comes from the lexicographically-first file
+    (one bounded driver read — metadata-cheap, like the CSV header
+    pass); a workbook missing a column yields NULLs for it, and a
+    workbook with a column the schema lacks fails loudly (schema drift
+    should stop a load, not silently drop data). Output carries
+    ``source_file`` for lineage, like Spark's own
+    ``input_file_name()`` contract.
+
+    ``path`` accepts a directory or glob (anything ``binaryFile``
+    loads); non-xlsx files should be excluded via the glob (e.g.
+    ``dir/*.xlsx``).
+    """
+    import io
+
+    from .xlsx import read_xlsx_table
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    first = files.orderBy("path").limit(1).collect()
+    if not first:
+        raise ValueError(f"No files matched {path!r}")
+    headers, _ = read_xlsx_table(io.BytesIO(first[0].content), sheet)
+    names = [normalize_colname(h) for h in headers] if normalize_names else headers
+    out_schema = T.StructType(
+        [T.StructField("source_file", T.StringType(), False)]
+        + [T.StructField(n, T.StringType(), True) for n in names]
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                h, rows = read_xlsx_table(io.BytesIO(bytes(content)), sheet)
+                file_names = [normalize_colname(c) for c in h] if normalize_names else h
+                unknown = set(file_names) - set(names)
+                if unknown:
+                    raise ValueError(
+                        f"{fpath}: columns {sorted(unknown)} not in the "
+                        f"declared schema {names} (schema drift)"
+                    )
+                by_name = {
+                    n: [r[i] for r in rows] for i, n in enumerate(file_names)
+                }
+                data = {"source_file": [fpath] * len(rows)}
+                for n in names:
+                    data[n] = pd.Series(
+                        by_name.get(n, [None] * len(rows)), dtype="object"
+                    )
+                frames.append(pd.DataFrame(data))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return files.mapInPandas(parse, out_schema)
+
+
 def read_input(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """S3 — dispatch by extension, raise on unknown.
 

@@ -229,3 +229,61 @@ def test_read_input_jsonl_and_text(spark, tmp_path):
     tf = read_input(spark, str(t))
     assert tf.columns == ["value"]
     assert sorted(r.value for r in tf.collect()) == ["line one", "line two"]
+
+
+def test_excel_distributed_parity_and_alignment(spark, tmp_path):
+    """The binaryFile+mapInPandas Excel path must equal per-file
+    read_excel + union on multi-file input — including a workbook with
+    a DIFFERENT column order and one with a missing column (aligned by
+    normalized header name, NULL-filled); a workbook carrying an
+    unknown column fails the load loudly."""
+    import pytest as _pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+        read_excel,
+        read_excel_distributed,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    write_minimal_xlsx(
+        str(d / "a.xlsx"),
+        ["Order No", "goodsNumber", "Notes"],
+        [["A1", 3, "x"], ["A2", 4.5, None]],
+    )
+    # different column order: alignment must be by name, not position
+    write_minimal_xlsx(
+        str(d / "b.xlsx"),
+        ["Notes", "Order No", "goodsNumber"],
+        [["y", "B1", 7]],
+    )
+    # missing column: NULL-filled
+    write_minimal_xlsx(str(d / "c.xlsx"), ["Order No"], [["C1"], ["C2"]])
+
+    dist = read_excel_distributed(spark, str(d / "*.xlsx"))
+    assert dist.columns == ["source_file", "Order_No", "goodsNumber", "Notes"]
+
+    expected = []
+    for f in sorted(d.glob("*.xlsx")):
+        for r in read_excel(spark, str(f)).collect():
+            row = r.asDict()
+            expected.append(
+                (row.get("Order_No"), row.get("goodsNumber"), row.get("Notes"))
+            )
+    got = [
+        (r.Order_No, r.goodsNumber, r.Notes)
+        for r in dist.select("Order_No", "goodsNumber", "Notes").collect()
+    ]
+    assert sorted(got, key=str) == sorted(expected, key=str)
+    # lineage column carries the real file path
+    assert all(r.source_file.endswith(".xlsx") for r in dist.collect())
+
+    # schema drift (unknown column) stops the load
+    write_minimal_xlsx(str(d / "z.xlsx"), ["Order No", "Rogue"], [["Z1", "!"]])
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((Py4JJavaError, Exception), match="schema drift"):
+        read_excel_distributed(spark, str(d / "*.xlsx")).collect()

@@ -240,7 +240,21 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
 
 def test_stream_order_export_matches_batch(spark, tmp_path):
     """The continuous CSV front door must produce exactly the batch
-    path's typed staging frame (same cleaning stack, same values)."""
+    path's typed staging frame — asserted with the DRIVER's own
+    order-insensitive value digest (scripts/check_correctness.py's
+    frame_digest: sorted columns, stable float/bytes formatting,
+    sorted rows, md5), not just row-tuple parity. The batch side of
+    this compare is the oracle-green `staging_csv_roundtrip` frame, so
+    hash-equality here chains the streaming path to the DuckDB oracle:
+    same bytes as batch, and batch is hash-green against the oracle."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from check_correctness import frame_digest
+
     from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
         ensure_order_export_csv,
     )
@@ -265,7 +279,8 @@ def test_stream_order_export_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.table("stream_ingest")
     assert got.schema == batch.schema
-    key = lambda r: (r.order_id, r.line_number)  # noqa: E731
-    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == sorted(
-        map(tuple, batch.collect()), key=lambda t: (t[0], t[1])
-    )
+    b_rows = [tuple(r) for r in batch.collect()]
+    s_rows = [tuple(r) for r in got.collect()]
+    assert frame_digest(batch.columns, s_rows) == frame_digest(
+        batch.columns, b_rows
+    ), "streaming bytes diverge from the oracle-green batch frame"
