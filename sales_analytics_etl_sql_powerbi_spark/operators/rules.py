@@ -160,22 +160,48 @@ def compile_pass(p: RulePass) -> Column:
     return F.when(_guard_col(p.guard), body).otherwise(keep)
 
 
-def apply_passes(df: DataFrame, passes: list[RulePass] | tuple[RulePass, ...]) -> DataFrame:
+def apply_passes(
+    df: DataFrame,
+    passes: list[RulePass] | tuple[RulePass, ...],
+    compile_via_sql: bool = True,
+) -> DataFrame:
     """Apply ordered passes; adds missing target columns as NULL string.
 
     Each pass is one projection — Catalyst collapses the chain into a
     single whole-stage-codegen stage over the scan; at 100 TB this adds
     zero extra passes over the data.
+
+    ``compile_via_sql`` (default): each pass compiles to ONE SQL string
+    handed to ``F.expr`` — a single py4j round-trip per pass. The
+    Column path (``compile_via_sql=False``) builds the identical
+    expression tree object-by-object, which for the reference content
+    (~150 LIKE predicates × 8 passes) costs hundreds of driver↔JVM
+    calls per plan build; measured ~2× slower plan construction at the
+    same executed plan (the analyzed trees are equal, pinned by
+    tests/test_rules.py). Both paths stay maintained because the fuzz
+    test uses their independence as a compiler-equivalence witness.
     """
     for p in passes:
         if p.target not in df.columns:
             df = df.withColumn(p.target, F.lit(None).cast("string"))
-        df = df.withColumn(p.target, compile_pass(p))
+        df = df.withColumn(
+            p.target,
+            F.expr(pass_expr_sql(p, null_type="STRING"))
+            if compile_via_sql
+            else compile_pass(p),
+        )
     return df
 
 
-def pass_expr_sql(p: RulePass) -> str:
-    """The ANSI-SQL expression a pass assigns to its target column."""
+def pass_expr_sql(p: RulePass, null_type: str = "VARCHAR") -> str:
+    """The ANSI-SQL expression a pass assigns to its target column.
+
+    ``null_type`` is the only dialect seam: DuckDB spells an untyped
+    NULL string ``CAST(NULL AS VARCHAR)`` (the oracle default), Spark
+    SQL wants ``STRING`` (the :func:`apply_passes` fast path). Every
+    other token — ``lower``/``LIKE``/``trim``/``CASE`` — parses
+    identically in both engines.
+    """
     branches = []
     for w in p.whens:
         cond = " OR ".join(_pred_sql(*pr) for pr in w.preds)
@@ -183,7 +209,7 @@ def pass_expr_sql(p: RulePass) -> str:
     if p.else_ == KEEP:
         else_sql = p.target
     elif p.else_ is None:
-        else_sql = "CAST(NULL AS VARCHAR)"
+        else_sql = f"CAST(NULL AS {null_type})"
     else:
         else_sql = f"'{_sq(p.else_)}'"
     body = (

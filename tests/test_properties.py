@@ -202,6 +202,13 @@ def test_rules_compilers_agree_on_arbitrary_passes(spark, passes, cells):
         r.main_sku_code: (r.category, r.subcategory)
         for r in apply_passes(df, passes).collect()
     }
+    # three-way: the Column-object compiler must agree with the
+    # F.expr(SQL) fast path (both Spark) before either meets DuckDB
+    column_out = {
+        r.main_sku_code: (r.category, r.subcategory)
+        for r in apply_passes(df, passes, compile_via_sql=False).collect()
+    }
+    assert spark_out == column_out
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE base (main_sku_code VARCHAR, english_name VARCHAR,"
