@@ -139,9 +139,12 @@ def docs_main() -> None:
     print(f"neardup_pairs ({npairs} pairs): {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    clusters = dedup.neardup_clusters(big, threshold=0.8)
+    stats: list = []
+    clusters = dedup.neardup_clusters(big, threshold=0.8, round_stats=stats)
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"neardup_clusters ({n_clusters} clusters over {n} docs): {time.time()-t0:.1f}s")
+    for r, changed, secs in stats:
+        print(f"  round {r}: changed={changed} secs={secs:.2f}")
 
     # benchmark decontamination: a 1% corpus slice plays the eval set
     from sales_analytics_etl_sql_powerbi_spark.operators import text as text_ops

@@ -127,3 +127,38 @@ def test_neardup_pairs_leaks_no_intermediate_caches(spark):
     # one localCheckpoint entry per live result is allowed; the 2
     # intermediate caches per call (signatures + shingle sets) are not
     assert grown <= len(results), f"leaked {grown} storage entries"
+
+
+def test_neardup_clusters_accepts_precomputed_pairs(spark):
+    """Handing in a materialized neardup_pairs frame must produce the
+    identical clustering as the internal rebuild (and skip the rebuild:
+    edge generation dominates collapse wall time — PLAN_AUDIT round 5),
+    with round_stats attributing edge-build vs per-round loop cost."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " w11"),
+            (12, base + " w11 w12"),
+            (30, "totally different content about something else entirely"),
+        ],
+        DOCS,
+    )
+    rebuilt = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_clusters(docs, threshold=0.5).collect()
+    }
+    pairs = dedup.neardup_pairs(docs, threshold=0.5)
+    stats: list = []
+    reused = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_clusters(
+            docs, threshold=0.5, pairs=pairs, round_stats=stats
+        ).collect()
+    }
+    assert reused == rebuilt
+    # round_stats: one edge-build entry (round -1) then the loop rounds,
+    # last round converged (changed == 0)
+    assert stats[0][0] == -1
+    rounds = [s for s in stats if s[0] >= 0]
+    assert rounds and rounds[-1][1] == 0
