@@ -65,6 +65,22 @@ _H63_FROM_MD5 = (
 )
 
 
+def h63_from_md5(md5_hex):
+    """63-bit bigint from an md5 hex Column: ``(hi & 0x7FFFFFFF)·2³² + lo``.
+
+    Column-expression twin of :data:`_H63_FROM_MD5` — the ONE shared
+    builder for every Spark-side 63-bit hash derivation (minhash,
+    simhash, and the fused per-row fold in ``text.doc_profile``), so
+    the hash arithmetic cannot drift between the explode/groupBy and
+    in-row-fold implementations. Callers that evaluate the md5 more
+    than once should hoist it into its own column first (see the
+    single-evaluation note above).
+    """
+    hi = F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5_hex, 9, 8), 16, 10).cast("long")
+    return hi.bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(4294967296) + lo
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content hash: canonical row = min(doc_id).
 
@@ -162,7 +178,7 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     pre = sh.select("doc_id", F.md5("shingle").alias("__md5"))
-    h = F.expr(_H63_FROM_MD5.format(m="__md5")) % F.lit(_P31)
+    h = h63_from_md5(F.col("__md5")) % F.lit(_P31)
     hashed = pre.select("doc_id", h.alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_P31)).alias(f"m{i}")
@@ -352,7 +368,7 @@ def simhash(docs: DataFrame) -> DataFrame:
         F.explode_outer(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("tok"),
     ).where(F.col("tok").isNotNull())
     pre = toks.select("doc_id", F.md5("tok").alias("__md5"))
-    h = F.expr(_H63_FROM_MD5.format(m="__md5"))
+    h = h63_from_md5(F.col("__md5"))
     hashed = pre.select("doc_id", h.alias("h"))
     bit_aggs = [
         F.sum(

@@ -223,16 +223,12 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
         best_score = F.when(improved, scores[lang]).otherwise(best_score)
     # SimHash over lowercased tokens (dedup.simhash tokenization): 63-bit
     # md5 per token, ±1 vote per bit, folded per-row — no explode
+    from .dedup import h63_from_md5
+
     lower_toks = F.split(F.lower(F.trim(F.col("text"))), " +")
-    hi = lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")  # noqa: E731
-    lo = lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")  # noqa: E731
     d = d.withColumn(
         "__h",
-        F.transform(
-            lower_toks,
-            lambda t: hi(F.md5(t)).bitwiseAND(F.lit(0x7FFFFFFF)) * F.lit(4294967296)
-            + lo(F.md5(t)),
-        ),
+        F.transform(lower_toks, lambda t: h63_from_md5(F.md5(t))),
     )
     # ONE fold accumulates all 32 bit votes as an array (vs 32 separate
     # folds — 32x less generated code, one pass over the token hashes),
