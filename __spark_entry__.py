@@ -690,14 +690,29 @@ def _asof_sql() -> str:
     return events_asof_sql()
 
 
+def _oracle_sf_dir() -> str:
+    """SF dir the oracle twins derive their SIDE-INPUTS from: the CSV
+    export fixture and every trained-from-the-corpus constant (IVF
+    codebook, auto-sized LSH plane counts). The driver compares at
+    sf0.01 and calls ``oracle_sql()`` with no knobs, so that stays the
+    default; a sweep at another SF (scripts/check_correctness.py)
+    exports ``SPARK_GRAFT_ORACLE_SF_DIR`` first so both engines train
+    their constants from the SAME corpus — without it the oracle would
+    replay an sf0.01 codebook against sf0.1 data (found as the one
+    sf0.1 hash mismatch in the round-5 full-scale sweep)."""
+    import os as _os
+
+    return _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 def _csv_fixture_path() -> str:
-    """The sf0.01 CSV export for the oracle side (the driver compares
-    at sf0.01); written on demand so either side can run first."""
+    """The oracle-side CSV export (same SF as :func:`_oracle_sf_dir`);
+    written on demand so either side can run first."""
     from sales_analytics_etl_sql_powerbi_spark.sources.fixtures import (
         ensure_order_export_csv,
     )
 
-    return ensure_order_export_csv("/root/testdata/sf0.01")
+    return ensure_order_export_csv(_oracle_sf_dir())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -912,9 +927,11 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": dedup.neardup_clusters_sql(),
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
-        "ann_lsh_topk": similarity.ann_lsh_topk_sql(),
-        "ann_ivf_topk": similarity.ann_ivf_topk_sql(),
-        "embedding_neardup": similarity.embedding_neardup_pairs_sql(threshold=0.5),
+        "ann_lsh_topk": similarity.ann_lsh_topk_sql(sf_dir=_oracle_sf_dir()),
+        "ann_ivf_topk": similarity.ann_ivf_topk_sql(sf_dir=_oracle_sf_dir()),
+        "embedding_neardup": similarity.embedding_neardup_pairs_sql(
+            threshold=0.5, sf_dir=_oracle_sf_dir()
+        ),
         "multimodal_features": multimodal.MULTIMODAL_META_SQL,
         "multimodal_resize": multimodal.RESIZE_SQL,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,

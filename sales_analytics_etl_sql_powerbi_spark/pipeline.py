@@ -57,6 +57,8 @@ from .sources.readers import read_table
 
 __all__ = [
     "staging_orders",
+    "bounded_dim_seed",
+    "dim_platform_from_seed",
     "build_dim_platform",
     "build_dim_product",
     "build_dim_customer",
@@ -178,24 +180,52 @@ def clean_order_export(raw: DataFrame) -> DataFrame:
     )
 
 
+def bounded_dim_seed(staging: DataFrame) -> DataFrame:
+    """ONE-row reduction seeding BOTH bounded dims from a single
+    staging pass: the calendar bounds (min/max submit_ts) and the
+    distinct platform set (``array_sort(collect_set(...))`` — a
+    handful of values by contract, map-side combinable).
+
+    ``star`` persists this seed, so dim_platform and dim_date each
+    derive from one cached row instead of running one full staging
+    scan EACH — at 100 TB that is a whole fact-sized pass saved per
+    load. Standalone ``build_dim_platform`` / ``build_dim_date`` go
+    through the same seed; Catalyst prunes the aggregate columns the
+    caller doesn't reference (a platform-only build never computes the
+    timestamp min/max and vice versa).
+    """
+    clean_platform = F.when(
+        F.col("platform_name").isNotNull() & (F.col("platform_name") != ""),
+        F.col("platform_name"),
+    )
+    return staging.agg(
+        F.min("submit_ts").alias("lo"),
+        F.max("submit_ts").alias("hi"),
+        F.array_sort(F.collect_set(clean_platform)).alias("platforms"),
+    )
+
+
+def dim_platform_from_seed(seed: DataFrame) -> DataFrame:
+    """Platform dim from the bounded seed: ``posexplode`` of the sorted
+    distinct set. Ids are position+1 in binary-UTF8 sort order —
+    identical to the previous ``row_number() OVER (ORDER BY
+    platform_name)`` numbering, with no window and no single-partition
+    funnel at all."""
+    return seed.select(
+        F.posexplode("platforms").alias("pos", "platform_name")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("platform_id"),
+        "platform_name",
+    )
+
+
 def build_dim_platform(staging: DataFrame) -> DataFrame:
     """DISTINCT platforms + deterministic surrogate id (A1 + IDENTITY).
 
-    Reference etl/order_info_etl.py:410-418. The single-partition
-    row_number window is safe: platforms are single digits of rows.
+    Reference etl/order_info_etl.py:410-418. NULL/blank platforms are
+    excluded before the distinct; numbering is alphabetical, as before.
     """
-    return (
-        staging.select("platform_name")
-        .where(F.col("platform_name").isNotNull() & (F.col("platform_name") != ""))
-        .distinct()
-        .select(
-            F.row_number()
-            .over(Window.orderBy("platform_name"))
-            .cast("int")
-            .alias("platform_id"),
-            "platform_name",
-        )
-    )
+    return dim_platform_from_seed(bounded_dim_seed(staging))
 
 
 #: (applicationId, sf_dir, threshold) → numbered product dim. A
@@ -308,10 +338,9 @@ def build_dim_date(spark: SparkSession, staging: DataFrame) -> DataFrame:
     min/max reduce to one row, then sequence+explode on the executors —
     no driver-side date loop (A5 + F11).
     """
-    bounds = staging.agg(
-        F.min("submit_ts").alias("lo"), F.max("submit_ts").alias("hi")
+    return calendar_frame(
+        spark, F.col("lo"), F.col("hi"), bounds_df=bounded_dim_seed(staging)
     )
-    return calendar_frame(spark, F.col("lo"), F.col("hi"), bounds_df=bounds)
 
 
 def build_fact(
@@ -437,33 +466,35 @@ def star(
     (columnar, pruned reads) rather than executor cache.
 
     The BOUNDED dims (platform, date — single digits to a few thousand
-    rows by construction) ARE persisted: each is derived from a full
-    staging scan, and the view references platform at two join sites —
-    left lazy, every consumer would re-run a staging-sized scan per
-    reference (4 scans per view materialization; at 100 TB that is
-    three extra passes over the fact-sized input for a 5-row dim).
-    Persisting materializes each dim's reduction exactly once per load
-    — the same "dims are tables" contract the reference gets from SQL
-    Server. dim_customer stays lazy: it is data-scaled and not
-    referenced by the fact/view path at all. dim_product persists
+    rows by construction) both derive from ONE persisted single-row
+    seed (:func:`bounded_dim_seed`: calendar bounds + sorted platform
+    set). The seed is derived from a full staging scan and the view
+    references platform at two join sites — left lazy, every consumer
+    would re-run a staging-sized scan per reference; with the fused
+    seed, ONE staging pass fills the cache and every dim reference
+    explodes the cached row (at 100 TB: one fact-sized pass per load
+    where separate per-dim reductions cost two, and lazy dims would
+    cost four). Same "dims are tables" contract the reference gets
+    from SQL Server. dim_customer stays lazy: it is data-scaled and
+    not referenced by the fact/view path at all. dim_product persists
     inside build_dim_product (memoized, size-adaptive).
 
     Cache lifetime: these persists have no matching unpersist because
     the returned frames are lazy — callers materialize them after
     ``star`` returns. Growth across repeat calls is bounded by
     CacheManager plan-deduplication (same (spark, sf_dir) → identical
-    analyzed plans → one shared entry per dim), and every persisted
-    input is construction-bounded (5-row platform, ~calendar-sized
-    date), so worst-case residency is a few thousand rows per distinct
+    analyzed plans → one shared entry per seed), and the persisted
+    seed is ONE row, so worst-case residency is one row per distinct
     sf_dir until session end or LRU eviction. A long-lived service
     embedding this should call ``spark.catalog.clearCache()`` between
     unrelated loads.
     """
     staging = staging_orders(spark, sf_dir)
-    dim_platform = build_dim_platform(staging).persist(StorageLevel.MEMORY_AND_DISK)
+    seed = bounded_dim_seed(staging).persist(StorageLevel.MEMORY_AND_DISK)
+    dim_platform = dim_platform_from_seed(seed)
     dim_product = build_dim_product(spark, sf_dir)
     dim_customer = build_dim_customer(staging)
-    dim_date = build_dim_date(spark, staging).persist(StorageLevel.MEMORY_AND_DISK)
+    dim_date = calendar_frame(spark, F.col("lo"), F.col("hi"), bounds_df=seed)
     fact = build_fact(staging, dim_platform, dim_product, broadcast_dims=broadcast_dims)
     view = sales_product_geo_view(
         fact, dim_date, dim_product, dim_platform, broadcast_dims=broadcast_dims

@@ -53,6 +53,10 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle side-inputs (CSV fixture, trained codebook/plane constants)
+    # must derive from the SAME corpus being swept — see
+    # __spark_entry__._oracle_sf_dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.path.abspath(sf_dir)
 
     import duckdb
     from pyspark.sql import SparkSession

@@ -83,6 +83,19 @@ def test_star_view_is_all_broadcast_joins(spark, plan_sf):
     assert plan.count("InMemoryTableScan") >= 4  # platform x2, product x2, date
 
 
+def test_bounded_dims_share_one_seed_scan(spark, plan_sf):
+    """dim_platform and dim_date both derive from the ONE persisted
+    bounded_dim_seed row: outside the cache-fill subtree, neither dim's
+    plan may scan staging again (at 100 TB a split back into per-dim
+    reductions costs a whole extra fact-sized pass per load)."""
+    s = pipeline.star(spark, plan_sf)
+    for dim in ("dim_platform", "dim_date"):
+        live = _live_lines(_plan(s[dim]))
+        for line in live:
+            assert "FileScan" not in line, f"{dim} rescans staging: {line}"
+        assert any("InMemoryTableScan" in l for l in live), f"{dim} not seed-backed"
+
+
 def test_dim_build_funnels_are_bounded(spark, plan_sf):
     """The cache-fill plans themselves keep their documented shape: the
     only single-partition funnels are bounded reductions — the platform
