@@ -181,6 +181,14 @@ def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
         n_planes = auto_n_planes(emb.count())
     planes = hyperplanes(n_planes)
     q = quantized(emb)
+    # Deliberately UNROLLED per plane (vs with_cells' single-transform
+    # literal): the bucketed frame is SELF-joined by every consumer
+    # (queries side vs candidate side), and an outer attribute
+    # referenced inside a nested lambda (`__q` under transform→
+    # zip_with) breaks Spark 4.1's self-join attribute dedup at bind
+    # time (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Top-level zip_with
+    # folds bind fine, and plan size is bounded by the _MAX_PLANES=24
+    # clamp, so unrolling costs at most 24 fold expressions.
     bucket = None
     for j, plane in enumerate(planes):
         plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"

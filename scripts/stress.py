@@ -297,6 +297,146 @@ def skew_main() -> None:
     assert skew_marks > 0, "AQE skew splitting did not engage — check thresholds"
 
 
+def vectors_main() -> None:
+    """Embedding-corpus scaling: LSH buckets, ANN, and near-dup curves.
+
+    Unions the sf0.1 embeddings table mult× (default 100 → ~200k
+    vectors) with offset vec_ids and a per-copy, index-dependent
+    perturbation so copies are NOT mutual near-duplicates (an all-dup
+    corpus degenerates to O(copies²) pairs — a corpus property, not an
+    engine one). Exercises the pieces small-SF correctness can't see:
+    `auto_n_planes` past its lower clamp (200k vectors → 11 planes →
+    2048 buckets), bucket-occupancy balance under the real hyperplanes,
+    the IVF path at a √N-scaled cluster count (with_cells' plan stays
+    ONE expression however big k gets), and the candidate equi-joins
+    staying output-bound. Prints the brute-force baseline time for the
+    ANN-vs-exact contrast at the same N.
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-vectors")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n0 = emb.count()
+    # Per-(copy, vector, dimension) decorrelated perturbation, uniform
+    # ±0.2 — comparable to the data scale (std ≈ 0.125), so every copy
+    # of every vector drifts in its own direction and hyperplane
+    # buckets keep the base corpus's balance. Two wrong generators
+    # found the hard way: a copy-scaled shared drift funnels MOST of
+    # the corpus into one bucket (21e9 in-bucket pair evals), and a
+    # per-(copy, dim)-only hash gives all vectors of a copy the SAME
+    # delta vector — each copy becomes its own tight cluster (max
+    # occupancy 3492 vs median 16). Both are corpus properties, not
+    # engine ones — same rule as docs_main's "copies must NOT be
+    # mutual dups".
+    def perturbed(i: int):
+        if i == 0:
+            return F.col("embedding")
+        return F.transform(
+            "embedding",
+            lambda x, j: (
+                x
+                + (
+                    (
+                        (
+                            F.lit(i * 1_000_003)
+                            + (j + 1) * 7919
+                            + F.col("vec_id") * 104_729
+                        )
+                        % 1000
+                    )
+                    / 1000.0
+                    - 0.5
+                )
+                * 0.4
+            ).cast("float"),
+        )
+
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n0)).alias("vec_id"),
+            perturbed(i).alias("embedding"),
+        )
+        for i in range(mult)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(64).persist(StorageLevel.MEMORY_AND_DISK)
+    n = big.count()
+    print(f"embedding rows: {n} (dim 64)")
+
+    n_planes = S.auto_n_planes(n)
+    print(f"auto_n_planes({n}) = {n_planes} -> {2**n_planes} buckets")
+
+    t0 = time.time()
+    b = S.lsh_buckets(big, n_planes)
+    occ = (
+        b.groupBy("bucket")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("filled"),
+            F.max("count").alias("max_occ"),
+            F.expr("percentile_approx(count, 0.5)").alias("med_occ"),
+        )
+        .collect()[0]
+    )
+    print(
+        f"lsh_buckets: {time.time()-t0:.1f}s; filled {occ.filled}/{2**n_planes},"
+        f" max occupancy {occ.max_occ}, median {occ.med_occ}"
+    )
+
+    t0 = time.time()
+    nres = S.ann_lsh_topk(big).count()
+    print(f"ann_lsh_topk ({nres} rows): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    npairs = S.embedding_neardup_pairs(big, threshold=0.9).count()
+    print(f"embedding_neardup_pairs ({npairs} pairs): {time.time()-t0:.1f}s")
+
+    # IVF with a sqrt(N)-ish codebook — the documented scale rule
+    k = 1 << max(4, int(round(0.5 * (n.bit_length() - 1))))  # ~sqrt(N), pow2
+    t0 = time.time()
+    nivf = S.ann_ivf_topk(big, n_clusters=k, nprobe=max(4, k // 16)).count()
+    print(f"ann_ivf_topk k={k} ({nivf} rows): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    nbrute = S.cosine_topk(big).count()
+    print(f"brute cosine_topk baseline ({nbrute} rows): {time.time()-t0:.1f}s")
+
+    # plan hygiene at scale: candidate generation must stay equi-join
+    for name, df in (
+        ("ann_lsh_topk", S.ann_lsh_topk(big)),
+        ("neardup_pairs", S.embedding_neardup_pairs(big, threshold=0.9)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} went all-pairs"
+        print(f"plan[{name}]: no cartesian; "
+              f"{plan.count('BroadcastHashJoin')} broadcast joins")
+
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"persistent storage entries after run: {leftover}")
+
+
 def rules_main() -> None:
     """Rules-engine scaling: the 8 chained reference passes over a
     10M-row product master.
@@ -380,5 +520,7 @@ if __name__ == "__main__":
         rules_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--vectors":
+        vectors_main()
     else:
         main()
