@@ -27,6 +27,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_sql",
     "lsh_buckets",
+    "ann_index",
+    "ann_query",
     "ann_lsh_topk",
     "ann_lsh_topk_sql",
     "hyperplanes",
@@ -198,27 +200,48 @@ def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     return q.withColumn("bucket", bucket.cast("int"))
 
 
-def ann_lsh_topk(
-    emb: DataFrame, n_queries: int = 5, topk: int = 5, n_planes: int | None = None
-) -> DataFrame:
-    """ANN top-k: candidates limited to the query's LSH bucket.
+def ann_index(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+    """Materializable LSH index: the bucketed, quantized corpus.
 
-    The candidate join is an equi-join on ``bucket`` — with B buckets
-    it touches ~1/B of the corpus per query instead of all of it;
-    recall is traded for the usual LSH bound. The bucket count
-    auto-sizes with the corpus (:func:`auto_n_planes`), so per-query
-    candidate work stays ~target_bucket_size however big the corpus.
+    The production shape for repeated ANN queries — build ONCE
+    (persist, or ``sinks.write_bucketed(..., by=["bucket"])`` for
+    cross-job reuse with co-located candidate joins), then hit it with
+    :func:`ann_query` per query batch. The 100×-corpus probe
+    (PLAN_AUDIT.md) showed the index build dominating stateless
+    end-to-end ANN at 200k vectors; amortized, per-batch cost is just
+    the candidate equi-join against one bucket per query.
+
+    Pass an explicit ``n_planes`` (and reuse it in :func:`ann_query`)
+    when the index outlives this process; the default auto-sizing is
+    corpus-count-dependent.
     """
-    b = lsh_buckets(emb, n_planes)
-    queries = b.where(F.col("vec_id") < n_queries).select(
+    return lsh_buckets(emb, n_planes)
+
+
+def ann_query(
+    index: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    topk: int = 5,
+) -> DataFrame:
+    """Top-k over a prebuilt :func:`ann_index` for a batch of queries.
+
+    ``queries`` carries ``vec_id`` + ``embedding``; they are hashed
+    with the SAME ``n_planes`` the index was built with (caller's
+    contract — mixed plane counts silently return garbage buckets, so
+    pass the value you built with). The query side is broadcast: a
+    query batch is human-sized, the index is corpus-sized and only
+    ever touched via the bucket equi-join.
+    """
+    qb = lsh_buckets(queries, n_planes).select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
         F.col("__norm").alias("__qn"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = b.select("vec_id", "__q", "__norm", "bucket")
+    cand = index.select("vec_id", "__q", "__norm", "bucket")
     joined = (
-        F.broadcast(queries)
+        F.broadcast(qb)
         .join(cand, F.col("bucket") == F.col("qbucket"))
         .where(F.col("vec_id") != F.col("query_id"))
     )
@@ -232,6 +255,31 @@ def ann_lsh_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= topk)
         .orderBy("query_id", "rn")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 5, topk: int = 5, n_planes: int | None = None
+) -> DataFrame:
+    """ANN top-k: candidates limited to the query's LSH bucket.
+
+    The candidate join is an equi-join on ``bucket`` — with B buckets
+    it touches ~1/B of the corpus per query instead of all of it;
+    recall is traded for the usual LSH bound. The bucket count
+    auto-sizes with the corpus (:func:`auto_n_planes`), so per-query
+    candidate work stays ~target_bucket_size however big the corpus.
+
+    Stateless composition of :func:`ann_index` + :func:`ann_query`
+    (the driver contract rebuilds per call); long-lived deployments
+    materialize the index once and amortize.
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
+    return ann_query(
+        ann_index(emb, n_planes),
+        emb.where(F.col("vec_id") < n_queries),
+        n_planes,
+        topk,
     )
 
 

@@ -133,3 +133,32 @@ def test_lsh_bucket_count_grows_with_n_planes(spark):
     assert {r.bucket for r in auto.select("bucket").distinct().collect()} <= set(
         range(2**4)
     )
+
+
+def test_ann_index_query_matches_stateless_and_reuses_cache(spark):
+    """The materialized-index path (production shape) must return the
+    stateless entry's exact rows, and a second query batch against the
+    persisted index must read the cache, not rescan/rebuild the corpus
+    (the 100x probe showed index build dominating stateless ANN)."""
+    df, _ = emb_frame(spark, n=60)
+    n_planes = similarity.auto_n_planes(60)
+    idx = similarity.ann_index(df, n_planes).persist()
+    try:
+        idx.count()  # fill
+        got = similarity.ann_query(
+            idx, df.where("vec_id < 2"), n_planes, topk=5
+        )
+        want = similarity.ann_lsh_topk(df, n_queries=2, topk=5)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        # second batch: index side must come from the cache — no scan
+        # and no re-quantization of the corpus outside the cache fill
+        batch2 = similarity.ann_query(
+            idx, df.where("vec_id >= 2 and vec_id < 4"), n_planes, topk=3
+        )
+        plan = batch2._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert len(batch2.collect()) > 0
+    finally:
+        idx.unpersist()
