@@ -57,8 +57,23 @@ def _in_list_count(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
+#: symbols the Gopher-style symbol-to-word ratio counts: '#', an ASCII
+#: ellipsis, or the unicode one (Rae et al. 2021's published filter)
+_SYMBOL_RE = r"#|\.\.\.|…"
+#: bullet markers for the bullet-line ratio (leading -, *, or •)
+_BULLET_RE = r"^[-*•]"
+
+
 def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> DataFrame:
-    """Per-document quality stats: lengths, token counts, ratios."""
+    """Per-document quality stats: lengths, token counts, ratios.
+
+    Includes the Gopher-style repetition/shape signals a pre-training
+    quality gate thresholds on (symbol-to-word ratio, fraction of
+    words with an alphabetic char, bullet-line fraction, duplicate-line
+    fraction) — all exact integer counts over the in-row token/line
+    lists divided in binary64, so the DuckDB twin reproduces every
+    value bit-for-bit. Still ONE fused scan-side projection.
+    """
     toks = tokens_expr("text")
     d = docs.withColumn("__tok", toks)
     n_tokens = F.size(F.col("__tok"))
@@ -68,6 +83,11 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
         lambda acc, x: acc + x,
     )
     stop_n = _in_list_count(F.col("__tok"), stopwords)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_n = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE)))
+    alpha_n = F.size(F.filter(F.col("__tok"), lambda t: t.rlike("[A-Za-z]")))
+    symbol_n = F.regexp_count(F.col("text"), F.lit(_SYMBOL_RE))
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -79,6 +99,18 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
             F.size(F.array_distinct("__tok")).cast("double")
             / n_tokens.cast("double")
         ).alias("ttr"),
+        (symbol_n.cast("double") / n_tokens.cast("double")).alias("symbol_ratio"),
+        (alpha_n.cast("double") / n_tokens.cast("double")).alias(
+            "alpha_word_ratio"
+        ),
+        (bullet_n.cast("double") / n_lines.cast("double")).alias(
+            "bullet_line_ratio"
+        ),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / n_lines.cast("double")
+        ).alias("dup_line_ratio"),
     )
 
 
@@ -91,8 +123,18 @@ SELECT doc_id,
     / cast(len(__tok) AS DOUBLE) AS avg_token_len,
   cast(len(list_filter(__tok, t -> list_contains([{stop}], t))) AS DOUBLE)
     / cast(len(__tok) AS DOUBLE) AS stopword_ratio,
-  cast(len(list_distinct(__tok)) AS DOUBLE) / cast(len(__tok) AS DOUBLE) AS ttr
-FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok FROM documents) d
+  cast(len(list_distinct(__tok)) AS DOUBLE) / cast(len(__tok) AS DOUBLE) AS ttr,
+  cast(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+    / cast(len(__tok) AS DOUBLE) AS symbol_ratio,
+  cast(len(list_filter(__tok, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+    / cast(len(__tok) AS DOUBLE) AS alpha_word_ratio,
+  cast(len(list_filter(__line, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+    / cast(len(__line) AS DOUBLE) AS bullet_line_ratio,
+  1.0 - cast(len(list_distinct(__line)) AS DOUBLE)
+    / cast(len(__line) AS DOUBLE) AS dup_line_ratio
+FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok,
+             string_split(text, chr(10)) AS __line
+      FROM documents) d
 """
 
 
@@ -291,13 +333,20 @@ def quality_filter(
     min_tokens: int = 5,
     max_stopword_ratio: float = 0.6,
     min_ttr: float = 0.2,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_ratio: float = 0.9,
+    max_dup_line_ratio: float = 0.3,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
 ) -> DataFrame:
     """Training-data quality gate: keep docs passing all thresholds.
 
-    The standard pre-training corpus filters (length, stopword density,
-    type-token ratio) as ONE fused projection + filter — no extra pass.
-    Returns the surviving docs with their stats attached.
+    The standard pre-training corpus filters — length, stopword
+    density, type-token ratio, plus the Gopher-style shape rules
+    (symbol-to-word ≤ 0.1, alphabetic-word fraction ≥ 0.8, bullet-line
+    fraction ≤ 0.9, duplicate-line fraction ≤ 0.3; Rae et al. 2021's
+    published defaults) — as ONE fused projection + filter, no extra
+    pass. Returns the surviving docs with their stats attached.
     """
     return (
         text_stats(docs, stopwords)
@@ -305,6 +354,10 @@ def quality_filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("stopword_ratio") <= max_stopword_ratio)
             & (F.col("ttr") >= min_ttr)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+            & (F.col("bullet_line_ratio") <= max_bullet_line_ratio)
+            & (F.col("dup_line_ratio") <= max_dup_line_ratio)
         )
         .select("doc_id", "n_tokens", "stopword_ratio", "ttr")
     )
@@ -314,6 +367,10 @@ def quality_filter_sql(
     min_tokens: int = 5,
     max_stopword_ratio: float = 0.6,
     min_ttr: float = 0.2,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_ratio: float = 0.9,
+    max_dup_line_ratio: float = 0.3,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
 ) -> str:
     return f"""
@@ -322,6 +379,10 @@ FROM ({text_stats_sql(stopwords)}) s
 WHERE n_tokens >= {min_tokens}
   AND stopword_ratio <= {max_stopword_ratio}
   AND ttr >= {min_ttr}
+  AND symbol_ratio <= {max_symbol_ratio}
+  AND alpha_word_ratio >= {min_alpha_word_ratio}
+  AND bullet_line_ratio <= {max_bullet_line_ratio}
+  AND dup_line_ratio <= {max_dup_line_ratio}
 """
 
 

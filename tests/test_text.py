@@ -48,6 +48,47 @@ def test_doc_fingerprint_order_insensitive(spark):
     assert rows[1].exact_hash != rows[2].exact_hash  # different raw text
 
 
+def test_text_stats_gopher_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see # and … plus ... marks", "en"),  # 3 symbols / 7 tokens
+            (2, "- one\n- two\n* three\nplain", "en"),  # 3 bullet lines of 4
+            (3, "same line\nsame line\nsame line\nother", "en"),  # dups
+            (4, "42 99 !! alpha beta", "en"),  # 2 alpha of 5 tokens
+        ],
+        DOCS,
+    )
+    got = {r.doc_id: r for r in text.text_stats(df).collect()}
+    assert abs(got[1].symbol_ratio - 3 / 7) < 1e-12
+    assert abs(got[2].bullet_line_ratio - 3 / 4) < 1e-12
+    assert abs(got[3].dup_line_ratio - (1 - 2 / 4)) < 1e-12
+    assert abs(got[4].alpha_word_ratio - 2 / 5) < 1e-12
+    # single-line prose: no bullets, no dup lines, no symbols
+    assert got[1].bullet_line_ratio == 0.0
+    assert got[1].dup_line_ratio == 0.0
+    assert got[4].symbol_ratio == 0.0
+
+
+def test_quality_filter_gopher_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique interesting varied vocabulary sentence here", "en"),
+            (2, "alpha # beta … gamma ... delta epsilon zeta # eta", "en"),  # symbols
+            (3, "111 222 333 444 555 666 777 alpha", "en"),  # non-alpha words
+            (4, "- a1\n- b2\n- c3\n- d4\n- e5\n- f6", "en"),  # all bullets
+            (
+                5,
+                "same line here\nsame line here\nsame line here\n"
+                "same line here\nother line x",
+                "en",
+            ),  # dup lines
+        ],
+        DOCS,
+    )
+    kept = {r.doc_id for r in text.quality_filter(df).collect()}
+    assert kept == {1}
+
+
 def test_quality_filter_thresholds(spark):
     df = spark.createDataFrame(
         [
