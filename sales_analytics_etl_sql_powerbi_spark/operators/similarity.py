@@ -37,6 +37,8 @@ __all__ = [
     "ivf_codebook",
     "codebook_from_parquet",
     "with_cells",
+    "ivf_index",
+    "ivf_query",
     "ann_ivf_topk",
     "ann_ivf_topk_sql",
 ]
@@ -520,6 +522,74 @@ def with_cells(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def ivf_index(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Materializable IVF index: the quantized, cell-assigned corpus.
+
+    Build once with a trained codebook (:func:`ivf_codebook`), persist
+    or ``write_bucketed(..., by=["cell"])``, then hit it per query
+    batch with :func:`ivf_query` — the production shape; the stateless
+    :func:`ann_ivf_topk` entry rebuilds per call by contract. Keep the
+    ``centroids`` alongside the index (they are driver-sized) — queries
+    must be routed with the SAME codebook the cells were assigned with.
+    """
+    return with_cells(quantized(emb), centroids).select(
+        "vec_id", "cell", "__q", "__norm"
+    )
+
+
+def ivf_query(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int = 4,
+    topk: int = 5,
+) -> DataFrame:
+    """Top-k over a prebuilt :func:`ivf_index` for a batch of queries.
+
+    Probe routing is a (queries × k)-row broadcast join ranked by
+    exact integer distance; candidate selection is an equi-join on
+    ``cell``. The query batch is broadcast — the corpus-sized index is
+    only touched via the cell equi-join.
+    """
+    qz = quantized(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
+    )
+    spark = queries.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, __c array<long>"
+    )
+    # probe routing: n_queries × k rows, ranked by exact integer sq-dist
+    pw = Window.partitionBy("query_id").orderBy(
+        F.asc("__cdist"), F.asc("cell")
+    )
+    probes = (
+        qz.select("query_id", "__qq")
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("__cdist", F.expr(_SQDIST.format(a="__qq", b="__c")))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    joined = (
+        index.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(qz), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = F.round(
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
+        9,
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -538,51 +608,22 @@ def ann_ivf_topk(
     equi-join on ``cell``. Scale: k grows with corpus (k ≈ sqrt(N) rule
     of thumb), codebook stays driver-sized.
 
+    Stateless composition of :func:`ivf_codebook` + :func:`ivf_index` +
+    :func:`ivf_query` (the driver contract rebuilds per call);
+    long-lived deployments materialize the index once and amortize.
+
     Fully oracle-checked: the DuckDB twin (:func:`ann_ivf_topk_sql`)
     trains the identical codebook from the same parquet sample and
     replicates assignment, probing, and scoring in exact integer
     arithmetic.
     """
     centroids = ivf_codebook(emb, n_clusters, sample_n)
-    q = quantized(emb)
-
-    queries = q.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("__q").alias("__qq"),
-        F.col("__norm").alias("__qn"),
-    )
-    spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, __c array<long>"
-    )
-    # probe routing: n_queries × k rows, ranked by exact integer sq-dist
-    pw = Window.partitionBy("query_id").orderBy(
-        F.asc("__cdist"), F.asc("cell")
-    )
-    probes = (
-        queries.select("query_id", "__qq")
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("__cdist", F.expr(_SQDIST.format(a="__qq", b="__c")))
-        .withColumn("prn", F.row_number().over(pw))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "cell")
-    )
-    cand = with_cells(q, centroids).select("vec_id", "cell", "__q", "__norm")
-    joined = (
-        cand.join(F.broadcast(probes), "cell")
-        .join(F.broadcast(queries), "query_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-    )
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
-    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= topk)
-        .orderBy("query_id", "rn")
+    return ivf_query(
+        ivf_index(emb, centroids),
+        emb.where(F.col("vec_id") < n_queries),
+        centroids,
+        nprobe,
+        topk,
     )
 
 

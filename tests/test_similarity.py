@@ -162,3 +162,24 @@ def test_ann_index_query_matches_stateless_and_reuses_cache(spark):
         assert len(batch2.collect()) > 0
     finally:
         idx.unpersist()
+
+
+def test_ivf_index_query_matches_stateless(spark):
+    """The materialized IVF index path must return the stateless
+    entry's exact rows (same codebook, same routing, same ranks)."""
+    df, _ = emb_frame(spark, n=60)
+    cents = similarity.ivf_codebook(df, n_clusters=4)
+    idx = similarity.ivf_index(df, cents).persist()
+    try:
+        idx.count()
+        got = similarity.ivf_query(
+            idx, df.where("vec_id < 2"), cents, nprobe=2, topk=5
+        )
+        want = similarity.ann_ivf_topk(
+            df, n_queries=2, topk=5, n_clusters=4, nprobe=2
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+    finally:
+        idx.unpersist()
