@@ -157,6 +157,22 @@ FROM documents
 """
 
 
+def _lang_argmax(tok_col, markers: dict[str, tuple[str, ...]]):
+    """(predicted_lang, marker_hits) Columns — the ONE shared argmax
+    builder for :func:`lang_id` and the fused :func:`doc_profile`
+    (score per language = marker hits; winner by score desc, lang asc),
+    so the fused reimplementation cannot drift from the standalone."""
+    scores = {lang: _in_list_count(tok_col, words) for lang, words in markers.items()}
+    langs = sorted(markers)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        improved = scores[lang] > best_score
+        best = F.when(improved, F.lit(lang)).otherwise(best)
+        best_score = F.when(improved, scores[lang]).otherwise(best_score)
+    return best, best_score
+
+
 def lang_id(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Stopword-scored language heuristic with deterministic tie-break.
 
@@ -164,17 +180,7 @@ def lang_id(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = None) 
     """
     markers = markers or LANG_MARKERS
     d = docs.withColumn("__tok", tokens_expr("text"))
-    scores = {
-        lang: _in_list_count(F.col("__tok"), words) for lang, words in markers.items()
-    }
-    langs = sorted(markers)
-    # argmax with lang-name tie-break: fold over ordered (lang, score)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        improved = scores[lang] > best_score
-        best = F.when(improved, F.lit(lang)).otherwise(best)
-        best_score = F.when(improved, scores[lang]).otherwise(best_score)
+    best, best_score = _lang_argmax(F.col("__tok"), markers)
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -252,17 +258,8 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
     d = docs.where(F.col("text").isNotNull()).withColumn(
         "__tok", tokens_expr("text")
     )
-    # lang-id argmax with lang-name tie-break (same fold as lang_id())
-    scores = {
-        lang: _in_list_count(F.col("__tok"), words) for lang, words in markers.items()
-    }
-    langs = sorted(markers)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        improved = scores[lang] > best_score
-        best = F.when(improved, F.lit(lang)).otherwise(best)
-        best_score = F.when(improved, scores[lang]).otherwise(best_score)
+    # lang-id argmax — the same shared builder lang_id() uses
+    best, best_score = _lang_argmax(F.col("__tok"), markers)
     # SimHash over lowercased tokens (dedup.simhash tokenization): 63-bit
     # md5 per token, ±1 vote per bit, folded per-row — no explode
     from .dedup import h63_from_md5
