@@ -179,6 +179,15 @@ def running_totals_stateful(events: DataFrame, timeout_minutes: int = 30) -> Dat
     frame the same semantics degrade to a plain groupBy aggregate —
     that relational twin is what the DuckDB oracle checks
     (RUNNING_TOTALS_SQL).
+
+    Operational gotcha (measured, round 5): with ProcessingTimeTimeout
+    an ``availableNow`` run does NOT terminate when the input is
+    drained — Spark keeps scheduling EMPTY micro-batches (~1.5s each)
+    until every pending timeout fires, i.e. up to ``timeout_minutes``
+    of idle spinning. Finite jobs should stop the query once progress
+    reports zero input rows (see ``drain_stateful`` in
+    tests/test_streaming.py and the ``--state`` stress probe), or pass
+    a small ``timeout_minutes``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -297,6 +297,122 @@ def skew_main() -> None:
     assert skew_marks > 0, "AQE skew splitting did not engage — check thresholds"
 
 
+def state_main() -> None:
+    """Streaming state-scale probe: applyInPandasWithState key curve.
+
+    The custom stateful operator pays a per-KEY Python cost every
+    micro-batch (one pandas frame per group through Arrow), unlike the
+    JVM-side built-in windows — this probe measures that curve so the
+    "use built-ins when expressible" guidance has a number attached.
+    Generates N events over K users in F source files, runs
+    `running_totals_stateful` availableNow (F/2 micro-batches), and
+    checks the final state exactly: K state rows, latest per-user
+    counts summing to N (cross-batch accumulation correct at scale).
+
+    Usage: stress.py --state [n_events] [n_keys]
+    """
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_keys = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-state")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    root = tempfile.mkdtemp(prefix="state_probe_")
+    src = f"{root}/src"
+    try:
+        (
+            spark.range(n_events)
+            .select(
+                (F.col("id") % n_keys).alias("user_id"),
+                (F.col("id") % 997).cast("double").alias("value"),
+            )
+            .repartition(8)
+            .write.parquet(src)
+        )
+        schema = "user_id bigint, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(src)
+        )
+        t0 = time.time()
+        q = (
+            W.running_totals_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("state_probe_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow + ProcessingTimeTimeout does NOT terminate when
+        # the data is drained: Spark keeps scheduling EMPTY micro-batches
+        # (~1.5s each) until every pending state timeout has fired — with
+        # the operator's 30-minute default that is ~30 minutes of idle
+        # spinning (observed: 198+ empty batches before this guard was
+        # added). Stop manually once two consecutive progresses report
+        # zero input rows.
+        idle = 0
+        seen: set = set()
+        while q.isActive and idle < 2:
+            time.sleep(2)
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                if bid in seen:
+                    continue
+                seen.add(bid)
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+        dt = time.time() - t0
+        prog = q.lastProgress or {}
+        sops = prog.get("stateOperators") or [{}]
+        print(
+            f"stateful availableNow over {n_events} events / {n_keys} keys: "
+            f"{dt:.1f}s ({n_events / dt:,.0f} events/s)"
+        )
+        print(
+            f"  state rows: {sops[0].get('numRowsTotal')}, "
+            f"state memory: {sops[0].get('memoryUsedBytes', 0) / 1e6:.1f} MB"
+        )
+        final = (
+            spark.table("state_probe_out")
+            .groupBy("user_id")
+            .agg(F.max("event_count").alias("cnt"))
+        )
+        agg = final.agg(
+            F.count(F.lit(1)).alias("k"), F.sum("cnt").alias("n")
+        ).collect()[0]
+        print(f"  final keys: {agg.k}, accumulated events: {agg.n}")
+        assert agg.k == n_keys, "lost state keys"
+        assert agg.n == n_events, "cross-batch accumulation lost events"
+
+        # JVM-side contrast: the same totals as a batch aggregate
+        t0 = time.time()
+        spark.read.parquet(src).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("value")
+        ).agg(F.sum("c")).collect()
+        print(f"  batch groupBy twin (JVM, whole input): {time.time()-t0:.1f}s")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def vectors_main() -> None:
     """Embedding-corpus scaling: LSH buckets, ANN, and near-dup curves.
 
@@ -522,5 +638,7 @@ if __name__ == "__main__":
         skew_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--vectors":
         vectors_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--state":
+        state_main()
     else:
         main()
