@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_incremental",
+    "neardup_index",
+    "neardup_query",
     "shingle_sets",
     "shingle_docs",
     "minhash_signatures",
@@ -201,6 +204,33 @@ GROUP BY doc_id
 """
 
 
+def _band_structs() -> F.Column:
+    """array<struct<band_id, band_hash>> over a signature row (m0..m15).
+
+    The ONE shared band-hash builder for the self-join candidate
+    generator and the incremental index/query split — the band
+    arithmetic cannot drift between an index written last month and
+    the batch hashed today.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, _handles: list | None = None) -> DataFrame:
     """Banded LSH: equi-join docs whose signature agrees on any band.
 
@@ -218,28 +248,11 @@ def lsh_candidate_pairs(sig: DataFrame, _handles: list | None = None) -> DataFra
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     if _handles is not None:
         _handles.append(sig)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(_BANDS)
-        ]
-    )
     # ONE pass over the signatures: explode the per-band structs (a
     # union of 8 per-band selects would duplicate the whole minhash
     # subplan 8×; outer explode also dodges InferFiltersFromGenerate's
     # expression duplication — see shingle_docs)
-    bands = sig.select("doc_id", F.explode_outer(band_structs).alias("b")).select(
+    bands = sig.select("doc_id", F.explode_outer(_band_structs()).alias("b")).select(
         "doc_id",
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_hash").alias("band_hash"),
@@ -346,6 +359,135 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) t {thr}
 ORDER BY doc_a, doc_b
 """
+
+
+def exact_dedup_incremental(batch: DataFrame, known: DataFrame) -> DataFrame:
+    """Exact-dedup a NEW batch against an already-deduped corpus.
+
+    ``known`` carries a ``content_hash`` column (e.g. a materialized
+    :func:`exact_dedup` output, or just ``SELECT content_hash`` from
+    it). The batch first collapses internally (same hash-aggregate as
+    the full op), then anti-joins the corpus hashes — rows returned
+    are exactly the canonical batch docs whose content the corpus has
+    never seen, i.e. what an append-only ingest should write.
+
+    Scale: the anti-join keys are 32-char hashes; AQE broadcasts when
+    the known side is small, otherwise it is one shuffle on the hash —
+    co-locatable for repeated loads by bucketing the corpus hash table
+    on ``content_hash`` (``sinks.write_bucketed``). Nothing here
+    rescans or rehashes the existing corpus text.
+    """
+    return exact_dedup(batch).join(
+        known.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
+def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Materializable near-dup index: (doc_id, sh_set, bands).
+
+    The MinHash-LSH twin of ``similarity.ann_index`` — the production
+    shape for CONTINUOUS ingestion, where the corpus is deduped once
+    and each new batch must only be checked against it (plus itself),
+    never by re-minhashing the whole corpus. ``bands`` is the
+    array<struct<band_id, band_hash>> the candidate join explodes;
+    ``sh_set`` stays in the index so the exact-Jaccard verifier never
+    needs the original text again. Persist it, or write it to parquet
+    (``sinks.write_bucketed(..., by=["doc_id"])``) for cross-job reuse.
+
+    Index build = the same one-shuffle minhash as the batch path; the
+    point is it runs ONCE, after which per-batch cost is independent
+    of corpus-text size (band equi-join + candidate-sized verify).
+    """
+    sets = shingle_sets(docs, k)
+    sig = _minhash_from_shingles(
+        sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+    )
+    return sets.join(
+        sig.select("doc_id", _band_structs().alias("bands")), "doc_id"
+    )
+
+
+def neardup_query(
+    index: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    include_intra_batch: bool = True,
+) -> DataFrame:
+    """Near-dup matches for a NEW batch against a prebuilt index.
+
+    Returns (doc_id, dup_of, jaccard): ``doc_id`` is a batch doc,
+    ``dup_of`` the indexed (or, with ``include_intra_batch``, an
+    earlier-in-batch) doc it near-duplicates at ``jaccard ≥
+    threshold``. The ingest decision is then one anti-join: batch docs
+    absent from this result are genuinely new.
+
+    ``k`` must match the value the index was built with (caller's
+    contract — mixed shingle widths silently miss everything).
+    Candidates come from the band equi-join only — batch bands vs
+    index bands (and batch-self for intra-batch pairs, oriented
+    later-dups-earlier) — so per-batch cost scales with batch size ×
+    band collision rate, not corpus size. Verification reuses the
+    index's stored ``sh_set``; corpus text is never touched.
+    """
+    qidx_lazy = neardup_index(batch, k)
+    # batch is batch-sized: persist its index so the band explode and
+    # both verify sides share one minhash computation
+    from pyspark.storagelevel import StorageLevel
+
+    qidx = qidx_lazy.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def bands_of(ix: DataFrame) -> DataFrame:
+        return ix.select("doc_id", F.explode_outer("bands").alias("b")).select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+
+    qb = bands_of(qidx).withColumnsRenamed({"doc_id": "doc_id_new"})
+    cand = (
+        qb.join(bands_of(index), on=["band_id", "band_hash"])
+        .select(F.col("doc_id_new").alias("doc_id"), F.col("doc_id").alias("dup_of"))
+    )
+    if include_intra_batch:
+        qb2 = qb.withColumnsRenamed({"doc_id_new": "doc_id_prev"})
+        intra = (
+            qb.join(qb2, on=["band_id", "band_hash"])
+            .where(F.col("doc_id_prev") < F.col("doc_id_new"))
+            .select(
+                F.col("doc_id_new").alias("doc_id"),
+                F.col("doc_id_prev").alias("dup_of"),
+            )
+        )
+        cand = cand.unionByName(intra)
+    cand = cand.distinct()
+    new_sets = qidx.select(
+        F.col("doc_id"), F.col("sh_set").alias("__sh_new")
+    )
+    old_sets = index.select(
+        F.col("doc_id").alias("dup_of"), F.col("sh_set").alias("__sh_old")
+    )
+    if include_intra_batch:
+        old_sets = old_sets.unionByName(
+            qidx.select(
+                F.col("doc_id").alias("dup_of"), F.col("sh_set").alias("__sh_old")
+            )
+        )
+    n_inter = F.size(F.array_intersect("__sh_new", "__sh_old"))
+    n_union = F.size("__sh_new") + F.size("__sh_old") - n_inter
+    out = (
+        cand.join(new_sets, "doc_id")
+        .join(old_sets, "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    qidx.unpersist()
+    return out.orderBy("doc_id", "dup_of")
 
 
 _SIM_BITS = 32

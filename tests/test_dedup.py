@@ -162,3 +162,68 @@ def test_neardup_clusters_accepts_precomputed_pairs(spark):
     assert stats[0][0] == -1
     rounds = [s for s in stats if s[0] >= 0]
     assert rounds and rounds[-1][1] == 0
+
+
+def test_exact_dedup_incremental_filters_known_content(spark):
+    old = docs_frame(spark)  # contains doc 0's text (and its dup 2)
+    known = dedup.exact_dedup(old)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # known content
+            (11, "a genuinely new document about gradient descent"),
+            (12, "a genuinely new document about gradient descent"),  # intra-batch dup
+        ],
+        DOCS,
+    )
+    out = dedup.exact_dedup_incremental(batch, known).collect()
+    # known content dropped; intra-batch dup collapsed to min(doc_id)
+    assert [(r.canonical_doc_id, r.dup_count) for r in out] == [(11, 2)]
+
+
+def test_neardup_query_matches_full_pairs_on_union(spark):
+    """Incremental index/query == the full-corpus pair run, restricted
+    to pairs whose LATER doc is in the batch (new ids sort above old
+    ones here, so that restriction is exactly 'pairs the incremental
+    path is responsible for finding')."""
+    all_docs = docs_frame(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),  # dup of 0/2
+                (11, "the quick brown fox jumps over a lazy dog"),  # near-dup
+                (12, "the quick brown fox jumps over a lazy dog"),  # dup of 11
+            ],
+            DOCS,
+        )
+    )
+    old = all_docs.where(F.col("doc_id") < 10)
+    batch = all_docs.where(F.col("doc_id") >= 10)
+    thr = 0.5
+    full = dedup.neardup_pairs(all_docs, threshold=thr)
+    expected = {
+        (r.doc_b, r.doc_a, round(r.jaccard, 9))
+        for r in full.collect()
+        if r.doc_b >= 10
+    }
+    inc = dedup.neardup_query(dedup.neardup_index(old), batch, threshold=thr)
+    got = {(r.doc_id, r.dup_of, round(r.jaccard, 9)) for r in inc.collect()}
+    assert got == expected
+    assert expected  # the fixture must actually exercise cross + intra pairs
+    assert any(d >= 10 and o < 10 for d, o, _ in expected)  # cross old/new
+    assert any(d >= 10 and o >= 10 for d, o, _ in expected)  # intra-batch
+
+
+def test_neardup_query_without_intra_batch(spark):
+    old = docs_frame(spark)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),
+        ],
+        DOCS,
+    )
+    inc = dedup.neardup_query(
+        dedup.neardup_index(old), batch, threshold=0.9, include_intra_batch=False
+    )
+    got = {(r.doc_id, r.dup_of) for r in inc.collect()}
+    # both batch docs match corpus docs 0 and 2; the 10<->11 pair is excluded
+    assert got == {(10, 0), (10, 2), (11, 0), (11, 2)}
