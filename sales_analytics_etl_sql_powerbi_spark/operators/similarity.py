@@ -225,6 +225,7 @@ def ann_query(
     queries: DataFrame,
     n_planes: int,
     topk: int = 5,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Top-k over a prebuilt :func:`ann_index` for a batch of queries.
 
@@ -234,8 +235,49 @@ def ann_query(
     pass the value you built with). The query side is broadcast: a
     query batch is human-sized, the index is corpus-sized and only
     ever touched via the bucket equi-join.
+
+    ``n_probes`` > 1 turns on multi-probe LSH (query-directed, single
+    bit-flip perturbations): each query additionally probes the
+    ``n_probes - 1`` buckets reached by flipping the hyperplane bits
+    with the SMALLEST |dot| margin — the planes the vector sits
+    closest to, i.e. the neighbors most likely to have landed one
+    sign away. Recall rises toward brute-force without touching the
+    index or its bucket count; cost is linear in probes (each probe
+    is one more bucket's candidates through the same equi-join, and
+    candidate sets are disjoint because index buckets partition the
+    corpus). The standard knob when an LSH index is materialized and
+    rebucketing is expensive but a query batch needs better recall.
     """
-    qb = lsh_buckets(queries, n_planes).select(
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}] "
+            "(single-bit perturbations only)"
+        )
+    qb0 = lsh_buckets(queries, n_planes)
+    if n_probes > 1:
+        # (|margin|, flip-mask) per plane, ascending — nearest planes first
+        margin_structs = []
+        for j, plane in enumerate(hyperplanes(n_planes)):
+            plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
+            d = F.expr(_DOT.format(a="__q", b=plane_lit))
+            margin_structs.append(
+                F.struct(F.abs(d).alias("m"), F.lit(2**j).alias("p"))
+            )
+        flips = F.slice(
+            F.transform(
+                F.array_sort(F.array(*margin_structs)), lambda s: s["p"]
+            ),
+            1,
+            n_probes - 1,
+        )
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                flips, lambda p: F.col("bucket").bitwiseXOR(p).cast("int")
+            ),
+        )
+        qb0 = qb0.withColumn("bucket", F.explode(probes))
+    qb = qb0.select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
         F.col("__norm").alias("__qn"),
@@ -261,7 +303,11 @@ def ann_query(
 
 
 def ann_lsh_topk(
-    emb: DataFrame, n_queries: int = 5, topk: int = 5, n_planes: int | None = None
+    emb: DataFrame,
+    n_queries: int = 5,
+    topk: int = 5,
+    n_planes: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket.
 
@@ -282,6 +328,7 @@ def ann_lsh_topk(
         emb.where(F.col("vec_id") < n_queries),
         n_planes,
         topk,
+        n_probes,
     )
 
 

@@ -183,3 +183,52 @@ def test_ivf_index_query_matches_stateless(spark):
         ]
     finally:
         idx.unpersist()
+
+
+def _recall_vs_brute(spark, df, n_queries, topk, **ann_kwargs):
+    brute = similarity.cosine_topk(df, n_queries=n_queries, topk=topk).collect()
+    ann = similarity.ann_lsh_topk(
+        df, n_queries=n_queries, topk=topk, **ann_kwargs
+    ).collect()
+    want, got = {}, {}
+    for r in brute:
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ann:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(want[q]) for q in want)
+    return hits / total
+
+
+def test_multi_probe_lsh_recall_monotone(spark):
+    """Flipping the lowest-margin bits probes more buckets → recall vs
+    brute force must not drop, and with all bits probeable (n_probes =
+    n_planes + 1 = whole corpus reachable only if every bucket is one
+    flip away — not guaranteed) it should strictly beat single-probe
+    on this fixture (deterministic data, pinned planes)."""
+    df, _ = emb_frame(spark, n=200)
+    r = {
+        p: _recall_vs_brute(spark, df, 8, 5, n_planes=4, n_probes=p)
+        for p in (1, 2, 5)
+    }
+    assert r[1] <= r[2] <= r[5]
+    assert r[5] > r[1]
+
+
+def test_multi_probe_default_is_single_probe(spark):
+    df, _ = emb_frame(spark, n=60)
+    base = similarity.ann_lsh_topk(df, n_queries=3, topk=5, n_planes=4).collect()
+    one = similarity.ann_lsh_topk(
+        df, n_queries=3, topk=5, n_planes=4, n_probes=1
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in one]
+
+
+def test_multi_probe_bounds_validated(spark):
+    import pytest
+
+    df, _ = emb_frame(spark, n=20)
+    with pytest.raises(ValueError):
+        similarity.ann_lsh_topk(df, n_queries=1, topk=3, n_planes=4, n_probes=6)
+    with pytest.raises(ValueError):
+        similarity.ann_lsh_topk(df, n_queries=1, topk=3, n_planes=4, n_probes=0)
