@@ -26,6 +26,7 @@ __all__ = [
     "split_assign",
     "sample_per_group",
     "sampling_profile",
+    "training_shards",
     "deterministic_sample_sql",
     "split_assign_sql",
     "sample_per_group_sql",
@@ -213,3 +214,29 @@ FROM (
   FROM ({inner}) s
 ) r
 """
+
+
+def training_shards(
+    df: DataFrame, n_shards: int, key: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` even shards.
+
+    The export step before training: examples must be (a) spread
+    evenly across shard files, (b) in pseudorandom order within each
+    shard (no residual source ordering — a corpus sorted by crawl date
+    trains worse), and (c) EXACTLY reproducible across reruns, retries
+    and input repartitioning. All three come from the one
+    content-addressed hash this module already uses: shard =
+    md5-bucket(key) mod n_shards, within-shard order = a second,
+    salt-decorrelated hash of the same key. No ``rand()``, no
+    ``monotonically_increasing_id`` — partition layout never leaks in.
+
+    Returns the frame with ``shard`` (int) and ``__ord`` (the order
+    hash) columns; :func:`sales_analytics_etl_sql_powerbi_spark.sources.sinks.write_training_shards`
+    materializes it one-file-per-shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return df.withColumn(
+        "shard", (hash_bucket(key, salt) % F.lit(n_shards)).cast("int")
+    ).withColumn("__ord", hash_bucket(key, salt + "#ord"))

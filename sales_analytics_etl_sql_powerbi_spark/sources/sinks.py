@@ -124,3 +124,43 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+    salt: str = "",
+) -> None:
+    """Materialize :func:`operators.sampling.training_shards` as
+    one parquet file per ``shard=N/`` directory.
+
+    Layout contract: ``repartition(n_shards, shard)`` gives every
+    shard exactly one task (hash collisions may co-locate two shards
+    in a task — ``partitionBy`` still splits them into their own
+    directories, each written by that single task, so one data file
+    per shard holds); ``sortWithinPartitions(shard, __ord, key)``
+    pins the within-file row order to the content hash. Result: two
+    runs over the same rows produce byte-identical shard files
+    regardless of input partitioning — the property that makes
+    training jobs resumable and data lineage auditable. The order
+    hash is dropped from the written schema; ``shard`` survives as
+    the partition directory.
+
+    Scale: one shuffle (the repartition) + a sort of each task's
+    rows. Pick n_shards ≈ total_bytes / desired_file_size; shard
+    task memory is corpus/n_shards, so at 100 TB use thousands of
+    shards, not tens.
+    """
+    from ..operators.sampling import training_shards
+
+    sharded = training_shards(df, n_shards, key, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__ord", key)
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

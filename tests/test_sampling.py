@@ -75,3 +75,44 @@ def test_sampling_profile_flags_match_operators(spark):
         for r in sampling.sample_per_group(df, "lang", "doc_id", n=15).collect()
     }
     assert {r.doc_id for r in rows if r.in_group_quota} == quota
+
+
+def test_training_shards_deterministic_and_balanced(spark, sf_dir):
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = sampling.training_shards(docs, 8)
+    sizes = {r.shard: r.cnt for r in a.groupBy("shard").count().withColumnsRenamed({"count": "cnt"}).collect()}
+    assert set(sizes) <= set(range(8))
+    # content-hash spread: no shard more than 2x the even split on real data
+    assert max(sizes.values()) <= 2 * (n / 8)
+    # repartition-stability: same assignment from a differently-partitioned input
+    b = sampling.training_shards(docs.repartition(7), 8)
+    assert a.select("doc_id", "shard").exceptAll(b.select("doc_id", "shard")).count() == 0
+
+
+def test_write_training_shards_one_file_per_shard_byte_identical(spark, sf_dir, tmp_path):
+    import glob
+    import hashlib
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def write_and_hash(p):
+        sinks.write_training_shards(docs, p, n_shards=4)
+        out = {}
+        for d in sorted(glob.glob(f"{p}/shard=*")):
+            files = [f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")]
+            assert len(files) == 1, files  # ONE data file per shard
+            out[d.split("shard=")[1]] = hashlib.md5(open(files[0], "rb").read()).hexdigest()
+        return out
+
+    h1 = write_and_hash(str(tmp_path / "a"))
+    h2 = write_and_hash(str(tmp_path / "b"))
+    assert h1 == h2  # byte-identical shard files across runs
+    # within-shard order is the salt-decorrelated hash, not doc_id order
+    rows = spark.read.parquet(str(tmp_path / "a") + "/shard=0").collect()
+    ids = [r.doc_id for r in rows]
+    assert ids != sorted(ids)
