@@ -164,3 +164,86 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def zorder_value(
+    bounds: dict[str, tuple[float, float]], bits: int = 8
+) -> Column:
+    """Z-order (Morton) value from 2+ numeric columns.
+
+    Each column is width-bucketed into ``2**bits`` uniform buckets
+    between its (min, max) ``bounds``, and the bucket bits are
+    interleaved — points close in EVERY dimension get close z-values,
+    so sorting by z clusters the data in all dimensions at once.
+    Pure Column arithmetic (shifts + masks unrolled per bit; bits=8 ×
+    3 cols = 24 terms inside one codegen span) — no UDF.
+
+    Uniform-width buckets: skewed columns bucket unevenly (the
+    classic z-order caveat; quantile bucketing is the refinement) —
+    for pruning, what matters is monotone bucket ↔ value mapping,
+    which holds regardless.
+    """
+    cols = list(bounds)
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use a plain sort for 1)")
+    max_bucket = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) or 1.0
+        bucket = F.least(
+            F.lit(max_bucket),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(span)
+                    * F.lit(1 << bits)
+                ).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet laid out in Z-order over ``cols``.
+
+    The multi-dimensional pruning layout: a single-column sort gives
+    tight per-file min/max statistics for THAT column only; Z-order
+    gives usefully-tight ranges for EVERY listed column, so predicate
+    pushdown skips files for queries filtering on any of them (parquet
+    row-group stats + Spark's file-level pruning do the skipping —
+    nothing to configure at read time). The complement to
+    :func:`write_bucketed`: bucketing co-locates equi-JOIN keys,
+    Z-order co-locates range-FILTER keys.
+
+    One stats job (min/max per column), then one range shuffle +
+    in-task sort — the same cost shape as any global sort, so at
+    100 TB pick n_files ≈ data / target_file_size and let the range
+    exchange spread by z-value.
+    """
+    row = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))]
+    ).collect()[0]
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    z = zorder_value(bounds, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -287,3 +287,59 @@ def test_excel_distributed_parity_and_alignment(spark, tmp_path):
 
     with _pytest.raises((Py4JJavaError, Exception), match="schema drift"):
         read_excel_distributed(spark, str(d / "*.xlsx")).collect()
+
+
+def test_zorder_layout_tightens_stats_in_every_dimension(spark, tmp_path):
+    """Z-order must give usefully-tight per-file min/max ranges for BOTH
+    columns; a single-column sort only does for its own column. Measured
+    from the actual parquet footers — the stats the reader prunes on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(conv(substring(md5(cast(id as string)), 1, 6), 16, 10) % 1024 as long) x",
+            "cast(conv(substring(md5(cast(id as string)), 7, 6), 16, 10) % 1024 as long) y",
+        )
+    )
+
+    def avg_spread(path, col):
+        spreads = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            spreads.append((max(his) - min(los)) / 1023)
+        return sum(spreads) / len(spreads)
+
+    zpath = str(tmp_path / "z")
+    sinks.write_zordered(df, zpath, ["x", "y"], n_files=16)
+    spath = str(tmp_path / "s")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    # x-sorted layout: x tight, y useless (~full range per file)
+    assert avg_spread(spath, "x") < 0.15
+    assert avg_spread(spath, "y") > 0.85
+    # z-order: BOTH dimensions usefully tight (16 files ≈ 4×4 grid → ~0.25)
+    assert avg_spread(zpath, "x") < 0.5
+    assert avg_spread(zpath, "y") < 0.5
+    # and values survive the layout intact
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_value_validation():
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    with pytest.raises(ValueError):
+        sinks.zorder_value({"x": (0, 10)})
