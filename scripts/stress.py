@@ -627,6 +627,87 @@ def rules_main() -> None:
     assert len(stages) == 1, "rule chain must fuse into ONE codegen span"
 
 
+def incremental_main() -> None:
+    """Incremental-dedup amortization: per-batch cost vs corpus rerun.
+
+    Builds a mult× corpus (same decorrelated union as --docs), times
+    (a) the one-time near-dup index build + materialization, (b) a
+    1k-doc batch deduped against the materialized index via
+    neardup_query, and (c) the honest alternative — re-running
+    neardup_pairs over corpus ∪ batch. The claim under test: (b) is
+    far cheaper than (c) and stays flat as the corpus grows, because
+    per-batch work is batch-minhash + band equi-join + candidate
+    verify, never a corpus re-minhash.
+    """
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-incremental")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(mult)
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.repartition(64).persist(StorageLevel.MEMORY_AND_DISK)
+    n = corpus.count()
+    # batch = 1k fresh docs: half salted (new content), half near-dups
+    # of corpus docs (so the query path has real matches to find)
+    base = docs.where(F.col("doc_id") < 1000)
+    batch = base.select(
+        (F.col("doc_id") + F.lit(mult * n0)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" fresh z"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nb = batch.count()
+    print(f"corpus rows: {n}, batch rows: {nb}")
+
+    t0 = time.time()
+    index = dedup.neardup_index(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    print(f"index build+materialize (one-time): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    matches = dedup.neardup_query(index, batch, threshold=0.8)
+    nm = matches.count()
+    print(f"neardup_query batch-vs-index ({nm} matches): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    full = dedup.neardup_pairs(corpus.unionByName(batch), threshold=0.8)
+    nf = full.count()
+    print(f"full neardup_pairs rerun on corpus+batch ({nf} pairs): {time.time()-t0:.1f}s")
+
+    index.unpersist()
+    corpus.unpersist()
+    batch.unpersist()
+    leftover = spark.sparkContext._jsc.getPersistentRDDs().size()
+    print(f"persistent storage entries after run: {leftover}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -640,5 +721,7 @@ if __name__ == "__main__":
         vectors_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--state":
         state_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        incremental_main()
     else:
         main()
