@@ -31,6 +31,8 @@ __all__ = [
     "ann_query",
     "ann_lsh_topk",
     "ann_lsh_topk_sql",
+    "embedding_neardup_pairs",
+    "embedding_neardup_clusters",
     "hyperplanes",
     "auto_n_planes",
     "train_ivf_codebook",
@@ -412,6 +414,32 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_neardup_clusters(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int | None = None
+) -> DataFrame:
+    """Semantic dedup: collapse cosine-near-dup embeddings into clusters.
+
+    The embedding-side twin of ``dedup.neardup_clusters`` — pairs from
+    :func:`embedding_neardup_pairs`, transitive closure via the SAME
+    iterative min-label collapse (``dedup.neardup_clusters(pairs=...)``
+    — one algorithm, both modalities; drift impossible). Returns
+    (vec_id, cluster_id); keep ``min(vec_id)`` per cluster for the
+    dedup decision. Same scale shape as the text path: pair generation
+    is bucket-bounded, the collapse converges in graph-diameter rounds.
+    """
+    from .dedup import neardup_clusters
+
+    pairs = embedding_neardup_pairs(emb, threshold, n_planes).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = neardup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs=pairs
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    ).orderBy("vec_id")
 
 
 def embedding_neardup_pairs_sql(

@@ -232,3 +232,24 @@ def test_multi_probe_bounds_validated(spark):
         similarity.ann_lsh_topk(df, n_queries=1, topk=3, n_planes=4, n_probes=6)
     with pytest.raises(ValueError):
         similarity.ann_lsh_topk(df, n_queries=1, topk=3, n_planes=4, n_probes=0)
+
+
+def test_embedding_neardup_clusters_collapse_planted_group(spark):
+    """Three planted copies of one vector (+ jitter on one) must land
+    in a single cluster via transitive closure; unrelated vectors stay
+    singletons."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype(np.float32)
+    jit = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    others = rng.standard_normal((5, 64)).astype(np.float32)
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in base]),
+            (2, [float(x) for x in jit])]
+    rows += [(10 + i, [float(x) for x in others[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster_id for r in
+           similarity.embedding_neardup_clusters(df, threshold=0.95).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    for i in range(5):
+        assert out[10 + i] == 10 + i
