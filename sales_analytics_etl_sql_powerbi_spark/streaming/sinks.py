@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["stream_to_parquet", "foreach_batch_upsert_parquet"]
+__all__ = ["stream_to_parquet", "foreach_batch_upsert_parquet", "drain_available_now"]
 
 
 def stream_to_parquet(
@@ -76,3 +76,37 @@ def foreach_batch_upsert_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_available_now(q, timeout: float = 60.0) -> None:
+    """Stop an availableNow query with STATE TIMEOUTS once its data is done.
+
+    availableNow + ProcessingTimeTimeout never self-terminates while
+    state holds pending timeouts: after the input drains, Spark keeps
+    scheduling EMPTY micro-batches (~1.5s each) until every state
+    timeout fires — up to the operator's ``timeout_minutes`` of idle
+    spin — and ``awaitTermination(N)`` blocks its full N (measured:
+    198+ empty batches; this silently cost the test suite ~4 minutes
+    per run before the pattern was found — PLAN_AUDIT.md round 5
+    state-scale probe). Drain = watch ``recentProgress`` until two
+    consecutive batches report zero input rows, then ``stop()``.
+
+    Only needed for stateful queries (``running_totals_stateful``);
+    stateless availableNow queries self-terminate and just want
+    ``awaitTermination()``.
+    """
+    import time
+
+    end = time.time() + timeout
+    seen: set = set()
+    idle = 0
+    while q.isActive and time.time() < end and idle < 2:
+        time.sleep(0.5)
+        for p in q.recentProgress:
+            bid = p["batchId"]
+            if bid not in seen:
+                seen.add(bid)
+                idle = idle + 1 if p["numInputRows"] == 0 else 0
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)

@@ -185,9 +185,8 @@ def running_totals_stateful(events: DataFrame, timeout_minutes: int = 30) -> Dat
     drained — Spark keeps scheduling EMPTY micro-batches (~1.5s each)
     until every pending timeout fires, i.e. up to ``timeout_minutes``
     of idle spinning. Finite jobs should stop the query once progress
-    reports zero input rows (see ``drain_stateful`` in
-    tests/test_streaming.py and the ``--state`` stress probe), or pass
-    a small ``timeout_minutes``.
+    reports zero input rows — :func:`sales_analytics_etl_sql_powerbi_spark.streaming.sinks.drain_available_now`
+    does exactly that — or pass a small ``timeout_minutes``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -7,33 +7,9 @@ from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
 EVENTS = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
-def drain_stateful(q, timeout: float = 60.0) -> None:
-    """Wait for an availableNow query WITH state timeouts to finish its
-    data, then stop it.
-
-    availableNow + ProcessingTimeTimeout never self-terminates while
-    state holds pending timeouts: Spark keeps scheduling EMPTY
-    micro-batches (~1.5s each) until every timeout fires — with the
-    operator's 30-minute default, `awaitTermination(120)` just blocks
-    its full 120s and leaves the query idling through the rest of the
-    session (this silently cost the suite ~4 minutes per run). Drain =
-    two consecutive zero-input progresses, then stop().
-    """
-    import time
-
-    end = time.time() + timeout
-    seen: set = set()
-    idle = 0
-    while q.isActive and time.time() < end and idle < 2:
-        time.sleep(0.5)
-        for p in q.recentProgress:
-            bid = p["batchId"]
-            if bid not in seen:
-                seen.add(bid)
-                idle = idle + 1 if p["numInputRows"] == 0 else 0
-    if q.isActive:
-        q.stop()
-    q.awaitTermination(30)
+from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+    drain_available_now as drain_stateful,
+)
 
 
 def events_rows():
