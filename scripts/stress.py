@@ -539,6 +539,26 @@ def vectors_main() -> None:
     nbrute = S.cosine_topk(big).count()
     print(f"brute cosine_topk baseline ({nbrute} rows): {time.time()-t0:.1f}s")
 
+    # amortized serving: materialize the index ONCE, then repeated query
+    # batches pay only the bucket equi-join — the number behind the
+    # index/query split's existence
+    t0 = time.time()
+    index = S.ann_index(big, n_planes).persist(StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    print(f"ann_index materialize (one-time): {time.time()-t0:.1f}s")
+    per_batch = []
+    for i in range(5):
+        qb = big.where((F.col("vec_id") >= i * 5) & (F.col("vec_id") < i * 5 + 5))
+        t0 = time.time()
+        S.ann_query(index, qb, n_planes, topk=5).count()
+        per_batch.append(time.time() - t0)
+    print(
+        "ann_query per 5-query batch over materialized index: "
+        + ", ".join(f"{s_:.2f}s" for s_ in per_batch)
+        + f" (min {min(per_batch):.2f}s)"
+    )
+    index.unpersist()
+
     # plan hygiene at scale: candidate generation must stay equi-join
     for name, df in (
         ("ann_lsh_topk", S.ann_lsh_topk(big)),
