@@ -1,4 +1,4 @@
-"""As-of (backward) join — a custom operator Spark lacks natively.
+"""As-of joins — a custom operator family Spark lacks natively.
 
 ``asof_backward(left, right, ...)``: each left row picks the most
 recent right row with ``right.ts <= left.ts`` per key — the
@@ -23,14 +23,97 @@ users/instruments across executors and AQE handles skewed keys. The
 DuckDB twin uses the identical window formulation (portable SQL — not
 DuckDB's ASOF JOIN, whose equal-timestamp winner is unspecified), so
 results hash-match bit-for-bit.
+
+``asof_forward`` is the mirror (earliest right at-or-after, same
+one-shuffle shape); ``asof_nearest`` composes both and picks the
+closer match per row (ties → backward, pandas semantics). All three
+take ``tolerance_seconds`` — matches farther than the tolerance in
+time are nulled out, pandas ``merge_asof(tolerance=...)`` semantics —
+applied as a post-projection on the carried match timestamp, so the
+plan shape (and its single shuffle) is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_backward", "events_asof", "events_asof_sql"]
+__all__ = [
+    "asof_backward",
+    "asof_forward",
+    "asof_nearest",
+    "events_asof",
+    "events_asof_sql",
+]
+
+
+def _ts_num(col: Column, dtype) -> Column:
+    """Timestamp-or-numeric → seconds as double (timestamp cast keeps
+    sub-second precision in Spark)."""
+    return col.cast("double")
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    payload: tuple[str, ...],
+    tiebreak: str,
+    left_side: int,
+) -> tuple[DataFrame, list[str]]:
+    """Union with side tag; right rows carry payload + their own ts
+    (``__p___ts``) so tolerance can see how far the match is."""
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.lit(left_side).alias("__side"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
+        F.lit(None).cast(right.schema[ts].dataType).alias("__p___ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+    )
+    r = right.select(
+        *[
+            F.col(c)
+            if c in (on, ts)
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(1 - left_side).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        F.col(ts).alias("__p___ts"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    return l.unionByName(r), lcols
+
+
+def _apply_tolerance(
+    out: DataFrame,
+    ts: str,
+    payload: tuple[str, ...],
+    tolerance_seconds: float | None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    within = (
+        F.abs(
+            _ts_num(F.col(ts), None) - _ts_num(F.col(f"{prefix}__ts"), None)
+        )
+        <= F.lit(float(tolerance_seconds))
+    )
+    return out.select(
+        *[
+            c
+            for c in out.columns
+            if not (c.startswith(prefix) and c != f"{prefix}__ts")
+        ],
+        *[
+            F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
+            for c in payload
+        ],
+    ).drop(f"{prefix}__ts")
 
 
 def asof_backward(
@@ -40,6 +123,8 @@ def asof_backward(
     ts: str = "ts",
     payload: tuple[str, ...] = ("value",),
     tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
+    _keep_match_ts: bool = False,
 ) -> DataFrame:
     """Left rows + the latest right payload at-or-before their ts.
 
@@ -47,28 +132,12 @@ def asof_backward(
     prior right row get NULLs (left-join semantics). ``tiebreak``
     (default: first payload column) orders equal-timestamp right rows
     deterministically — the LAST one in (ts, tiebreak) order wins.
+    ``tolerance_seconds`` nulls matches older than the tolerance
+    (pandas ``merge_asof`` semantics), as a post-projection — the
+    single-shuffle plan is unchanged.
     """
     tiebreak = tiebreak or payload[0]
-    lcols = left.columns
-    l = left.select(
-        *lcols,
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-            for c in payload
-        ],
-    )
-    r = right.select(
-        *[
-            F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-        ],
-        F.lit(0).alias("__side"),
-        F.col(tiebreak).alias("__tb"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-    )
-    u = l.unionByName(r)
+    u, lcols = _tagged_union(left, right, on, ts, payload, tiebreak, left_side=1)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc())
@@ -78,11 +147,116 @@ def asof_backward(
         F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
         for c in payload
     ]
-    return (
-        u.select(*lcols, "__side", *carried)
+    match_ts = F.last("__p___ts", ignorenulls=True).over(w).alias("asof___ts")
+    out = (
+        u.select(*lcols, "__side", match_ts, *carried)
         .where(F.col("__side") == 1)
         .drop("__side")
     )
+    if tolerance_seconds is not None:
+        return _apply_tolerance(out, ts, payload, tolerance_seconds)
+    return out if _keep_match_ts else out.drop("asof___ts")
+
+
+def asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    payload: tuple[str, ...] = ("value",),
+    tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
+    _keep_match_ts: bool = False,
+) -> DataFrame:
+    """Left rows + the EARLIEST right payload at-or-after their ts.
+
+    The mirror of :func:`asof_backward` — same union + one-shuffle
+    window, but left rows sort BEFORE right rows at equal ts (so
+    ``>=`` stays inclusive) and the frame looks forward
+    (CURRENT..UNBOUNDED FOLLOWING, ``first`` instead of ``last``).
+    Among equal-timestamp right rows the FIRST in (ts, tiebreak)
+    order wins.
+    """
+    tiebreak = tiebreak or payload[0]
+    u, lcols = _tagged_union(left, right, on, ts, payload, tiebreak, left_side=0)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+        for c in payload
+    ]
+    match_ts = F.first("__p___ts", ignorenulls=True).over(w).alias("asof___ts")
+    out = (
+        u.select(*lcols, "__side", match_ts, *carried)
+        .where(F.col("__side") == 0)
+        .drop("__side")
+    )
+    if tolerance_seconds is not None:
+        return _apply_tolerance(out, ts, payload, tolerance_seconds)
+    return out if _keep_match_ts else out.drop("asof___ts")
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_key: str,
+    ts: str = "ts",
+    payload: tuple[str, ...] = ("value",),
+    tiebreak: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left rows + the CLOSEST right payload in time (either direction).
+
+    pandas ``merge_asof(direction="nearest")``: per left row, compare
+    the backward match and the forward match and keep whichever is
+    closer in time; exact ties go backward. Needs ``left_key`` — a
+    unique-per-left-row column (event id) — to join the two passes
+    back together; the join is an equi-join on that key, so the total
+    cost is two as-of windows + one key-sized shuffle. Tolerance
+    applies to the chosen side.
+    """
+    b = asof_backward(
+        left, right, on, ts, payload, tiebreak, _keep_match_ts=True
+    )
+    f = asof_forward(
+        left.select(left_key, on, ts),
+        right,
+        on,
+        ts,
+        payload,
+        tiebreak,
+        _keep_match_ts=True,
+    ).select(
+        F.col(left_key),
+        F.col("asof___ts").alias("__fwd___ts"),
+        *[F.col(f"asof_{c}").alias(f"__fwd_{c}") for c in payload],
+    )
+    j = b.join(f, left_key)
+    tnum = _ts_num(F.col(ts), None)
+    d_b = tnum - _ts_num(F.col("asof___ts"), None)
+    d_f = _ts_num(F.col("__fwd___ts"), None) - tnum
+    # backward wins ties; a NULL side loses to a non-NULL side
+    use_b = F.when(
+        F.col("asof___ts").isNull(), F.lit(False)
+    ).otherwise(F.col("__fwd___ts").isNull() | (d_b <= d_f))
+    chosen_ts = F.when(use_b, F.col("asof___ts")).otherwise(F.col("__fwd___ts"))
+    out = j.select(
+        *[c for c in b.columns if not c.startswith("asof_")],
+        chosen_ts.alias("asof___ts"),
+        *[
+            F.when(use_b, F.col(f"asof_{c}"))
+            .otherwise(F.col(f"__fwd_{c}"))
+            .alias(f"asof_{c}")
+            for c in payload
+        ],
+    )
+    if tolerance_seconds is not None:
+        return _apply_tolerance(out, ts, payload, tolerance_seconds)
+    return out.drop("asof___ts")
 
 
 def events_asof(

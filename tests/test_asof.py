@@ -58,3 +58,85 @@ def test_events_asof_shape(spark, sf_dir):
         "event_id", "user_id", "ts", "prior_view_id", "prior_view_value",
     }
     assert any(r.prior_view_id is not None for r in rows)
+
+
+def _pandas_oracle_frames():
+    """Deterministic numeric-ts fixture with multiple keys, gaps, and
+    rows before/after all matches; right ts distinct per key so pandas
+    tie rules don't diverge from our tiebreak rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "ts": np.sort(rng.choice(np.arange(0, 400, dtype=np.int64), 40, replace=False)).astype(float),
+        }
+    )
+    left["lid"] = np.arange(40)
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "ts": np.sort(rng.choice(np.arange(0, 400, dtype=np.int64), 30, replace=False)).astype(float),
+        }
+    )
+    right["value"] = np.arange(30).astype(float) * 10
+    right = right.drop_duplicates(subset=["k", "ts"])
+    return left, right
+
+
+def _merge_asof(left, right, direction, tolerance=None):
+    import pandas as pd
+
+    out = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    return {int(r.lid): (None if pd.isna(r.value) else float(r.value)) for r in out.itertuples()}
+
+
+def _spark_asof(spark, fn, left, right, **kw):
+    l = spark.createDataFrame(left)
+    r = spark.createDataFrame(right)
+    out = fn(l, r, on="k", ts="ts", payload=("value",), **kw)
+    return {int(row.lid): row.asof_value for row in out.collect()}
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import (
+        asof_forward,
+        asof_nearest,
+    )
+
+    left, right = _pandas_oracle_frames()
+    assert _spark_asof(spark, asof_backward, left, right) == _merge_asof(
+        left, right, "backward"
+    )
+    assert _spark_asof(spark, asof_forward, left, right) == _merge_asof(
+        left, right, "forward"
+    )
+    assert _spark_asof(
+        spark, asof_nearest, left, right, left_key="lid"
+    ) == _merge_asof(left, right, "nearest")
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import (
+        asof_forward,
+        asof_nearest,
+    )
+
+    left, right = _pandas_oracle_frames()
+    for fn, direction, kw in (
+        (asof_backward, "backward", {}),
+        (asof_forward, "forward", {}),
+        (asof_nearest, "nearest", {"left_key": "lid"}),
+    ):
+        got = _spark_asof(spark, fn, left, right, tolerance_seconds=25.0, **kw)
+        want = _merge_asof(left, right, direction, tolerance=25.0)
+        assert got == want, direction
