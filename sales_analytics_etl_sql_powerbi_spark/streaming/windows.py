@@ -28,6 +28,7 @@ __all__ = [
     "session_windows",
     "dedup_within_watermark",
     "running_totals_stateful",
+    "view_purchase_interval_join",
     "TUMBLING_SQL",
     "SLIDING_SQL",
     "SESSION_SQL",
@@ -233,3 +234,63 @@ SELECT user_id, count(1) AS event_count,
        cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY user_id
 """
+
+
+def view_purchase_interval_join(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: purchases × same-user views within
+    the preceding ``lookback`` window.
+
+    The streaming twin of the batch as-of/funnel analysis
+    (operators/asof.py): every (purchase, view) pair with
+    ``view.ts ∈ [purchase.ts − lookback, purchase.ts]``. Spark only
+    admits stream-stream INNER joins whose condition bounds event time
+    on both sides — equi-join on ``user_id`` plus the ts interval is
+    exactly that shape, so each side's join state is evicted once the
+    watermark passes ``lookback + watermark``; state is
+    O(users-active-in-window), never unbounded.
+
+    Defined ONCE over DataFrames: on batch frames the same expression
+    runs as an ordinary range-bounded equi-join (the oracle-checkable
+    route, and what the parity test pins); on streams both sides get
+    event-time watermarks first.
+
+    Output: one row per qualifying pair (purchase_id, user_id,
+    purchase_ts, view_id, view_ts, gap_seconds) — aggregate downstream
+    per purchase if attribution wants counts/latest (kept separate:
+    chaining another stateful op after a stream-stream join is
+    restricted in Spark's streaming model).
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (purchases.user_id == views.view_user_id)
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return purchases.join(views, cond, "inner").select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+        (
+            F.col("purchase_ts").cast("double")
+            - F.col("view_ts").cast("double")
+        ).alias("gap_seconds"),
+    )

@@ -289,3 +289,56 @@ def test_stream_order_export_matches_batch(spark, tmp_path):
     assert frame_digest(batch.columns, s_rows) == frame_digest(
         batch.columns, b_rows
     ), "streaming bytes diverge from the oracle-green batch frame"
+
+
+def purchase_rows():
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for m in (0, 5, 20, 61):  # views at various offsets
+            rows.append((eid, t0 + datetime.timedelta(minutes=m), u, "view", float(m)))
+            eid += 1
+        # purchase at minute 35: views at 5 and 20 are within 30min, 0 is not
+        rows.append((eid, t0 + datetime.timedelta(minutes=35), u, "purchase", 9.9))
+        eid += 1
+    return rows
+
+
+def test_interval_join_batch_semantics(spark):
+    df = spark.createDataFrame(purchase_rows(), EVENTS)
+    out = W.view_purchase_interval_join(df, lookback="30 minutes").collect()
+    by_purchase = {}
+    for r in out:
+        by_purchase.setdefault(r.purchase_id, set()).add(round(r.gap_seconds))
+    # per user: exactly the 5-min and 20-min-offset views qualify
+    # (gaps 30min=1800s and 15min=900s); the minute-0 view (gap 35min)
+    # and the minute-61 view (after the purchase) do not
+    assert all(v == {1800, 900} for v in by_purchase.values())
+    assert len(by_purchase) == 3
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    df = spark.createDataFrame(purchase_rows(), EVENTS)
+    src = str(tmp_path / "ij_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    out = W.view_purchase_interval_join(stream, lookback="30 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.view_id, round(r.gap_seconds))
+        for r in spark.table("t_ij_out").collect()
+    }
+    want = {
+        (r.purchase_id, r.view_id, round(r.gap_seconds))
+        for r in W.view_purchase_interval_join(df, lookback="30 minutes").collect()
+    }
+    assert got == want and got
