@@ -284,3 +284,29 @@ def test_neardup_query_is_band_equi_join_against_the_index(spark, plan_sf):
         if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
     ]
     assert any("band_hash" in l for l in join_lines), plan
+
+
+def test_asof_join_is_one_shuffle_no_range_join(spark, plan_sf):
+    """The as-of family's whole point: union-tag + window = ONE hash
+    exchange on the key, never a range-join candidate blowup."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import asof
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    ev = read_table(spark, plan_sf, "events")
+    for fn in (asof.asof_backward, asof.asof_forward):
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value")
+        )
+        plan = _plan(fn(left, right, on="user_id", payload=("value",)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan  # no join at all: window
+        n_ex = sum(
+            "Exchange hashpartitioning" in l for l in plan.splitlines()
+        )
+        assert n_ex == 1, plan

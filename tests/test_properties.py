@@ -218,3 +218,77 @@ def test_rules_compilers_agree_on_arbitrary_passes(spark, passes, cells):
     sql = passes_to_sql("SELECT * FROM base", passes, base_columns=cols)
     duck_out = {r[0]: (r[2], r[3]) for r in con.execute(sql).fetchall()}
     assert spark_out == duck_out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([None, 10.0, 30.0]),
+)
+def test_asof_property_parity_vs_pandas(spark, lrows, rrows, tol):
+    """Arbitrary key/ts shapes (dup left ts, empty keys, all-late, all-
+    early) must match pandas merge_asof on every direction ± tolerance.
+    Right (key, ts) deduped so pandas' unspecified equal-ts winner can't
+    diverge from our tiebreak."""
+    import pandas as pd
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import (
+        asof_backward,
+        asof_forward,
+        asof_nearest,
+    )
+
+    left = pd.DataFrame(
+        {"k": [k for k, _ in lrows], "ts": [float(t) for _, t in lrows]}
+    )
+    left["lid"] = range(len(left))
+    rseen = {}
+    for k, t in rrows:
+        rseen[(k, t)] = float(k * 1000 + t)
+    right = pd.DataFrame(
+        [(k, float(t), v) for (k, t), v in sorted(rseen.items())],
+        columns=["k", "ts", "value"],
+    )
+
+    def pandas_side(direction):
+        out = pd.merge_asof(
+            left.sort_values(["ts", "lid"]),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+        )
+        return {
+            int(r.lid): (None if pd.isna(r.value) else float(r.value))
+            for r in out.itertuples()
+        }
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for fn, direction, kw in (
+        (asof_backward, "backward", {}),
+        (asof_forward, "forward", {}),
+        (asof_nearest, "nearest", {"left_key": "lid"}),
+    ):
+        got = {
+            int(r.lid): r.asof_value
+            for r in fn(
+                ldf, rdf, on="k", ts="ts", payload=("value",),
+                tolerance_seconds=tol, **kw
+            ).collect()
+        }
+        assert got == pandas_side(direction), direction
