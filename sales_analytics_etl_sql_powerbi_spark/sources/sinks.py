@@ -179,35 +179,77 @@ def zorder_value(
     3 cols = 24 terms inside one codegen span) — no UDF.
 
     Uniform-width buckets: skewed columns bucket unevenly (the
-    classic z-order caveat; quantile bucketing is the refinement) —
-    for pruning, what matters is monotone bucket ↔ value mapping,
-    which holds regardless.
+    classic z-order caveat) — for pruning, what matters is the
+    monotone bucket ↔ value mapping, which holds regardless; the
+    skew-robust refinement is :func:`zorder_value_quantile`.
     """
     cols = list(bounds)
     n = len(cols)
     if n < 2:
         raise ValueError("z-ordering needs >= 2 columns (use a plain sort for 1)")
     max_bucket = (1 << bits) - 1
-    z = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
+    buckets = []
+    for c in cols:
         lo, hi = bounds[c]
         span = float(hi) - float(lo) or 1.0
-        bucket = F.least(
-            F.lit(max_bucket),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(float(lo)))
-                    / F.lit(span)
-                    * F.lit(1 << bits)
-                ).cast("long"),
-            ),
+        buckets.append(
+            F.least(
+                F.lit(max_bucket),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(float(lo)))
+                        / F.lit(span)
+                        * F.lit(1 << bits)
+                    ).cast("long"),
+                ),
+            )
         )
+    return _interleave(buckets, bits)
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton interleave of per-dimension bucket ids (bit b of dim i →
+    z bit b·ndims + i)."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for i, bucket in enumerate(buckets):
         for b in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + i
             )
     return z
+
+
+def zorder_value_quantile(
+    boundaries: dict[str, list[float]], bits: int = 8
+) -> Column:
+    """Skew-robust Z-order: per-column QUANTILE buckets, then interleave.
+
+    ``boundaries[c]`` is the sorted list of ``2**bits − 1`` interior
+    quantile cut points (from ``df.stat.approxQuantile`` — one pass);
+    a row's bucket = #cuts ≤ value, i.e. its RANK bucket. Equal-height
+    buckets mean each z-cell (hence each written file) covers ~equal
+    row counts however skewed the values are — a uniform-width bucketing
+    would dump a heavy-tailed column's mass into one bucket and lose
+    the multi-dimensional clustering for it. Bucketing stays monotone
+    in the value, so parquet min/max pruning semantics are unchanged.
+    Cost: ``size(filter(cuts, ...))`` is O(2^bits) comparisons per row
+    per column inside codegen — a write-side cost, bits=6..8 is plenty.
+    """
+    cols = list(boundaries)
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use a plain sort for 1)")
+    max_bucket = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        cuts = sorted(float(v) for v in boundaries[c])
+        lit = f"array({', '.join(f'{v!r}D' for v in cuts)})"
+        cnt = F.expr(
+            f"size(filter({lit}, __b -> __b <= cast({c} as double)))"
+        ).cast("long")
+        buckets.append(F.least(F.lit(max_bucket), cnt))
+    return _interleave(buckets, bits)
 
 
 def write_zordered(
@@ -217,6 +259,7 @@ def write_zordered(
     n_files: int = 32,
     bits: int = 8,
     mode: str = "overwrite",
+    quantile: bool = False,
 ) -> None:
     """Write parquet laid out in Z-order over ``cols``.
 
@@ -229,16 +272,27 @@ def write_zordered(
     :func:`write_bucketed`: bucketing co-locates equi-JOIN keys,
     Z-order co-locates range-FILTER keys.
 
-    One stats job (min/max per column), then one range shuffle +
-    in-task sort — the same cost shape as any global sort, so at
-    100 TB pick n_files ≈ data / target_file_size and let the range
-    exchange spread by z-value.
+    One stats job (min/max per column — or one approxQuantile pass
+    with ``quantile=True``, the skew-robust variant that equalizes
+    per-file ROW counts on heavy-tailed columns), then one range
+    shuffle + in-task sort — the same cost shape as any global sort,
+    so at 100 TB pick n_files ≈ data / target_file_size and let the
+    range exchange spread by z-value.
     """
-    row = df.agg(
-        *[f for c in cols for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))]
-    ).collect()[0]
-    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
-    z = zorder_value(bounds, bits)
+    if quantile:
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        qs = df.stat.approxQuantile(cols, probs, 0.001)
+        z = zorder_value_quantile(dict(zip(cols, qs)), bits)
+    else:
+        row = df.agg(
+            *[
+                f
+                for c in cols
+                for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))
+            ]
+        ).collect()[0]
+        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+        z = zorder_value(bounds, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, F.col("__z"))
