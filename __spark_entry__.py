@@ -507,10 +507,15 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of backward join: each purchase + the user's latest prior view."""
-    from sales_analytics_etl_sql_powerbi_spark.operators.asof import events_asof
+    """As-of joins, all three directions in one frame: each purchase +
+    the user's latest prior view (backward), earliest next view
+    (forward), and the nearer of the two (nearest, ties backward) —
+    one oracle hash covers the whole family."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import (
+        events_asof_directions,
+    )
 
-    return events_asof(_events(spark, sf))
+    return events_asof_directions(_events(spark, sf))
 
 
 def q_events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
@@ -685,9 +690,11 @@ FROM part
 
 
 def _asof_sql() -> str:
-    from sales_analytics_etl_sql_powerbi_spark.operators.asof import events_asof_sql
+    from sales_analytics_etl_sql_powerbi_spark.operators.asof import (
+        events_asof_directions_sql,
+    )
 
-    return events_asof_sql()
+    return events_asof_directions_sql()
 
 
 def _oracle_sf_dir() -> str:

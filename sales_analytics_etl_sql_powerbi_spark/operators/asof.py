@@ -43,7 +43,9 @@ __all__ = [
     "asof_forward",
     "asof_nearest",
     "events_asof",
+    "events_asof_directions",
     "events_asof_sql",
+    "events_asof_directions_sql",
 ]
 
 
@@ -316,5 +318,112 @@ carried AS (
 )
 SELECT event_id, user_id, ts, prior_view_id, prior_view_value
 FROM carried WHERE side = 1
+ORDER BY event_id
+"""
+
+
+def events_asof_directions(events: DataFrame) -> DataFrame:
+    """All three as-of directions in one funnel frame per purchase:
+    latest prior view, earliest next view, and the nearest of the two.
+
+    Driver-gate composition for the full as-of family (backward /
+    forward / nearest share one result so one oracle hash covers all
+    three): two one-shuffle as-of windows + an event_id equi-join +
+    the nearest chooser (ties → backward, pandas semantics).
+    """
+    anchors = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sources = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("src_event_id"), "value"
+    )
+    b = asof_backward(
+        anchors,
+        sources,
+        on="user_id",
+        ts="ts",
+        payload=("src_event_id", "value"),
+        tiebreak="src_event_id",
+        _keep_match_ts=True,
+    )
+    f = asof_forward(
+        anchors,
+        sources,
+        on="user_id",
+        ts="ts",
+        payload=("src_event_id", "value"),
+        tiebreak="src_event_id",
+        _keep_match_ts=True,
+    ).select(
+        F.col("event_id"),
+        F.col("asof___ts").alias("__f___ts"),
+        F.col("asof_src_event_id").alias("__f_id"),
+        F.col("asof_value").alias("__f_value"),
+    )
+    j = b.join(f, "event_id")
+    d_b = F.col("ts").cast("double") - F.col("asof___ts").cast("double")
+    d_f = F.col("__f___ts").cast("double") - F.col("ts").cast("double")
+    use_b = F.when(F.col("asof___ts").isNull(), F.lit(False)).otherwise(
+        F.col("__f___ts").isNull() | (d_b <= d_f)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_src_event_id").alias("prior_view_id"),
+        F.col("asof_value").alias("prior_view_value"),
+        F.col("__f_id").alias("next_view_id"),
+        F.col("__f_value").alias("next_view_value"),
+        F.when(use_b, F.col("asof_src_event_id"))
+        .otherwise(F.col("__f_id"))
+        .alias("nearest_view_id"),
+        F.when(use_b, F.col("asof_value"))
+        .otherwise(F.col("__f_value"))
+        .alias("nearest_view_value"),
+    ).orderBy("event_id")
+
+
+def events_asof_directions_sql() -> str:
+    """Twin: the SAME union carries both directions' side orders; two
+    WINDOW clauses (backward frame / forward frame) + the chooser."""
+    return """
+WITH u AS (
+  SELECT event_id, user_id, ts, 1 AS side_b, 0 AS side_f,
+         NULL::BIGINT AS tb, NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT NULL::BIGINT, user_id, ts, 0 AS side_b, 1 AS side_f,
+         event_id AS tb, event_id AS p_id, value AS p_value
+  FROM events WHERE event_type = 'view'
+),
+carried AS (
+  SELECT *,
+         last_value(p_id IGNORE NULLS) OVER wb AS prior_view_id,
+         last_value(p_value IGNORE NULLS) OVER wb AS prior_view_value,
+         last_value(CASE WHEN side_b = 0 THEN ts END IGNORE NULLS)
+           OVER wb AS prior_ts,
+         first_value(p_id IGNORE NULLS) OVER wf AS next_view_id,
+         first_value(p_value IGNORE NULLS) OVER wf AS next_view_value,
+         first_value(CASE WHEN side_f = 1 THEN ts END IGNORE NULLS)
+           OVER wf AS next_ts
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, side_b ASC, tb ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts ASC, side_f ASC, tb ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts, prior_view_id, prior_view_value,
+       next_view_id, next_view_value,
+       CASE WHEN prior_ts IS NULL THEN next_view_id
+            WHEN next_ts IS NULL
+                 OR (epoch(ts) - epoch(prior_ts))
+                    <= (epoch(next_ts) - epoch(ts)) THEN prior_view_id
+            ELSE next_view_id END AS nearest_view_id,
+       CASE WHEN prior_ts IS NULL THEN next_view_value
+            WHEN next_ts IS NULL
+                 OR (epoch(ts) - epoch(prior_ts))
+                    <= (epoch(next_ts) - epoch(ts)) THEN prior_view_value
+            ELSE next_view_value END AS nearest_view_value
+FROM carried WHERE side_b = 1
 ORDER BY event_id
 """
