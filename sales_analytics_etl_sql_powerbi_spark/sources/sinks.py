@@ -301,3 +301,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a small-files parquet directory into ~target-sized files.
+
+    The streaming sinks (and any high-frequency micro-batch append)
+    accumulate many small files; at scale that turns every scan into
+    open/footer overhead and starves row-group pruning. Compaction =
+    list the current bytes (driver-side file listing, no data read),
+    read + ``repartition(ceil(bytes / target))``, write to
+    ``dst_path``. Write-to-new-dir, not in-place: an in-place rewrite
+    that fails mid-way destroys the source — callers swap directories
+    after success (the same publish-then-swap discipline as any
+    overwrite). ``sort_within_by`` re-sorts rows inside each output
+    file (restores clustering the append order lost). Returns the
+    file count written.
+
+    Parquet compresses ~on par with the source (same codec), so the
+    input-bytes heuristic lands near target size; exactness doesn't
+    matter — what matters is O(total/target) files instead of
+    O(append count).
+    """
+    import glob
+    import math
+
+    src_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src_path, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(src_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path).repartition(n_files)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(dst_path)
+    return len(glob.glob(os.path.join(dst_path, "*.parquet")))

@@ -391,3 +391,30 @@ def test_quantile_zorder_equalizes_bucket_heights_on_skew(spark, tmp_path):
         == n
     )
     assert spark.read.parquet(qpath).agg({"x": "sum"}).collect()[0][0] == sum(xs)
+
+
+def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
+    import glob
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    src = str(tmp_path / "many")
+    # 40 tiny appended files (micro-batch append pattern)
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "cast(id % 7 as long) k"
+        ).repartition(4).write.mode("append").parquet(src)
+    n_src = len(glob.glob(f"{src}/*.parquet"))
+    assert n_src >= 40
+    dst = str(tmp_path / "compact")
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    out = sinks.compact_parquet(
+        spark, src, dst, target_file_bytes=total // 3, sort_within_by=["k"]
+    )
+    assert out <= 4  # ~3 target-sized files, not 40
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 1000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
