@@ -559,6 +559,26 @@ def vectors_main() -> None:
     )
     index.unpersist()
 
+    # IVF twin of the same amortization: codebook + celled corpus once,
+    # then per-batch probe-routing + cell equi-join
+    t0 = time.time()
+    cb = S.ivf_codebook(big, n_clusters=k)
+    ivf_ix = S.ivf_index(big, cb).persist(StorageLevel.MEMORY_AND_DISK)
+    ivf_ix.count()
+    print(f"ivf codebook+index materialize (one-time, k={k}): {time.time()-t0:.1f}s")
+    per_batch = []
+    for i in range(5):
+        qb = big.where((F.col("vec_id") >= i * 5) & (F.col("vec_id") < i * 5 + 5))
+        t0 = time.time()
+        S.ivf_query(ivf_ix, qb, cb, nprobe=max(4, k // 16), topk=5).count()
+        per_batch.append(time.time() - t0)
+    print(
+        "ivf_query per 5-query batch over materialized index: "
+        + ", ".join(f"{s_:.2f}s" for s_ in per_batch)
+        + f" (min {min(per_batch):.2f}s)"
+    )
+    ivf_ix.unpersist()
+
     # plan hygiene at scale: candidate generation must stay equi-join
     for name, df in (
         ("ann_lsh_topk", S.ann_lsh_topk(big)),
@@ -728,6 +748,69 @@ def incremental_main() -> None:
     print(f"persistent storage entries after run: {leftover}")
 
 
+def shards_main() -> None:
+    """Training-shard export at scale: the global content-hash shuffle.
+
+    mult× docs corpus → write_training_shards into n_shards; verifies
+    the one-file-per-shard layout contract survives scale and times the
+    shuffle+sort+write. At 100 TB the same plan runs with thousands of
+    shards; what must hold is one task per shard and deterministic
+    within-shard order — both asserted here.
+    """
+    import glob
+    import shutil
+
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-shards")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(mult)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    n = big.count()
+    out = "/tmp/stress_shards"
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.time()
+    sinks.write_training_shards(big, out, n_shards=n_shards)
+    secs = time.time() - t0
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    per_dir = [len([f for f in glob.glob(f"{d}/*") if f.endswith(".parquet")]) for d in dirs]
+    rows = spark.read.parquet(out).count()
+    print(
+        f"write_training_shards {n} rows -> {len(dirs)} shards in {secs:.1f}s; "
+        f"one-file-per-shard: {set(per_dir) == {1}}; rows preserved: {rows == n}"
+    )
+    assert set(per_dir) == {1} and rows == n
+    shutil.rmtree(out, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -743,5 +826,7 @@ if __name__ == "__main__":
         state_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         incremental_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--shards":
+        shards_main()
     else:
         main()
