@@ -88,6 +88,22 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
     bullet_n = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET_RE)))
     alpha_n = F.size(F.filter(F.col("__tok"), lambda t: t.rlike("[A-Za-z]")))
     symbol_n = F.regexp_count(F.col("text"), F.lit(_SYMBOL_RE))
+    # Gopher's repeated-n-gram signal (count-fraction form): share of
+    # word trigrams that are repeats of an earlier trigram; 0.0 for
+    # docs too short to have 3-grams. Same element_at construction as
+    # dedup.shingle_sets — in-row array ops, no explode.
+    grams3 = F.transform(
+        F.sequence(F.lit(0), n_tokens - 3),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__tok"), i + j + 1) for j in range(3)]
+        ),
+    )
+    dup3 = F.when(
+        n_tokens >= 3,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams3)).cast("double")
+        / F.size(grams3).cast("double"),
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -111,6 +127,7 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
             - F.size(F.array_distinct(lines)).cast("double")
             / n_lines.cast("double")
         ).alias("dup_line_ratio"),
+        dup3.alias("dup_trigram_ratio"),
     )
 
 
@@ -131,10 +148,18 @@ SELECT doc_id,
   cast(len(list_filter(__line, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
     / cast(len(__line) AS DOUBLE) AS bullet_line_ratio,
   1.0 - cast(len(list_distinct(__line)) AS DOUBLE)
-    / cast(len(__line) AS DOUBLE) AS dup_line_ratio
-FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok,
-             string_split(text, chr(10)) AS __line
-      FROM documents) d
+    / cast(len(__line) AS DOUBLE) AS dup_line_ratio,
+  CASE WHEN len(__tok) >= 3 THEN
+    1.0 - cast(len(list_distinct(__g3)) AS DOUBLE)
+      / cast(len(__g3) AS DOUBLE)
+  ELSE 0.0 END AS dup_trigram_ratio
+FROM (SELECT *,
+             list_transform(range(1, len(__tok) - 1),
+                            i -> __tok[i] || ' ' || __tok[i + 1] || ' ' || __tok[i + 2])
+               AS __g3
+      FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok,
+                   string_split(text, chr(10)) AS __line
+            FROM documents) t) d
 """
 
 

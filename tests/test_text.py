@@ -263,3 +263,20 @@ def test_corpus_clean_drops_contaminated_docs(spark):
     }
     assert without_bm.get("en", 0) == with_bm.get("en", 0) + 1  # doc 1 dropped
     assert with_bm.get("de") == without_bm.get("de")
+
+
+def test_dup_trigram_ratio_values(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),  # 7 trigrams, 3 distinct -> 4/7 dup
+            (1, "all distinct words here now"),  # no repeats -> 0.0
+            (2, "a b"),  # too short -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dup_trigram_ratio for r in T.text_stats(docs).collect()}
+    assert abs(out[0] - (1.0 - 3 / 7)) < 1e-12
+    assert out[1] == 0.0
+    assert out[2] == 0.0
