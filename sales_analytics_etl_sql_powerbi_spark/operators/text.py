@@ -623,36 +623,61 @@ LIMIT {topk}
 
 _EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
 _URL_RE = "https?://[^ ]+"
+#: both below use only RE2∩Java syntax (\d, \b, (?:)) — same dialect
+#: rule as the email/url patterns above
+_IPV4_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PHONE_RE = "\\+?\\d{0,3}[-. ]?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
 
 
 def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails and URLs — the standard pre-training PII pass.
+    """Redact emails, URLs, IPv4 addresses and phone numbers — the
+    standard pre-training PII pass.
 
-    Two chained regexp_replace over one scan (fused projection), with
-    per-doc redaction counts for audit. Regexes use only portable char
-    classes so the Java (Spark) and RE2 (DuckDB) dialects agree.
+    Chained regexp_replace over one scan (fused projection), with
+    per-doc redaction counts (on the ORIGINAL text) for audit. Regexes
+    use only RE2∩Java syntax so the Spark and DuckDB dialects agree;
+    replacement order (email → url → ip → phone) is part of the
+    contract — the counts are order-independent, the scrubbed text is
+    not.
     """
     c = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0)))
     n_urls = F.size(F.regexp_extract_all(c, F.lit(_URL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(_IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(_PHONE_RE), F.lit(0)))
     scrubbed = F.regexp_replace(
-        F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+            ),
+            _IPV4_RE,
+            "<IP>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
     )
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed_text"),
         n_emails.cast("long").alias("n_emails"),
         n_urls.cast("long").alias("n_urls"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
     )
 
 
 def scrub_pii_sql(source: str = "documents", text_expr: str = "text") -> str:
     return f"""
 SELECT doc_id,
-       regexp_replace(regexp_replace({text_expr}, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                      '{_URL_RE}', '<URL>', 'g') AS scrubbed_text,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         {text_expr}, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_URL_RE}', '<URL>', 'g'),
+         '{_IPV4_RE}', '<IP>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text,
        cast(len(regexp_extract_all({text_expr}, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
-       cast(len(regexp_extract_all({text_expr}, '{_URL_RE}')) AS BIGINT) AS n_urls
+       cast(len(regexp_extract_all({text_expr}, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       cast(len(regexp_extract_all({text_expr}, '{_IPV4_RE}')) AS BIGINT) AS n_ipv4,
+       cast(len(regexp_extract_all({text_expr}, '{_PHONE_RE}')) AS BIGINT) AS n_phones
 FROM {source}
 """
 

@@ -280,3 +280,34 @@ def test_dup_trigram_ratio_values(spark):
     assert abs(out[0] - (1.0 - 3 / 7)) < 1e-12
     assert out[1] == 0.0
     assert out[2] == 0.0
+
+
+def test_scrub_pii_ip_and_phone(spark):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "call 555-123-4567 or +1 (555) 123-4567 now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (2, "mail a@b.com at http://x.io from 1.2.3.4 tel 555-000-1111"),
+            (3, "version 1.2.3 is not an ip; 12345 is not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.scrub_pii(docs).collect()}
+    assert rows[0].n_phones == 2 and "<PHONE>" in rows[0].scrubbed_text
+    assert "555" not in rows[0].scrubbed_text
+    assert rows[1].n_ipv4 == 2 and rows[1].scrubbed_text.count("<IP>") == 2
+    assert rows[2].n_emails == 1 and rows[2].n_urls == 1
+    assert rows[2].n_ipv4 == 1 and rows[2].n_phones == 1
+    assert rows[3].n_ipv4 == 0 and rows[3].n_phones == 0
+    # cross-engine: DuckDB twin produces byte-identical scrubbed text
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got = {
+        int(r[0]): r[1]
+        for r in con.execute(T.scrub_pii_sql()).fetchall()
+    }
+    assert got == {d: rows[d].scrubbed_text for d in rows}
