@@ -29,6 +29,8 @@ __all__ = [
     "platform_rank_in_state",
     "top_products_per_state",
     "top_offenders",
+    "cohort_retention",
+    "funnel_conversion",
     "PLATFORM_VALUES",
 ]
 
@@ -222,3 +224,140 @@ def platform_share_approx(view: DataFrame, rsd: float = 0.02) -> DataFrame:
         .withColumn("pct_of_total", _pct_of_total("units_sold"))
         .orderBy(F.desc("units_sold"), "platform_name")
     )
+
+
+def cohort_retention(
+    events: DataFrame, granularity: str = "month"
+) -> DataFrame:
+    """Cohort retention matrix over the events stream.
+
+    Users cohort by the period of their FIRST event; each later active
+    period counts them at offset = periods-since-cohort. Output:
+    (cohort, period_offset, active_users) — the standard retention
+    triangle.
+
+    Scale shape: one user-keyed aggregate (first event), one distinct
+    over (user, period) — both map-side combinable — and a user-keyed
+    join; nothing event-row-sized shuffles twice. Offsets computed with
+    months_between on truncated dates (exact integers for month
+    granularity).
+    """
+    first = events.groupBy("user_id").agg(
+        F.date_trunc(granularity, F.min("ts")).alias("__cohort_ts")
+    )
+    active = events.select(
+        "user_id", F.date_trunc(granularity, F.col("ts")).alias("__period_ts")
+    ).distinct()
+    j = active.join(first, "user_id")
+    offset = F.round(
+        F.months_between(F.col("__period_ts"), F.col("__cohort_ts"))
+    ).cast("int")
+    return (
+        j.select(
+            F.to_date("__cohort_ts").alias("cohort"),
+            offset.alias("period_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .orderBy("cohort", "period_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS cohort_ts
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS period_ts FROM events
+)
+SELECT cast(cohort_ts AS DATE) AS cohort,
+       cast(datediff('month', cohort_ts, period_ts) AS INT) AS period_offset,
+       cast(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "cart", "purchase"),
+    within_days: float | None = None,
+) -> DataFrame:
+    """Ordered funnel: users reaching each step IN SEQUENCE.
+
+    A user converts at step k when an event of type ``steps[k]`` occurs
+    STRICTLY AFTER their step-(k−1) conversion time (first-touch
+    attribution: each step's conversion time is the earliest qualifying
+    event). ``within_days`` bounds the whole funnel to a window from
+    the step-1 time. Output: (step_index, step, users) with users
+    non-increasing down the funnel.
+
+    Scale shape: step 1 is one user-keyed min; each later step is one
+    user-keyed join + min over the (already user-sized, not
+    event-sized) frontier — steps are few and fixed, so this is k−1
+    dim-sized joins, never a per-user event sort or a collect.
+    """
+    t_prev = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t1"))
+        .withColumn("__t_prev", F.col("__t1"))
+    )
+    stages = [t_prev]
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .select("user_id", F.col("ts").alias("__ts"))
+            .join(t_prev, "user_id")
+            .where(F.col("__ts") > F.col("__t_prev"))
+        )
+        if within_days is not None:
+            nxt = nxt.where(
+                F.col("__ts").cast("double") - F.col("__t1").cast("double")
+                <= within_days * 86400.0
+            )
+        t_prev = nxt.groupBy("user_id", "__t1").agg(
+            F.min("__ts").alias("__t_prev")
+        )
+        stages.append(t_prev)
+    # ONE action: per-stage user counts union into the funnel frame
+    # (lazy all the way — no per-stage driver round trip)
+    out = None
+    for k, (step, frame) in enumerate(zip(steps, stages)):
+        row = frame.agg(
+            F.lit(k).cast("int").alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step_index")
+
+
+def funnel_conversion_sql(
+    steps: tuple[str, ...] = ("view", "cart", "purchase"),
+    within_days: float | None = None,
+) -> str:
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t1, min(ts) AS t_prev\n"
+        f"       FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for k, step in enumerate(steps[1:], start=1):
+        bound = (
+            f" AND epoch(e.ts) - epoch(p.t1) <= {within_days * 86400.0}"
+            if within_days is not None
+            else ""
+        )
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, p.t1, min(e.ts) AS t_prev\n"
+            f"       FROM events e JOIN s{k-1} p USING (user_id)\n"
+            f"       WHERE e.event_type = '{step}' AND e.ts > p.t_prev{bound}\n"
+            f"       GROUP BY e.user_id, p.t1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step_index, '{s}' AS step,"
+        f" cast((SELECT count(*) FROM s{k}) AS BIGINT) AS users"
+        for k, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{selects}\nORDER BY step_index"

@@ -104,3 +104,95 @@ def test_observed_rowcounts_free_pass(spark):
     obs_df, obs = quality.observed(df, nonnull_cols=["v"])
     assert obs_df.count() == 3  # the action the pipeline runs anyway
     assert quality.observed_metrics(obs) == {"row_count": 3, "nonnull_v": 2}
+
+
+def test_cohort_retention_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics as A
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = {
+        (str(r.cohort), r.period_offset): r.active_users
+        for r in A.cohort_retention(ev).collect()
+    }
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"create view events as select * exclude(ts),"
+        f" make_timestamp(ts // 1000) as ts"
+        f" from '{sf_dir}/events.parquet'"
+    ) if "bigint" in dict(ev.dtypes).get("ts", "") else con.execute(
+        f"create view events as select * from '{sf_dir}/events.parquet'"
+    )
+    want = {
+        (str(r[0]), r[1]): r[2]
+        for r in con.execute(A.COHORT_RETENTION_SQL).fetchall()
+    }
+    assert got == want and got
+    # cohort offset 0 always has at least as many users as offset 1
+    for (c, off), n in got.items():
+        if off == 0 and (c, 1) in got:
+            assert n >= got[(c, 1)]
+
+
+def test_funnel_conversion_ordered_and_bounded(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics as A
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(eid, m, u, typ):
+        return (eid, t0 + dt.timedelta(minutes=m), u, typ, 1.0)
+
+    rows = [
+        # user 0: full ordered funnel
+        e(0, 0, 0, "view"), e(1, 10, 0, "cart"), e(2, 20, 0, "purchase"),
+        # user 1: cart BEFORE view -> stops after view
+        e(3, 10, 1, "view"), e(4, 0, 1, "cart"),
+        # user 2: view then purchase, no cart -> stops after view
+        e(5, 0, 2, "view"), e(6, 30, 2, "purchase"),
+        # user 3: full funnel but purchase outside the 1-day bound
+        e(7, 0, 3, "view"), e(8, 10, 3, "cart"), e(9, 60 * 30, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r.step: r.users for r in A.funnel_conversion(ev).collect()}
+    assert out == {"view": 4, "cart": 2, "purchase": 2}
+    bounded = {
+        r.step: r.users
+        for r in A.funnel_conversion(ev, within_days=1.0).collect()
+    }
+    assert bounded == {"view": 4, "cart": 2, "purchase": 1}
+
+
+def test_funnel_conversion_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics as A
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    steps = ("view", "cart", "purchase")
+    got = {
+        (r.step_index, r.step): r.users
+        for r in A.funnel_conversion(ev, steps, within_days=30.0).collect()
+    }
+    con = duckdb.connect()
+    ddl = (
+        f"create view events as select * exclude(ts),"
+        f" make_timestamp(ts // 1000) as ts from '{sf_dir}/events.parquet'"
+        if "bigint" in dict(ev.dtypes).get("ts", "")
+        else f"create view events as select * from '{sf_dir}/events.parquet'"
+    )
+    con.execute(ddl)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            A.funnel_conversion_sql(steps, within_days=30.0)
+        ).fetchall()
+    }
+    assert got == want and got[(0, "view")] > 0
