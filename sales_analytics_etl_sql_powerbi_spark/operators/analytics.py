@@ -242,6 +242,8 @@ def cohort_retention(
     months_between on truncated dates (exact integers for month
     granularity).
     """
+    if granularity not in ("month", "week", "day"):
+        raise ValueError("granularity must be month, week or day")
     first = events.groupBy("user_id").agg(
         F.date_trunc(granularity, F.min("ts")).alias("__cohort_ts")
     )
@@ -249,9 +251,15 @@ def cohort_retention(
         "user_id", F.date_trunc(granularity, F.col("ts")).alias("__period_ts")
     ).distinct()
     j = active.join(first, "user_id")
-    offset = F.round(
-        F.months_between(F.col("__period_ts"), F.col("__cohort_ts"))
-    ).cast("int")
+    # offset arithmetic must match the truncation unit: months_between
+    # is exact only on month-truncated dates; day/week use day diffs
+    if granularity == "month":
+        offset = F.round(
+            F.months_between(F.col("__period_ts"), F.col("__cohort_ts"))
+        ).cast("int")
+    else:
+        days = F.datediff(F.col("__period_ts"), F.col("__cohort_ts"))
+        offset = (days / (7 if granularity == "week" else 1)).cast("int")
     return (
         j.select(
             F.to_date("__cohort_ts").alias("cohort"),

@@ -49,10 +49,21 @@ __all__ = [
 ]
 
 
-def _ts_num(col: Column, dtype) -> Column:
+def _ts_num(col: Column) -> Column:
     """Timestamp-or-numeric → seconds as double (timestamp cast keeps
     sub-second precision in Spark)."""
     return col.cast("double")
+
+
+def _prefer_backward(b_ts: Column, f_ts: Column, ts: Column) -> Column:
+    """The ONE nearest-side chooser (ties → backward, a NULL side loses
+    to a non-NULL side) — shared by asof_nearest and
+    events_asof_directions so the tie/NULL semantics cannot drift."""
+    d_b = _ts_num(ts) - _ts_num(b_ts)
+    d_f = _ts_num(f_ts) - _ts_num(ts)
+    return F.when(b_ts.isNull(), F.lit(False)).otherwise(
+        f_ts.isNull() | (d_b <= d_f)
+    )
 
 
 def _tagged_union(
@@ -100,9 +111,7 @@ def _apply_tolerance(
     prefix: str = "asof_",
 ) -> DataFrame:
     within = (
-        F.abs(
-            _ts_num(F.col(ts), None) - _ts_num(F.col(f"{prefix}__ts"), None)
-        )
+        F.abs(_ts_num(F.col(ts)) - _ts_num(F.col(f"{prefix}__ts")))
         <= F.lit(float(tolerance_seconds))
     )
     return out.select(
@@ -238,13 +247,9 @@ def asof_nearest(
         *[F.col(f"asof_{c}").alias(f"__fwd_{c}") for c in payload],
     )
     j = b.join(f, left_key)
-    tnum = _ts_num(F.col(ts), None)
-    d_b = tnum - _ts_num(F.col("asof___ts"), None)
-    d_f = _ts_num(F.col("__fwd___ts"), None) - tnum
-    # backward wins ties; a NULL side loses to a non-NULL side
-    use_b = F.when(
-        F.col("asof___ts").isNull(), F.lit(False)
-    ).otherwise(F.col("__fwd___ts").isNull() | (d_b <= d_f))
+    use_b = _prefer_backward(
+        F.col("asof___ts"), F.col("__fwd___ts"), F.col(ts)
+    )
     chosen_ts = F.when(use_b, F.col("asof___ts")).otherwise(F.col("__fwd___ts"))
     out = j.select(
         *[c for c in b.columns if not c.startswith("asof_")],
@@ -361,10 +366,8 @@ def events_asof_directions(events: DataFrame) -> DataFrame:
         F.col("asof_value").alias("__f_value"),
     )
     j = b.join(f, "event_id")
-    d_b = F.col("ts").cast("double") - F.col("asof___ts").cast("double")
-    d_f = F.col("__f___ts").cast("double") - F.col("ts").cast("double")
-    use_b = F.when(F.col("asof___ts").isNull(), F.lit(False)).otherwise(
-        F.col("__f___ts").isNull() | (d_b <= d_f)
+    use_b = _prefer_backward(
+        F.col("asof___ts"), F.col("__f___ts"), F.col("ts")
     )
     return j.select(
         "event_id",

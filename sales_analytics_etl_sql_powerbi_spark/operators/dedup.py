@@ -383,6 +383,16 @@ def exact_dedup_incremental(batch: DataFrame, known: DataFrame) -> DataFrame:
     )
 
 
+def _explode_bands(ix: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from an indexed frame's
+    ``bands`` array — the one shared explode for every band consumer."""
+    return ix.select("doc_id", F.explode_outer("bands").alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
 def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
     """Materializable near-dup index: (doc_id, sh_set, bands).
 
@@ -395,17 +405,49 @@ def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
     needs the original text again. Persist it, or write it to parquet
     (``sinks.write_bucketed(..., by=["doc_id"])``) for cross-job reuse.
 
-    Index build = the same one-shuffle minhash as the batch path; the
-    point is it runs ONCE, after which per-batch cost is independent
-    of corpus-text size (band equi-join + candidate-sized verify).
+    The signature is computed IN-ROW from the shingle-set array
+    (per-element 63-bit hash → per-permutation ``array_min`` → band
+    md5, the same fused-fold shape as ``text.doc_profile``): ONE
+    projection over ONE read of the shingle sets — no explode, no
+    groupBy shuffle, and no double evaluation of the shingling subplan
+    that a sets⋈signatures self-join would cost. Parity with the
+    grouped minhash path is pinned by
+    ``test_dedup.py::test_index_bands_match_grouped_minhash_bands``.
     """
     sets = shingle_sets(docs, k)
-    sig = _minhash_from_shingles(
-        sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+    # hash array in its own projection: referenced by 16 permutations,
+    # so CollapseProject keeps it single-evaluated (see _H63_FROM_MD5)
+    hs = F.transform(
+        F.col("sh_set"), lambda sh: h63_from_md5(F.md5(sh)) % F.lit(_P31)
     )
-    return sets.join(
-        sig.select("doc_id", _band_structs().alias("bands")), "doc_id"
+    with_hs = sets.select("doc_id", "sh_set", hs.alias("__hs"))
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__hs"),
+                lambda h: (h * F.lit(_A[i]) + F.lit(_B[i])) % F.lit(_P31),
+            )
+        )
+        for i in range(_N_PERM)
+    ]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            mins[b * _ROWS_PER_BAND + r].cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(_BANDS)
+        ]
     )
+    return with_hs.select("doc_id", "sh_set", bands.alias("bands"))
 
 
 def neardup_query(
@@ -431,60 +473,59 @@ def neardup_query(
     band collision rate, not corpus size. Verification reuses the
     index's stored ``sh_set``; corpus text is never touched.
     """
-    qidx_lazy = neardup_index(batch, k)
     # batch is batch-sized: persist its index so the band explode and
     # both verify sides share one minhash computation
     from pyspark.storagelevel import StorageLevel
 
-    qidx = qidx_lazy.persist(StorageLevel.MEMORY_AND_DISK)
+    qidx = neardup_index(batch, k).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def bands_of(ix: DataFrame) -> DataFrame:
-        return ix.select("doc_id", F.explode_outer("bands").alias("b")).select(
-            "doc_id",
-            F.col("b.band_id").alias("band_id"),
-            F.col("b.band_hash").alias("band_hash"),
+    qb = _explode_bands(qidx).withColumnsRenamed({"doc_id": "doc_id_new"})
+    new_sets = qidx.select(F.col("doc_id"), F.col("sh_set").alias("__sh_new"))
+    n_inter = F.size(F.array_intersect("__sh_new", "__sh_old"))
+    n_union = F.size("__sh_new") + F.size("__sh_old") - n_inter
+
+    def verified(cand: DataFrame, dup_side: DataFrame) -> DataFrame:
+        # candidates verify against THEIR OWN dup_of population (index
+        # for cross pairs, batch for intra pairs) — a doc_id present in
+        # both worlds must never be scored against the wrong text
+        return (
+            cand.distinct()
+            .join(new_sets, "doc_id")
+            .join(dup_side, "dup_of")
+            .select(
+                "doc_id",
+                "dup_of",
+                (n_inter.cast("double") / n_union.cast("double")).alias(
+                    "jaccard"
+                ),
+            )
         )
 
-    qb = bands_of(qidx).withColumnsRenamed({"doc_id": "doc_id_new"})
-    cand = (
-        qb.join(bands_of(index), on=["band_id", "band_hash"])
-        .select(F.col("doc_id_new").alias("doc_id"), F.col("doc_id").alias("dup_of"))
+    cross = verified(
+        qb.join(_explode_bands(index), on=["band_id", "band_hash"]).select(
+            F.col("doc_id_new").alias("doc_id"), F.col("doc_id").alias("dup_of")
+        ),
+        index.select(
+            F.col("doc_id").alias("dup_of"), F.col("sh_set").alias("__sh_old")
+        ),
     )
+    out = cross
     if include_intra_batch:
         qb2 = qb.withColumnsRenamed({"doc_id_new": "doc_id_prev"})
-        intra = (
+        intra = verified(
             qb.join(qb2, on=["band_id", "band_hash"])
             .where(F.col("doc_id_prev") < F.col("doc_id_new"))
             .select(
                 F.col("doc_id_new").alias("doc_id"),
                 F.col("doc_id_prev").alias("dup_of"),
-            )
-        )
-        cand = cand.unionByName(intra)
-    cand = cand.distinct()
-    new_sets = qidx.select(
-        F.col("doc_id"), F.col("sh_set").alias("__sh_new")
-    )
-    old_sets = index.select(
-        F.col("doc_id").alias("dup_of"), F.col("sh_set").alias("__sh_old")
-    )
-    if include_intra_batch:
-        old_sets = old_sets.unionByName(
+            ),
             qidx.select(
                 F.col("doc_id").alias("dup_of"), F.col("sh_set").alias("__sh_old")
-            )
+            ),
         )
-    n_inter = F.size(F.array_intersect("__sh_new", "__sh_old"))
-    n_union = F.size("__sh_new") + F.size("__sh_old") - n_inter
+        out = out.unionByName(intra)
     out = (
-        cand.join(new_sets, "doc_id")
-        .join(old_sets, "dup_of")
-        .select(
-            "doc_id",
-            "dup_of",
-            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        out.where(F.col("jaccard") >= threshold)
         .localCheckpoint(eager=True)
     )
     qidx.unpersist()

@@ -282,6 +282,9 @@ def write_zordered(
     if quantile:
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
         qs = df.stat.approxQuantile(cols, probs, 0.001)
+        if any(not q for q in qs):  # empty input: no quantiles
+            df.write.mode(mode).parquet(path)
+            return
         z = zorder_value_quantile(dict(zip(cols, qs)), bits)
     else:
         row = df.agg(
@@ -292,6 +295,11 @@ def write_zordered(
             ]
         ).collect()[0]
         bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+        if any(lo is None or hi is None for lo, hi in bounds.values()):
+            # empty input (or an all-NULL column): no stats to bucket
+            # on — write the frame as-is rather than crash in float()
+            df.write.mode(mode).parquet(path)
+            return
         z = zorder_value(bounds, bits)
     (
         df.withColumn("__z", z)
@@ -333,8 +341,15 @@ def compact_parquet(
     import math
 
     src_bytes = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(src_path, "*.parquet"))
+        os.path.getsize(f)
+        for f in glob.glob(
+            os.path.join(src_path, "**", "*.parquet"), recursive=True
+        )
     )
+    if src_bytes == 0:
+        raise ValueError(
+            f"no parquet data found under {src_path!r} — nothing to compact"
+        )
     n_files = max(1, math.ceil(src_bytes / target_file_bytes))
     df = spark.read.parquet(src_path).repartition(n_files)
     if sort_within_by:

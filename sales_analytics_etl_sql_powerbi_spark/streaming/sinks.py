@@ -107,6 +107,15 @@ def drain_available_now(q, timeout: float = 60.0) -> None:
             if bid not in seen:
                 seen.add(bid)
                 idle = idle + 1 if p["numInputRows"] == 0 else 0
+    drained = idle >= 2 or not q.isActive
     if q.isActive:
         q.stop()
     q.awaitTermination(30)
+    if not drained:
+        # stopping mid-batch leaves the sink partially written — that
+        # must surface as an error, not a normal return
+        raise TimeoutError(
+            f"query did not drain within {timeout}s "
+            "(no two consecutive zero-input batches observed); "
+            "output may be partial — raise the timeout"
+        )

@@ -196,3 +196,27 @@ def test_funnel_conversion_matches_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert got == want and got[(0, "view")] > 0
+
+
+def test_cohort_retention_day_granularity_offsets(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import analytics as A
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 0, "view", 1.0),
+        (1, t0 + dt.timedelta(days=2), 0, "view", 1.0),  # day offset 2
+        (2, t0 + dt.timedelta(days=14), 0, "view", 1.0),  # week offset 2
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    day = {(str(r.cohort), r.period_offset) for r in A.cohort_retention(ev, "day").collect()}
+    assert ("2024-01-01", 2) in day and ("2024-01-01", 0) in day
+    week = {r.period_offset for r in A.cohort_retention(ev, "week").collect()}
+    assert week == {0, 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        A.cohort_retention(ev, "hour")

@@ -267,3 +267,47 @@ def test_simhash_neardup_validates_banding(spark):
 
     with pytest.raises(ValueError):
         dedup.simhash_neardup_pairs(docs_frame(spark), max_hamming=4, n_bands=4)
+
+
+def test_index_bands_match_grouped_minhash_bands(spark):
+    """The index's in-row fused minhash must be bit-identical to the
+    explode+groupBy signature path (drift here silently breaks
+    incremental-vs-full parity)."""
+    docs = docs_frame(spark)
+    grouped = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    # rebuild the band rows both ways and compare the full sets
+    sig = dedup.minhash_signatures(docs)
+    grouped_bands = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in sig.select(
+            "doc_id", dedup.F.explode(dedup._band_structs()).alias("b")
+        )
+        .select("doc_id", "b.band_id", "b.band_hash")
+        .collect()
+    }
+    index_bands = {
+        (r.doc_id, r.band_id, r.band_hash)
+        for r in dedup._explode_bands(dedup.neardup_index(docs)).collect()
+    }
+    assert index_bands == grouped_bands
+
+
+def test_neardup_query_doc_id_collision_scores_right_text(spark):
+    """A doc_id present in BOTH index and batch must verify against its
+    own world's text, not the other's."""
+    old = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon zeta")], DOCS
+    )
+    batch = spark.createDataFrame(
+        [
+            (5, "totally unrelated content about something else entirely"),
+            (6, "alpha beta gamma delta epsilon zeta"),  # dup of INDEX doc 5
+        ],
+        DOCS,
+    )
+    out = dedup.neardup_query(dedup.neardup_index(old), batch, threshold=0.9)
+    rows = {(r.doc_id, r.dup_of): r.jaccard for r in out.collect()}
+    # batch doc 6 matches index doc 5 at jaccard 1.0 (same text);
+    # batch doc 5 (different text) matches nothing — in particular it
+    # must NOT appear scored against the index's sh_set for id 5
+    assert rows == {(6, 5): 1.0}

@@ -418,3 +418,29 @@ def test_compact_parquet_reduces_file_count_preserves_rows(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 1000
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_write_zordered_empty_input_is_noop_write(spark, tmp_path):
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    empty = spark.range(0).selectExpr("id x", "id y")
+    for q in (False, True):
+        p = str(tmp_path / f"e{q}")
+        sinks.write_zordered(empty, p, ["x", "y"], quantile=q)
+        assert spark.read.parquet(p).count() == 0
+
+
+def test_compact_parquet_handles_partitioned_source_and_empty(spark, tmp_path):
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    src = str(tmp_path / "part_src")
+    spark.range(200).selectExpr("id", "cast(id % 3 as long) dt").write.partitionBy(
+        "dt"
+    ).parquet(src)
+    dst = str(tmp_path / "part_dst")
+    n = sinks.compact_parquet(spark, src, dst, target_file_bytes=10**12)
+    assert n >= 1 and spark.read.parquet(dst).count() == 200
+    with pytest.raises(ValueError):
+        sinks.compact_parquet(spark, str(tmp_path / "nothing"), dst)
