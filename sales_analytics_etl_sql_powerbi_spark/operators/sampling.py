@@ -25,6 +25,7 @@ __all__ = [
     "deterministic_sample",
     "split_assign",
     "sample_per_group",
+    "stratified_mix",
     "sampling_profile",
     "training_shards",
     "deterministic_sample_sql",
@@ -240,3 +241,40 @@ def training_shards(
     return df.withColumn(
         "shard", (hash_bucket(key, salt) % F.lit(n_shards)).cast("int")
     ).withColumn("__ord", hash_bucket(key, salt + "#ord"))
+
+
+def stratified_mix(
+    df: DataFrame,
+    group: str,
+    quotas: dict[str, int],
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic training-mix construction: per-group TARGET counts.
+
+    The generalization of :func:`sample_per_group` from one fixed n to
+    a per-group quota map — how a pre-training mix is actually built
+    ("200k docs of lang=en, 50k of lang=fr, drop the rest"). Selection
+    is hash-rank order (content-addressed, retry/repartition-stable);
+    groups absent from ``quotas`` are dropped; groups smaller than
+    their quota keep everything (the mix designer sees the shortfall in
+    the output counts, nothing silently refills it).
+
+    Scale: ONE windowed shuffle on the group column + a broadcast join
+    against the (tiny, driver-literal) quota table. Same
+    quota-boundary caveat as sample_per_group: growth can displace the
+    marginal row — inherent to any fixed-count scheme.
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, int(n)) for g, n in quotas.items()], f"{group} string, __quota int"
+    )
+    w = Window.partitionBy(group).orderBy(
+        hash_bucket(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.join(F.broadcast(qdf), group)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

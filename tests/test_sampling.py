@@ -116,3 +116,23 @@ def test_write_training_shards_one_file_per_shard_byte_identical(spark, sf_dir, 
     rows = spark.read.parquet(str(tmp_path / "a") + "/shard=0").collect()
     ids = [r.doc_id for r in rows]
     assert ids != sorted(ids)
+
+
+def test_stratified_mix_quotas_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("fr")
+    )
+    quotas = {"en": 5, "fr": 200000, "de": 3}  # de absent; fr under-filled
+    out = sampling.stratified_mix(docs, "lang", quotas)
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    n_fr = docs.where(F.col("lang") == "fr").count()
+    assert counts == {"en": 5, "fr": n_fr}  # quota hit / shortfall kept / absent dropped
+    # repartition-stability: identical selection from a reshuffled input
+    out2 = sampling.stratified_mix(docs.repartition(13), "lang", quotas)
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
+    assert out2.count() == out.count()
