@@ -416,9 +416,13 @@ def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     sets = shingle_sets(docs, k)
     # hash array in its own projection: referenced by 16 permutations,
-    # so CollapseProject keeps it single-evaluated (see _H63_FROM_MD5)
+    # so CollapseProject keeps it single-evaluated (see _H63_FROM_MD5).
+    # The md5 is bound to its own lambda variable via the nested
+    # transform — HOF lambda bodies get no CSE, so inlining
+    # h63_from_md5(md5(s)) would hash every shingle twice
     hs = F.transform(
-        F.col("sh_set"), lambda sh: h63_from_md5(F.md5(sh)) % F.lit(_P31)
+        F.transform(F.col("sh_set"), lambda sh: F.md5(sh)),
+        lambda m: h63_from_md5(m) % F.lit(_P31),
     )
     with_hs = sets.select("doc_id", "sh_set", hs.alias("__hs"))
     mins = [
@@ -524,8 +528,14 @@ def neardup_query(
             ),
         )
         out = out.unionByName(intra)
+    # one row per (doc_id, dup_of) even if an id exists in BOTH worlds
+    # (contract violation, but the output must stay deterministic):
+    # keep the best-scoring path — "is this a near-dup of X" is true if
+    # ANY qualifying path says so
     out = (
-        out.where(F.col("jaccard") >= threshold)
+        out.groupBy("doc_id", "dup_of")
+        .agg(F.max("jaccard").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
         .localCheckpoint(eager=True)
     )
     qidx.unpersist()

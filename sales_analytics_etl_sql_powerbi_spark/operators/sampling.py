@@ -265,9 +265,17 @@ def stratified_mix(
     quota-boundary caveat as sample_per_group: growth can displace the
     marginal row — inherent to any fixed-count scheme.
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     spark = df.sparkSession
     qdf = spark.createDataFrame(
-        [(g, int(n)) for g, n in quotas.items()], f"{group} string, __quota int"
+        [(g, int(n)) for g, n in quotas.items()],
+        StructType(
+            [
+                StructField(group, df.schema[group].dataType),
+                StructField("__quota", IntegerType()),
+            ]
+        ),
     )
     w = Window.partitionBy(group).orderBy(
         hash_bucket(key, salt).asc(), F.col(key).asc()

@@ -279,27 +279,34 @@ def write_zordered(
     so at 100 TB pick n_files ≈ data / target_file_size and let the
     range exchange spread by z-value.
     """
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            f
+            for c in cols
+            for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))
+        ],
+    ).collect()[0]
+    if row["__n"] == 0:
+        # empty input: nothing to bucket on — an empty overwrite keeps
+        # the schema and is a legitimate no-op
+        df.write.mode(mode).parquet(path)
+        return
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
+    dead = [c for c, (lo, hi) in bounds.items() if lo is None or hi is None]
+    if dead:
+        # NON-empty data with an all-NULL listed column: the caller
+        # asked for a clustering guarantee this write cannot give —
+        # fail loudly rather than silently produce an unclustered file
+        raise ValueError(
+            f"cannot Z-order on all-NULL column(s) {dead} — "
+            "drop them from cols or fix the upstream values"
+        )
     if quantile:
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
         qs = df.stat.approxQuantile(cols, probs, 0.001)
-        if any(not q for q in qs):  # empty input: no quantiles
-            df.write.mode(mode).parquet(path)
-            return
         z = zorder_value_quantile(dict(zip(cols, qs)), bits)
     else:
-        row = df.agg(
-            *[
-                f
-                for c in cols
-                for f in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))
-            ]
-        ).collect()[0]
-        bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols}
-        if any(lo is None or hi is None for lo, hi in bounds.values()):
-            # empty input (or an all-NULL column): no stats to bucket
-            # on — write the frame as-is rather than crash in float()
-            df.write.mode(mode).parquet(path)
-            return
         z = zorder_value(bounds, bits)
     (
         df.withColumn("__z", z)
@@ -317,6 +324,7 @@ def compact_parquet(
     dst_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a small-files parquet directory into ~target-sized files.
 
@@ -336,6 +344,13 @@ def compact_parquet(
     input-bytes heuristic lands near target size; exactness doesn't
     matter — what matters is O(total/target) files instead of
     O(append count).
+
+    A hive-partitioned source (``dt=K/`` directories) must pass the
+    SAME columns as ``partition_by`` to keep its layout — otherwise
+    the rewrite deliberately flattens partitions into data columns
+    (valid, but readers lose directory pruning and a swapped-in
+    directory must not keep receiving partitioned appends). The
+    target sizing is global, not per-partition.
     """
     import glob
     import math
@@ -351,8 +366,18 @@ def compact_parquet(
             f"no parquet data found under {src_path!r} — nothing to compact"
         )
     n_files = max(1, math.ceil(src_bytes / target_file_bytes))
-    df = spark.read.parquet(src_path).repartition(n_files)
+    df = spark.read.parquet(src_path)
+    df = (
+        df.repartition(n_files, *partition_by)
+        if partition_by
+        else df.repartition(n_files)
+    )
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
-    df.write.mode("overwrite").parquet(dst_path)
-    return len(glob.glob(os.path.join(dst_path, "*.parquet")))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(dst_path)
+    return len(
+        glob.glob(os.path.join(dst_path, "**", "*.parquet"), recursive=True)
+    )

@@ -274,7 +274,6 @@ def test_index_bands_match_grouped_minhash_bands(spark):
     explode+groupBy signature path (drift here silently breaks
     incremental-vs-full parity)."""
     docs = docs_frame(spark)
-    grouped = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
     # rebuild the band rows both ways and compare the full sets
     sig = dedup.minhash_signatures(docs)
     grouped_bands = {

@@ -440,7 +440,25 @@ def test_compact_parquet_handles_partitioned_source_and_empty(spark, tmp_path):
         "dt"
     ).parquet(src)
     dst = str(tmp_path / "part_dst")
-    n = sinks.compact_parquet(spark, src, dst, target_file_bytes=10**12)
+    n = sinks.compact_parquet(
+        spark, src, dst, target_file_bytes=10**12, partition_by=["dt"]
+    )
     assert n >= 1 and spark.read.parquet(dst).count() == 200
+    import glob as _g
+
+    assert sorted(
+        d.split("dt=")[1] for d in _g.glob(f"{dst}/dt=*")
+    ) == ["0", "1", "2"]  # hive layout preserved
     with pytest.raises(ValueError):
         sinks.compact_parquet(spark, str(tmp_path / "nothing"), dst)
+
+
+def test_write_zordered_all_null_column_errors(spark, tmp_path):
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    df = spark.range(10).selectExpr("id x", "cast(null as long) y")
+    for q in (False, True):
+        with pytest.raises(ValueError, match="all-NULL"):
+            sinks.write_zordered(df, str(tmp_path / f"n{q}"), ["x", "y"], quantile=q)
