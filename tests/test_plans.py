@@ -310,3 +310,22 @@ def test_asof_join_is_one_shuffle_no_range_join(spark, plan_sf):
             "Exchange hashpartitioning" in l for l in plan.splitlines()
         )
         assert n_ex == 1, plan
+
+
+def test_interval_join_batch_plan_is_keyed_join(spark, plan_sf):
+    """The stream-stream interval join's batch twin must plan as a
+    user_id-keyed join with the time bounds as residual conditions —
+    never a nested-loop over events×events."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    ev = read_table(spark, plan_sf, "events")
+    plan = _plan(W.view_purchase_interval_join(ev))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    join_lines = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+    ]
+    assert any("user_id" in l for l in join_lines), plan
