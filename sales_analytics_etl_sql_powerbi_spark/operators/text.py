@@ -104,6 +104,24 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
         - F.size(F.array_distinct(grams3)).cast("double")
         / F.size(grams3).cast("double"),
     ).otherwise(F.lit(0.0))
+    # char-weighted repetition (the Gopher signals weight by mass, not
+    # count): fraction of characters in EXCESS line copies — a doc
+    # whose one duplicated line is 90% of its bytes scores high even
+    # though dup_line_ratio (count form) barely moves
+    def line_chars(arr):
+        return F.aggregate(
+            F.transform(arr, lambda l: F.length(l)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    total_line_chars = line_chars(lines)
+    dup_line_chars = F.when(
+        total_line_chars > 0,
+        F.lit(1.0)
+        - line_chars(F.array_distinct(lines)).cast("double")
+        / total_line_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -128,6 +146,7 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
             / n_lines.cast("double")
         ).alias("dup_line_ratio"),
         dup3.alias("dup_trigram_ratio"),
+        dup_line_chars.alias("dup_line_char_ratio"),
     )
 
 
@@ -152,7 +171,11 @@ SELECT doc_id,
   CASE WHEN len(__tok) >= 3 THEN
     1.0 - cast(len(list_distinct(__g3)) AS DOUBLE)
       / cast(len(__g3) AS DOUBLE)
-  ELSE 0.0 END AS dup_trigram_ratio
+  ELSE 0.0 END AS dup_trigram_ratio,
+  CASE WHEN list_sum(list_transform(__line, l -> length(l))) > 0 THEN
+    1.0 - cast(list_sum(list_transform(list_distinct(__line), l -> length(l))) AS DOUBLE)
+      / cast(list_sum(list_transform(__line, l -> length(l))) AS DOUBLE)
+  ELSE 0.0 END AS dup_line_char_ratio
 FROM (SELECT *,
              list_transform(range(1, len(__tok) - 1),
                             i -> __tok[i] || ' ' || __tok[i + 1] || ' ' || __tok[i + 2])

@@ -311,3 +311,21 @@ def test_scrub_pii_ip_and_phone(spark):
         for r in con.execute(T.scrub_pii_sql()).fetchall()
     }
     assert got == {d: rows[d].scrubbed_text for d in rows}
+
+
+def test_dup_line_char_ratio_weights_by_mass(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    big = "x" * 90
+    docs = spark.createDataFrame(
+        [
+            (0, f"{big}\n{big}\nshort"),  # excess copy = 90 of 185 chars
+            (1, "a\nb\nc"),  # no repeats
+            (2, ""),  # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dup_line_char_ratio for r in T.text_stats(docs).collect()}
+    assert abs(out[0] - 90 / 185) < 1e-12
+    assert out[1] == 0.0
+    assert out[2] == 0.0
