@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "scd2_apply",
+    "SCD2_END_OF_TIME",
     "upsert_missing",
     "enrich_coalesce",
     "backfill_from_staging",
@@ -109,3 +111,77 @@ def backfill_from_staging(
     :func:`enrich_coalesce` with ``prefer='dim'``.
     """
     return enrich_coalesce(dim, staged, key, fill_cols, prefer="dim")
+
+
+SCD2_END_OF_TIME = "9999-12-31 00:00:00"
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_ts: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: keep full history.
+
+    The reference truncate-reloads its dims (history destroyed on every
+    load); this is the warehouse-grade alternative — each change to a
+    ``tracked`` attribute CLOSES the current row (``valid_to`` set,
+    ``is_current`` false) and INSERTS a new version valid from the
+    change's ``effective_ts``.
+
+    ``dim`` carries (key, tracked..., valid_from, valid_to,
+    is_current); ``changes`` carries (key, tracked..., effective_ts).
+    Per batch, one change row per key (dedupe upstream — latest wins is
+    a ``row_number`` filter). Semantics:
+
+    - unchanged keys (all tracked values null-safe equal): untouched;
+    - changed keys: current row closed at ``effective_ts``, new
+      current row appended;
+    - brand-new keys: inserted as current from ``effective_ts``;
+    - historical (non-current) rows always pass through.
+
+    Scale shape: two key-equi-joins (change detection + close-out) and
+    a union — all key-partitioned shuffles, no window over the full
+    dim. Rerunning the same batch is a NO-OP (idempotent): the new
+    current row equals the change, so change detection finds nothing.
+    """
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+    chg = changes.select(
+        key, *tracked, F.col(effective_ts).alias("__eff")
+    )
+    # a change is REAL when the key is new or any tracked value differs
+    # (null-safe: NULL -> value and value -> NULL both count)
+    joined = chg.alias("c").join(cur.alias("d"), on=key, how="left")
+    differs = F.lit(False)
+    for t in tracked:
+        differs = differs | ~F.col(f"c.{t}").eqNullSafe(F.col(f"d.{t}"))
+    real = joined.where(
+        F.col("d.valid_from").isNull() | differs
+    ).select("c.*")
+    new_rows = real.select(
+        key,
+        *tracked,
+        F.col("__eff").alias("valid_from"),
+        F.lit(SCD2_END_OF_TIME).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closing = (
+        cur.alias("d")
+        .join(real.select(key, "__eff").alias("r"), on=key, how="inner")
+        .select(
+            key,
+            *[F.col(f"d.{t}") for t in tracked],
+            F.col("d.valid_from").alias("valid_from"),
+            F.col("r.__eff").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched_cur = cur.join(real.select(key), on=key, how="left_anti")
+    return (
+        hist.unionByName(untouched_cur)
+        .unionByName(closing)
+        .unionByName(new_rows)
+    )

@@ -68,3 +68,75 @@ def test_merge_dim_enriches_and_inserts(spark):
     assert got == {"k1": (1, "B1"), "k2": (2, "B2"), "k3": (3, "B3")}
     again = merge_dim(out, staged, "key", enrich_cols=["brand"])
     assert again.count() == 3  # idempotent
+
+
+def _scd_dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "customer_id long, state_code string, postal_code string,"
+        " valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+
+
+def test_scd2_apply_change_new_unchanged_and_idempotent(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        SCD2_END_OF_TIME,
+        scd2_apply,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(
+        spark,
+        [
+            (1, "CA", "90001", t0, eot, True),   # will change state
+            (2, "NY", "10001", t0, eot, True),   # unchanged
+            (3, "TX", "73301", t0, t1, False),   # historical row
+            (3, "TX", "75001", t1, eot, True),   # current for key 3
+        ],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "WA", "98001", t1),   # real change
+            (2, "NY", "10001", t1),   # no-op (identical values)
+            (9, "FL", "33101", t1),   # brand-new key
+        ],
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    out = scd2_apply(
+        dim, changes, "customer_id", ["state_code", "postal_code"]
+    )
+    rows = {
+        (r.customer_id, r.state_code, r.is_current): (r.valid_from, r.valid_to)
+        for r in out.collect()
+    }
+    assert out.count() == 6  # 4 original (1 closed) + 1 new ver + 1 new key
+    assert rows[(1, "CA", False)] == (t0, t1)            # closed
+    assert rows[(1, "WA", True)][0] == t1                # new version
+    assert rows[(2, "NY", True)] == (t0, eot)            # untouched
+    assert (3, "TX", False) in rows and (3, "TX", True) in rows  # history kept
+    assert rows[(9, "FL", True)][0] == t1                # new key
+    # idempotence: replaying the same batch changes nothing
+    again = scd2_apply(out, changes, "customer_id", ["state_code", "postal_code"])
+    assert again.count() == 6
+    assert again.exceptAll(out).count() == 0
+
+
+def test_scd2_null_safe_change_detection(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(spark, [(1, None, "90001", t0, eot, True)])
+    changes = spark.createDataFrame(
+        [(1, "CA", "90001", t1)],
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
+    assert out.count() == 2  # NULL -> CA is a real change
