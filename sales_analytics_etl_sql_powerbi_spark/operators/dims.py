@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "entity_match_pairs",
     "scd2_apply",
     "SCD2_END_OF_TIME",
     "upsert_missing",
@@ -184,4 +185,72 @@ def scd2_apply(
         hist.unionByName(untouched_cur)
         .unionByName(closing)
         .unionByName(new_rows)
+    )
+
+
+def entity_match_pairs(
+    dim: DataFrame,
+    key: str = "customer_id",
+    name_col: str = "customer_name",
+    block_cols: list[str] | None = None,
+    max_distance: int = 2,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Record linkage: probable-duplicate entity pairs via blocked
+    fuzzy matching.
+
+    The BI-side twin of the corpus dedup family — "is CUST-0042 'Acme
+    Corp.' the same customer as CUST-7713 'ACME CORP'?" Candidates
+    come from BLOCKING only (equi-join on ``block_cols`` + the
+    normalized-name prefix), never all-pairs — the same
+    candidates-then-verify shape as the MinHash/LSH path, so the join
+    stays key-bounded at any dim size. Verification is native
+    ``levenshtein`` on the normalized names (JVM codegen, no UDF).
+
+    Normalization: lowercase, strip punctuation, collapse whitespace —
+    so case/punctuation variants block together. Returns
+    (key_a, key_b, name_a, name_b, distance), ``key_a < key_b``.
+
+    Recall contract (documented, same spirit as LSH): pairs whose
+    first ``prefix_len`` normalized chars differ (e.g. 'Acme' vs
+    'Akme' typo in char 2) or that disagree on a block column are NOT
+    candidates. Loosen by blocking on fewer columns.
+    """
+    block_cols = block_cols if block_cols is not None else ["state_code"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(name_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    base = dim.select(
+        F.col(key).alias("__k"),
+        F.col(name_col).alias("__name"),
+        norm.alias("__norm"),
+        *block_cols,
+    ).withColumn("__prefix", F.substring("__norm", 1, prefix_len))
+    a = base.select(
+        F.col("__k").alias("key_a"),
+        F.col("__name").alias("name_a"),
+        F.col("__norm").alias("__na"),
+        *block_cols,
+        "__prefix",
+    )
+    b = base.select(
+        F.col("__k").alias("key_b"),
+        F.col("__name").alias("name_b"),
+        F.col("__norm").alias("__nb"),
+        *block_cols,
+        "__prefix",
+    )
+    return (
+        a.join(b, on=[*block_cols, "__prefix"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("__na"), F.col("__nb")).cast("int")
+        )
+        .where(F.col("distance") <= max_distance)
+        .select("key_a", "key_b", "name_a", "name_b", "distance")
+        .orderBy("key_a", "key_b")
     )

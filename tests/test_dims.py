@@ -140,3 +140,30 @@ def test_scd2_null_safe_change_detection(spark):
     )
     out = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
     assert out.count() == 2  # NULL -> CA is a real change
+
+
+def test_entity_match_pairs_blocked_fuzzy(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "Acme Corp.", "CA"),
+            (2, "ACME CORP", "CA"),      # same after normalization -> dist 0
+            (3, "Acme Corpse", "CA"),    # dist 2 from 'acme corp'
+            (4, "Acme Corp.", "NY"),     # different block -> never a candidate
+            (5, "Zenith LLC", "CA"),     # unrelated
+            (6, "acme corp", "CA"),
+        ],
+        "customer_id long, customer_name string, state_code string",
+    )
+    out = entity_match_pairs(dim, max_distance=2)
+    pairs = {(r.key_a, r.key_b): r.distance for r in out.collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 6)] == 0 and pairs[(2, 6)] == 0
+    assert pairs[(1, 3)] == 2
+    assert all(4 not in p and 5 not in p for p in pairs)
+    # plan: blocked equi-join, never all-pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
