@@ -310,3 +310,23 @@ def test_neardup_query_doc_id_collision_scores_right_text(spark):
     # batch doc 5 (different text) matches nothing — in particular it
     # must NOT appear scored against the index's sh_set for id 5
     assert rows == {(6, 5): 1.0}
+
+
+def test_neardup_index_parquet_roundtrip_serves_queries(spark, tmp_path):
+    """The index/query split's cross-job claim: an index written to
+    parquet and read back must serve neardup_query identically to the
+    in-memory one (bands array-of-structs and sh_set survive the
+    round trip bit-for-bit)."""
+    old = docs_frame(spark)
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog")], DOCS
+    )
+    mem_index = dedup.neardup_index(old)
+    p = str(tmp_path / "nd_index")
+    mem_index.write.parquet(p)
+    disk_index = spark.read.parquet(p)
+    mem = {(r.doc_id, r.dup_of, r.jaccard)
+           for r in dedup.neardup_query(mem_index, batch, threshold=0.5).collect()}
+    disk = {(r.doc_id, r.dup_of, r.jaccard)
+            for r in dedup.neardup_query(disk_index, batch, threshold=0.5).collect()}
+    assert mem == disk and mem

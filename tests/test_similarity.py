@@ -253,3 +253,16 @@ def test_embedding_neardup_clusters_collapse_planted_group(spark):
     assert out[0] == out[1] == out[2] == 0
     for i in range(5):
         assert out[10 + i] == 10 + i
+
+
+def test_ann_index_parquet_roundtrip_serves_queries(spark, tmp_path):
+    df, _ = emb_frame(spark, n=80)
+    n_planes = 4
+    idx = similarity.ann_index(df, n_planes)
+    p = str(tmp_path / "ann_index")
+    idx.write.parquet(p)
+    disk = spark.read.parquet(p)
+    queries = df.where(df.vec_id < 3)
+    mem = [tuple(r) for r in similarity.ann_query(idx, queries, n_planes, topk=5).collect()]
+    dsk = [tuple(r) for r in similarity.ann_query(disk, queries, n_planes, topk=5).collect()]
+    assert mem == dsk and mem
