@@ -8,10 +8,12 @@ inline rowcount/non-null observability the ETL prints per step
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "expectations",
+    "assert_expectations",
     "sku_count_by_subcategory",
     "units_by_subcategory",
     "nonnull_counts",
@@ -89,3 +91,66 @@ def observed_metrics(obs) -> dict[str, int]:
     """The metrics recorded by :func:`observed`'s observation on the
     frame's first completed action (blocks until one has run)."""
     return {k: int(v) for k, v in obs.get.items()}
+
+
+def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Data-quality expectation check: rule name → pass-condition Column.
+
+    The generalization of the reference's `90_validation_checks.sql`
+    fixed queries into a declarative engine: ALL rules evaluate in ONE
+    aggregate pass over the frame (each is a `sum(when(violated, 1))`
+    — map-side combinable, no per-rule scan). Returns one row per rule:
+    (rule, violations, total, pass_rate), violation-heavy rules first.
+
+    Rows where a rule's condition is NULL (e.g. a comparison on a NULL
+    value) count as VIOLATIONS — an unknown is not a pass (the same
+    posture as the reference's NOT-IN-list checks).
+    """
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__total")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    # ONE aggregate + an explode of the rule structs — a per-rule union
+    # would re-evaluate the aggregate (and rescan the data) per branch
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").cast("long").alias("violations"),
+            )
+            for name in rules
+        ]
+    )
+    return (
+        row.select(F.col("__total"), F.explode(structs).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.violations").alias("violations"),
+            F.col("__total").cast("long").alias("total"),
+            (
+                F.lit(1.0)
+                - F.col("r.violations").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("pass_rate"),
+        )
+        .orderBy(F.desc("violations"), F.asc("rule"))
+    )
+
+
+def assert_expectations(df: DataFrame, rules: dict[str, Column]) -> None:
+    """Gate form of :func:`expectations`: raise with the per-rule
+    violation table when ANY rule has a violation. The load-job guard —
+    fail the batch, keep the sink clean."""
+    failed = [
+        (r.rule, r.violations, r.total)
+        for r in expectations(df, rules).collect()
+        if r.violations > 0
+    ]
+    if failed:
+        lines = "; ".join(f"{n}: {v}/{t} rows" for n, v, t in failed)
+        raise AssertionError(f"data-quality expectations failed — {lines}")

@@ -220,3 +220,40 @@ def test_cohort_retention_day_granularity_offsets(spark):
 
     with pytest.raises(ValueError):
         A.cohort_retention(ev, "hour")
+
+
+def test_expectations_one_pass_and_gate(spark):
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "CA", 10), (2, None, 5), (3, "XX", -1), (4, "NY", 0)],
+        "id long, state string, units int",
+    )
+    rules = {
+        "state_not_null": F.col("state").isNotNull(),
+        "units_non_negative": F.col("units") >= 0,
+        "state_two_upper": F.col("state").rlike("^[A-Z]{2}$"),
+        "id_positive": F.col("id") > 0,
+    }
+    out = {r.rule: (r.violations, r.total) for r in Q.expectations(df, rules).collect()}
+    # NULL conditions count as violations: the NULL state fails BOTH
+    # state rules (rlike on NULL is NULL, not pass)
+    assert out == {
+        "state_not_null": (1, 4),
+        "units_non_negative": (1, 4),
+        "state_two_upper": (1, 4),
+        "id_positive": (0, 4),
+    }
+    import pytest
+
+    with pytest.raises(AssertionError, match="state_not_null"):
+        Q.assert_expectations(df, rules)
+    clean = df.where(F.col("state").rlike("^[A-Z]{2}$") & (F.col("units") >= 0))
+    Q.assert_expectations(
+        clean, {"state_not_null": F.col("state").isNotNull()}
+    )  # no raise
+    # ONE aggregate pass: a single Aggregate over the scan per branch
+    plan = Q.expectations(df, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final, not per-rule
