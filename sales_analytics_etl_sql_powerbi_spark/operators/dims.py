@@ -143,10 +143,18 @@ def scd2_apply(
     - brand-new keys: inserted as current from ``effective_ts``;
     - historical (non-current) rows always pass through.
 
-    Scale shape: two key-equi-joins (change detection + close-out) and
-    a union — all key-partitioned shuffles, no window over the full
-    dim. Rerunning the same batch is a NO-OP (idempotent): the new
-    current row equals the change, so change detection finds nothing.
+    ORDERING CONTRACT: changes must arrive in effective-time order
+    relative to the dim (``effective_ts`` ≥ the current row's
+    ``valid_from``). A late-arriving change would close the current
+    row BEFORE it opened (inverted interval) — order/route late data
+    upstream, the same posture as the watermarked streaming ops.
+
+    Scale shape: one change-detection key-equi-join, materialized once
+    (``localCheckpoint`` — three output branches consume it, recompute
+    would triple the join), then a close-out join + unions — all
+    key-partitioned shuffles, no window over the full dim. Rerunning
+    the same batch is a NO-OP (idempotent): the new current row equals
+    the change, so change detection finds nothing.
     """
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
@@ -154,14 +162,21 @@ def scd2_apply(
         key, *tracked, F.col(effective_ts).alias("__eff")
     )
     # a change is REAL when the key is new or any tracked value differs
-    # (null-safe: NULL -> value and value -> NULL both count)
-    joined = chg.alias("c").join(cur.alias("d"), on=key, how="left")
+    # (null-safe: NULL -> value and value -> NULL both count). The
+    # new-key marker is a non-nullable literal — testing a data column
+    # like valid_from for NULL would misread a legitimately-NULL value
+    # as "key absent"
+    joined = chg.alias("c").join(
+        cur.withColumn("__present", F.lit(True)).alias("d"), on=key, how="left"
+    )
     differs = F.lit(False)
     for t in tracked:
         differs = differs | ~F.col(f"c.{t}").eqNullSafe(F.col(f"d.{t}"))
-    real = joined.where(
-        F.col("d.valid_from").isNull() | differs
-    ).select("c.*")
+    real = (
+        joined.where(F.col("d.__present").isNull() | differs)
+        .select("c.*")
+        .localCheckpoint(eager=True)
+    )
     new_rows = real.select(
         key,
         *tracked,
@@ -213,8 +228,12 @@ def entity_match_pairs(
 
     Recall contract (documented, same spirit as LSH): pairs whose
     first ``prefix_len`` normalized chars differ (e.g. 'Acme' vs
-    'Akme' typo in char 2) or that disagree on a block column are NOT
-    candidates. Loosen by blocking on fewer columns.
+    'Akme' typo in char 2) are NOT candidates; block-column values
+    compare null-safely (two NULL states DO block together — the
+    reference data has NULL state codes). Names that normalize to
+    empty (punctuation-only) are excluded entirely — every such pair
+    would otherwise score distance 0. Loosen by blocking on fewer
+    columns.
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(
@@ -224,12 +243,21 @@ def entity_match_pairs(
             " ",
         )
     )
-    base = dim.select(
-        F.col(key).alias("__k"),
-        F.col(name_col).alias("__name"),
-        norm.alias("__norm"),
-        *block_cols,
-    ).withColumn("__prefix", F.substring("__norm", 1, prefix_len))
+    base = (
+        dim.select(
+            F.col(key).alias("__k"),
+            F.col(name_col).alias("__name"),
+            norm.alias("__norm"),
+            # null-safe blocking: equi-join drops NULLs, so NULL block
+            # values coalesce to a sentinel no real value collides with
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL")).alias(c)
+                for c in block_cols
+            ],
+        )
+        .where(F.length("__norm") > 0)
+        .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
+    )
     a = base.select(
         F.col("__k").alias("key_a"),
         F.col("__name").alias("name_a"),

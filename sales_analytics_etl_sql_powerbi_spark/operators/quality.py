@@ -107,12 +107,17 @@ def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     posture as the reference's NOT-IN-list checks).
     """
     total = F.count(F.lit(1))
+    # aliases are POSITIONAL (__v_0, __v_1, …): rule names are arbitrary
+    # user strings — a dot or backtick in an alias breaks F.col parsing.
+    # coalesce(sum, 0): over ZERO rows sum is NULL, and an empty batch
+    # must read as vacuously clean, not crash the gate
     aggs = [total.alias("__total")]
-    for name, cond in rules.items():
+    for i, cond in enumerate(rules.values()):
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-            ).alias(f"__v_{name}")
+            F.coalesce(
+                F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)),
+                F.lit(0),
+            ).alias(f"__v_{i}")
         )
     row = df.agg(*aggs)
     # ONE aggregate + an explode of the rule structs — a per-rule union
@@ -121,9 +126,9 @@ def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         *[
             F.struct(
                 F.lit(name).alias("rule"),
-                F.col(f"__v_{name}").cast("long").alias("violations"),
+                F.col(f"__v_{i}").cast("long").alias("violations"),
             )
-            for name in rules
+            for i, name in enumerate(rules)
         ]
     )
     return (
@@ -132,11 +137,14 @@ def expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             F.col("r.rule").alias("rule"),
             F.col("r.violations").alias("violations"),
             F.col("__total").cast("long").alias("total"),
-            (
+            F.when(
+                F.col("__total") > 0,
                 F.lit(1.0)
                 - F.col("r.violations").cast("double")
-                / F.col("__total").cast("double")
-            ).alias("pass_rate"),
+                / F.col("__total").cast("double"),
+            )
+            .otherwise(F.lit(1.0))  # empty batch: vacuously clean
+            .alias("pass_rate"),
         )
         .orderBy(F.desc("violations"), F.asc("rule"))
     )

@@ -77,11 +77,15 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
     toks = tokens_expr("text")
     d = docs.withColumn("__tok", toks)
     n_tokens = F.size(F.col("__tok"))
-    sum_len = F.aggregate(
-        F.transform(F.col("__tok"), lambda t: F.length(t)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+
+    def sum_lengths(arr):
+        return F.aggregate(
+            F.transform(arr, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    sum_len = sum_lengths(F.col("__tok"))
     stop_n = _in_list_count(F.col("__tok"), stopwords)
     lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
@@ -108,18 +112,11 @@ def text_stats(docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) 
     # count): fraction of characters in EXCESS line copies — a doc
     # whose one duplicated line is 90% of its bytes scores high even
     # though dup_line_ratio (count form) barely moves
-    def line_chars(arr):
-        return F.aggregate(
-            F.transform(arr, lambda l: F.length(l)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-
-    total_line_chars = line_chars(lines)
+    total_line_chars = sum_lengths(lines)
     dup_line_chars = F.when(
         total_line_chars > 0,
         F.lit(1.0)
-        - line_chars(F.array_distinct(lines)).cast("double")
+        - sum_lengths(F.array_distinct(lines)).cast("double")
         / total_line_chars.cast("double"),
     ).otherwise(F.lit(0.0))
     return d.select(

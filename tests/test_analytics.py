@@ -257,3 +257,17 @@ def test_expectations_one_pass_and_gate(spark):
     # ONE aggregate pass: a single Aggregate over the scan per branch
     plan = Q.expectations(df, rules)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2  # partial+final, not per-rule
+
+
+def test_expectations_empty_batch_and_dotted_rule_names(spark):
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality as Q
+
+    empty = spark.range(0).selectExpr("id", "cast(null as string) state")
+    rules = {"state.not_null": F.col("state").isNotNull()}
+    out = Q.expectations(empty, rules).collect()
+    assert [(r.rule, r.violations, r.total) for r in out] == [
+        ("state.not_null", 0, 0)
+    ]
+    Q.assert_expectations(empty, rules)  # vacuously clean, no crash

@@ -167,3 +167,37 @@ def test_entity_match_pairs_blocked_fuzzy(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_null_valid_from_is_not_a_new_key(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
+
+    t1 = dt.datetime(2024, 6, 1)
+    dim = _scd_dim(spark, [(1, "CA", "90001", None, dt.datetime(9999, 12, 31), True)])
+    changes = spark.createDataFrame(
+        [(1, "CA", "90001", t1)],  # identical values: must be a no-op
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
+    assert out.count() == 1  # NOT spuriously closed + re-versioned
+
+
+def test_entity_match_null_blocks_and_empty_names(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "Acme Corp", None),   # NULL state blocks with NULL state
+            (2, "Acme Corp.", None),
+            (3, "???", "CA"),         # empty after normalization
+            (4, "!!!", "CA"),
+        ],
+        "customer_id long, customer_name string, state_code string",
+    )
+    pairs = {(r.key_a, r.key_b) for r in entity_match_pairs(dim).collect()}
+    assert (1, 2) in pairs       # null-safe blocking
+    assert (3, 4) not in pairs   # punctuation-only names excluded
