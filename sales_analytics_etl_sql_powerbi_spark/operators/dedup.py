@@ -30,6 +30,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "neardup_pairs",
     "neardup_clusters",
+    "keep_canonical",
     "simhash",
     "simhash_neardup_pairs",
     "ngram_jaccard_topk",
@@ -895,3 +896,17 @@ reach(node, seen) AS (
 SELECT node AS doc_id, min(seen) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+def keep_canonical(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Near-dup dedup END STATE: the corpus with one doc per cluster.
+
+    The composition a pipeline actually materializes —
+    :func:`neardup_clusters` then keep ``doc_id == cluster_id`` (the
+    cluster id IS the minimum member id, so the keeper needs no extra
+    ranking pass; singletons keep themselves). One semi-join back to
+    the full rows.
+    """
+    clusters = neardup_clusters(docs, k, threshold)
+    keepers = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi")

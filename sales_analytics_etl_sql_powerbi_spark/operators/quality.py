@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "expectations",
     "assert_expectations",
+    "fk_violations",
     "sku_count_by_subcategory",
     "units_by_subcategory",
     "nonnull_counts",
@@ -162,3 +163,19 @@ def assert_expectations(df: DataFrame, rules: dict[str, Column]) -> None:
     if failed:
         lines = "; ".join(f"{n}: {v}/{t} rows" for n, v, t in failed)
         raise AssertionError(f"data-quality expectations failed — {lines}")
+
+
+def fk_violations(
+    fact: DataFrame, dim: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Referential-integrity check: fact rows whose FK has no dim row.
+
+    The join-shaped expectation :func:`expectations` can't express
+    (aggregate rules see one frame): one LEFT ANTI join on the key —
+    AQE broadcasts dim-sized sides, so the common case costs a fact
+    scan + broadcast probe, no shuffle. Returns the orphan rows
+    themselves (not a count) — the actionable artifact for a repair
+    job like ``dims.upsert_missing``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return fact.join(dim.select(*keys).distinct(), on=keys, how="left_anti")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_expr",
     "text_stats",
+    "corpus_quality_report",
     "token_count_bpe",
     "lang_id",
     "doc_fingerprint",
@@ -730,3 +731,55 @@ SELECT count(1) AS n_docs,
        avg(length(text)) AS mean_len
 FROM documents
 """
+
+
+def corpus_quality_report(
+    docs: DataFrame, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Corpus-level roll-up of the per-doc quality signals: one row per
+    signal with mean / p10 / p50 / p90 — what a mix designer reads
+    before picking :func:`quality_filter` thresholds (thresholds set
+    blind to the corpus distribution reject the wrong tail).
+
+    One :func:`text_stats` scan + ONE aggregate (all signals'
+    percentile sketches computed together, map-side combinable), then
+    an explode to long form — no per-signal pass.
+    """
+    signals = [
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "ttr",
+        "symbol_ratio",
+        "alpha_word_ratio",
+        "bullet_line_ratio",
+        "dup_line_ratio",
+        "dup_trigram_ratio",
+        "dup_line_char_ratio",
+    ]
+    stats = text_stats(docs, stopwords)
+    aggs = []
+    for i, c in enumerate(signals):
+        v = F.col(c).cast("double")
+        aggs.append(F.avg(v).alias(f"__m_{i}"))
+        aggs.append(
+            F.percentile_approx(v, F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))).alias(
+                f"__p_{i}"
+            )
+        )
+    row = stats.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("signal"),
+                F.col(f"__m_{i}").alias("mean"),
+                F.col(f"__p_{i}")[0].alias("p10"),
+                F.col(f"__p_{i}")[1].alias("p50"),
+                F.col(f"__p_{i}")[2].alias("p90"),
+            )
+            for i, c in enumerate(signals)
+        ]
+    )
+    return row.select(F.explode(structs).alias("r")).select(
+        "r.signal", "r.mean", "r.p10", "r.p50", "r.p90"
+    )

@@ -271,3 +271,14 @@ def test_expectations_empty_batch_and_dotted_rule_names(spark):
         ("state.not_null", 0, 0)
     ]
     Q.assert_expectations(empty, rules)  # vacuously clean, no crash
+
+
+def test_fk_violations_returns_orphans(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality as Q
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, units long"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    orphans = Q.fk_violations(fact, dim, "k").collect()
+    assert [(r.k, r.units) for r in orphans] == [(3, 30)]

@@ -330,3 +330,11 @@ def test_neardup_index_parquet_roundtrip_serves_queries(spark, tmp_path):
     disk = {(r.doc_id, r.dup_of, r.jaccard)
             for r in dedup.neardup_query(disk_index, batch, threshold=0.5).collect()}
     assert mem == disk and mem
+
+
+def test_keep_canonical_drops_near_dups_keeps_min(spark):
+    docs = docs_frame(spark)
+    kept = {r.doc_id for r in dedup.keep_canonical(docs, threshold=0.5).collect()}
+    # 0,1,2 cluster together (near/exact dups) -> keep 0; 3 and 4 are
+    # below-threshold to each other -> both singletons, both kept
+    assert kept == {0, 3, 4}

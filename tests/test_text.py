@@ -329,3 +329,16 @@ def test_dup_line_char_ratio_weights_by_mass(spark):
     assert abs(out[0] - 90 / 185) < 1e-12
     assert out[1] == 0.0
     assert out[2] == 0.0
+
+
+def test_corpus_quality_report_shape_and_values(spark, sf_dir):
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.signal: r for r in T.corpus_quality_report(docs).collect()}
+    assert len(out) == 10
+    r = out["n_tokens"]
+    assert r.p10 <= r.p50 <= r.p90
+    assert r.mean > 0
+    for sig in ("ttr", "alpha_word_ratio"):
+        assert 0.0 <= out[sig].p50 <= 1.0
