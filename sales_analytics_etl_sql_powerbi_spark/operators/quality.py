@@ -15,6 +15,7 @@ __all__ = [
     "expectations",
     "assert_expectations",
     "fk_violations",
+    "profile_table",
     "sku_count_by_subcategory",
     "units_by_subcategory",
     "nonnull_counts",
@@ -179,3 +180,62 @@ def fk_violations(
     """
     keys = [key] if isinstance(key, str) else list(key)
     return fact.join(dim.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column profile in ONE aggregate pass: (column, dtype, n,
+    nulls, approx_distinct, min, max, mean).
+
+    The first thing run against an unknown table — nulls and
+    cardinality drive key/join choices, min/max drive partition and
+    Z-order choices. Every statistic for every column computes in the
+    same map-side-combinable aggregate (approx distinct is the HLL++
+    sketch — exact count-distinct per column would be a shuffle per
+    column); min/max surface as strings so one long-form frame covers
+    heterogeneous types; mean is NULL for non-numeric columns.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {
+        c
+        for c in cols
+        if dtypes[c]
+        in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtypes[c].startswith("decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__nu_{i}"),
+            F.approx_count_distinct(c, rsd).alias(f"__d_{i}"),
+            F.min(c).cast("string").alias(f"__lo_{i}"),
+            F.max(c).cast("string").alias(f"__hi_{i}"),
+            (
+                F.avg(F.col(c).cast("double"))
+                if c in numeric
+                else F.first(F.lit(None).cast("double"))
+            ).alias(f"__avg_{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n").cast("long").alias("n"),
+                F.col(f"__nu_{i}").cast("long").alias("nulls"),
+                F.col(f"__d_{i}").cast("long").alias("approx_distinct"),
+                F.col(f"__lo_{i}").alias("min"),
+                F.col(f"__hi_{i}").alias("max"),
+                F.col(f"__avg_{i}").alias("mean"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.explode(structs).alias("r")).select("r.*")

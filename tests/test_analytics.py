@@ -282,3 +282,19 @@ def test_fk_violations_returns_orphans(spark):
     dim = spark.createDataFrame([(1,), (2,)], "k long")
     orphans = Q.fk_violations(fact, dim, "k").collect()
     assert [(r.k, r.units) for r in orphans] == [(3, 30)]
+
+
+def test_profile_table_one_pass(spark, sf_dir):
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality as Q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.column: r for r in Q.profile_table(docs).collect()}
+    assert set(out) == set(docs.columns)
+    d = out["doc_id"]
+    n = docs.count()
+    assert d.n == n and d.nulls == 0
+    assert abs(d.approx_distinct - n) / n < 0.15
+    assert d.mean is not None and out["text"].mean is None
+    # ONE aggregate over the scan (partial+final), not one per column
+    plan = Q.profile_table(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2

@@ -266,3 +266,16 @@ def test_ann_index_parquet_roundtrip_serves_queries(spark, tmp_path):
     mem = [tuple(r) for r in similarity.ann_query(idx, queries, n_planes, topk=5).collect()]
     dsk = [tuple(r) for r in similarity.ann_query(disk, queries, n_planes, topk=5).collect()]
     assert mem == dsk and mem
+
+
+def test_ivf_index_parquet_roundtrip_serves_queries(spark, tmp_path):
+    df, _ = emb_frame(spark, n=80)
+    cb = similarity.ivf_codebook(df, n_clusters=4)
+    idx = similarity.ivf_index(df, cb)
+    p = str(tmp_path / "ivf_index")
+    idx.write.parquet(p)
+    disk = spark.read.parquet(p)
+    queries = df.where(df.vec_id < 3)
+    mem = [tuple(r) for r in similarity.ivf_query(idx, queries, cb, nprobe=2, topk=5).collect()]
+    dsk = [tuple(r) for r in similarity.ivf_query(disk, queries, cb, nprobe=2, topk=5).collect()]
+    assert mem == dsk and mem
