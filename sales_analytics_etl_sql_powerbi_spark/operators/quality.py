@@ -179,7 +179,15 @@ def fk_violations(
     job like ``dims.upsert_missing``.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    return fact.join(dim.select(*keys).distinct(), on=keys, how="left_anti")
+    # SQL FK semantics: a NULL key is "no reference", not a violation —
+    # only non-NULL keys must resolve (flag NULLs with a not-null
+    # expectation instead if the column is mandatory)
+    present = F.lit(True)
+    for k in keys:
+        present = present & fact[k].isNotNull()
+    return fact.where(present).join(
+        dim.select(*keys).distinct(), on=keys, how="left_anti"
+    )
 
 
 def profile_table(
@@ -207,19 +215,35 @@ def profile_table(
         in ("tinyint", "smallint", "int", "bigint", "float", "double")
         or dtypes[c].startswith("decimal")
     }
+    # maps are neither orderable (min/max) nor hashable (HLL sketch) in
+    # Spark — profile them as NULL rather than fail the whole table.
+    # Backtick-quoted references so dotted column names resolve
+    # literally instead of as struct-field paths.
+    unorderable = {c for c in cols if dtypes[c].startswith("map<")}
+
+    def qc(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+    null_str = F.first(F.lit(None).cast("string"))
+    null_dbl = F.first(F.lit(None).cast("double"))
+    null_lng = F.first(F.lit(None).cast("long"))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
+        ordered = c not in unorderable
         aggs += [
-            F.coalesce(
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
-            ).alias(f"__nu_{i}"),
-            F.approx_count_distinct(c, rsd).alias(f"__d_{i}"),
-            F.min(c).cast("string").alias(f"__lo_{i}"),
-            F.max(c).cast("string").alias(f"__hi_{i}"),
+            # count(col) ignores NULLs (and is 0 on empty input), so
+            # nulls = n - count — same idiom as nonnull_counts above
+            (F.count(F.lit(1)) - F.count(qc(c))).alias(f"__nu_{i}"),
             (
-                F.avg(F.col(c).cast("double"))
-                if c in numeric
-                else F.first(F.lit(None).cast("double"))
+                F.approx_count_distinct(qc(c), rsd) if ordered else null_lng
+            ).alias(f"__d_{i}"),
+            (F.min(qc(c)).cast("string") if ordered else null_str).alias(
+                f"__lo_{i}"
+            ),
+            (F.max(qc(c)).cast("string") if ordered else null_str).alias(
+                f"__hi_{i}"
+            ),
+            (
+                F.avg(qc(c).cast("double")) if c in numeric else null_dbl
             ).alias(f"__avg_{i}"),
         ]
     row = df.agg(*aggs)

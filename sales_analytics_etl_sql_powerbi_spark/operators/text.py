@@ -745,19 +745,12 @@ def corpus_quality_report(
     percentile sketches computed together, map-side combinable), then
     an explode to long form — no per-signal pass.
     """
-    signals = [
-        "n_tokens",
-        "avg_token_len",
-        "stopword_ratio",
-        "ttr",
-        "symbol_ratio",
-        "alpha_word_ratio",
-        "bullet_line_ratio",
-        "dup_line_ratio",
-        "dup_trigram_ratio",
-        "dup_line_char_ratio",
-    ]
     stats = text_stats(docs, stopwords)
+    # every numeric signal text_stats emits, derived from its schema —
+    # a signal added there appears here automatically (this report
+    # exists so thresholds aren't set blind; silently omitting a new
+    # signal would defeat it)
+    signals = [c for c in stats.columns if c != "doc_id"]
     aggs = []
     for i, c in enumerate(signals):
         v = F.col(c).cast("double")

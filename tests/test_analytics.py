@@ -298,3 +298,16 @@ def test_profile_table_one_pass(spark, sf_dir):
     # ONE aggregate over the scan (partial+final), not one per column
     plan = Q.profile_table(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2
+
+
+def test_profile_table_dotted_names_maps_and_fk_nulls(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, {"x": 1})], ["a.b", "m"])
+    out = {r.column: r for r in Q.profile_table(df).collect()}
+    assert out["a.b"].nulls == 0 and out["a.b"].min == "1"
+    assert out["m"].min is None and out["m"].approx_distinct is None
+    fact = spark.createDataFrame([(1, 10), (None, 20)], "k long, units long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    # NULL FK is "no reference", not an orphan
+    assert Q.fk_violations(fact, dim, "k").count() == 0

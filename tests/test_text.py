@@ -336,7 +336,8 @@ def test_corpus_quality_report_shape_and_values(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = {r.signal: r for r in T.corpus_quality_report(docs).collect()}
-    assert len(out) == 10
+    # self-updating coverage: every text_stats signal except the key
+    assert set(out) == set(T.text_stats(docs).columns) - {"doc_id"}
     r = out["n_tokens"]
     assert r.p10 <= r.p50 <= r.p90
     assert r.mean > 0
