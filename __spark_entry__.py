@@ -426,15 +426,29 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     return text.corpus_clean(docs, benchmark=benchmark)
 
 
+#: per-language target counts for the stratified-mix flag — fixed
+#: numbers (SF-independent) sized so en hits its quota at every test
+#: SF while the small languages keep everything (the shortfall case)
+_MIX_QUOTAS = {"en": 100, "fr": 1000, "zh": 50}
+
 def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
-    """All three deterministic samplers as flag columns on every doc:
-    train/val/test split, Bernoulli keep at 25%, and the ≤20-per-lang
-    hash-order quota — content-addressed md5, no rand()."""
+    """All four deterministic samplers as flag columns on every doc:
+    train/val/test split, Bernoulli keep at 25%, the ≤20-per-lang
+    hash-order quota, and the per-language target-count mix
+    (quota-hit, shortfall, and absent-language cases all exercised) —
+    content-addressed md5, no rand()."""
     from sales_analytics_etl_sql_powerbi_spark.operators import sampling
 
     return sampling.sampling_profile(
-        _docs(spark, sf), "doc_id", "lang", rate=0.25, n_per_group=20
-    ).select("doc_id", "lang", "split", "in_sample", "in_group_quota")
+        _docs(spark, sf),
+        "doc_id",
+        "lang",
+        rate=0.25,
+        n_per_group=20,
+        mix_quotas=_MIX_QUOTAS,
+    ).select(
+        "doc_id", "lang", "split", "in_sample", "in_group_quota", "in_mix"
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -652,10 +666,11 @@ def _sampling_profile_sql() -> str:
     from sales_analytics_etl_sql_powerbi_spark.operators import sampling
 
     inner = sampling.sampling_profile_sql(
-        "documents", "doc_id", "lang", rate=0.25, n_per_group=20
+        "documents", "doc_id", "lang", rate=0.25, n_per_group=20,
+        mix_quotas=_MIX_QUOTAS,
     )
     return (
-        "SELECT doc_id, lang, split, in_sample, in_group_quota "
+        "SELECT doc_id, lang, split, in_sample, in_group_quota, in_mix "
         f"FROM ({inner}) p"
     )
 

@@ -170,8 +170,9 @@ def sampling_profile(
     rate: float = 0.25,
     n_per_group: int = 20,
     weights: dict[str, float] | None = None,
+    mix_quotas: dict[str, int] | None = None,
 ) -> DataFrame:
-    """All three sampling assignments as FLAG COLUMNS on every row:
+    """All the sampling assignments as FLAG COLUMNS on every row:
     ``split`` (train/val/test), ``in_sample`` (Bernoulli at ``rate``),
     ``in_group_quota`` (within the first ``n_per_group`` of its group
     by hash order). The decision surface a corpus-build audit wants —
@@ -180,7 +181,10 @@ def sampling_profile(
     the flag semantics are exactly :func:`deterministic_sample` /
     :func:`split_assign` / :func:`sample_per_group` (same salts, same
     buckets — filtering on a flag reproduces the operator's output
-    row-for-row).
+    row-for-row). ``mix_quotas`` adds ``in_mix`` — the
+    :func:`stratified_mix` membership (per-group target counts, salt
+    "mix"; groups absent from the map are all-false), same flag
+    discipline.
     """
     threshold = int(rate * _BUCKETS)
     d = split_assign(df, key, weights).withColumn(
@@ -189,9 +193,22 @@ def sampling_profile(
     w = Window.partitionBy(group).orderBy(
         hash_bucket(key, "grp").asc(), F.col(key).asc()
     )
-    return d.withColumn(
+    d = d.withColumn(
         "in_group_quota", F.row_number().over(w) <= n_per_group
     )
+    if mix_quotas is not None:
+        wm = Window.partitionBy(group).orderBy(
+            hash_bucket(key, "mix").asc(), F.col(key).asc()
+        )
+        quota = F.coalesce(
+            *[
+                F.when(F.col(group) == g, F.lit(int(n)))
+                for g, n in mix_quotas.items()
+            ],
+            F.lit(0),
+        )
+        d = d.withColumn("in_mix", F.row_number().over(wm) <= quota)
+    return d
 
 
 def sampling_profile_sql(
@@ -201,17 +218,30 @@ def sampling_profile_sql(
     rate: float = 0.25,
     n_per_group: int = 20,
     weights: dict[str, float] | None = None,
+    mix_quotas: dict[str, int] | None = None,
 ) -> str:
     threshold = int(rate * _BUCKETS)
     inner = split_assign_sql(source, key_expr, weights)
     b_sample = _bucket_duck(key_expr, "s1")
     b_grp = _bucket_duck(key_expr, "grp")
+    mix_select = ""
+    mix_rn = ""
+    if mix_quotas is not None:
+        b_mix = _bucket_duck(key_expr, "mix")
+        cases = " ".join(
+            f"WHEN {group} = '{g}' THEN {int(n)}" for g, n in mix_quotas.items()
+        )
+        mix_select = f", __mrn <= (CASE {cases} ELSE 0 END) AS in_mix"
+        mix_rn = f""",
+         row_number() OVER (
+           PARTITION BY {group} ORDER BY {b_mix} ASC, {key_expr} ASC) AS __mrn"""
     return f"""
-SELECT * EXCLUDE (__rn), __rn <= {n_per_group} AS in_group_quota
+SELECT * EXCLUDE (__rn{", __mrn" if mix_quotas is not None else ""}),
+       __rn <= {n_per_group} AS in_group_quota{mix_select}
 FROM (
   SELECT *, {b_sample} < {threshold} AS in_sample,
          row_number() OVER (
-           PARTITION BY {group} ORDER BY {b_grp} ASC, {key_expr} ASC) AS __rn
+           PARTITION BY {group} ORDER BY {b_grp} ASC, {key_expr} ASC) AS __rn{mix_rn}
   FROM ({inner}) s
 ) r
 """

@@ -136,3 +136,20 @@ def test_stratified_mix_quotas_and_determinism(spark, sf_dir):
     out2 = sampling.stratified_mix(docs.repartition(13), "lang", quotas)
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
     assert out2.count() == out.count()
+
+
+def test_profile_in_mix_flag_matches_stratified_mix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quotas = {"en": 10, "zh": 3}
+    prof = sampling.sampling_profile(
+        docs, "doc_id", "lang", mix_quotas=quotas
+    )
+    via_flag = {r.doc_id for r in prof.where(F.col("in_mix")).collect()}
+    via_op = {
+        r.doc_id for r in sampling.stratified_mix(docs, "lang", quotas).collect()
+    }
+    assert via_flag == via_op and via_flag
