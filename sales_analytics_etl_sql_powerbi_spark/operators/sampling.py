@@ -229,7 +229,8 @@ def sampling_profile_sql(
     if mix_quotas is not None:
         b_mix = _bucket_duck(key_expr, "mix")
         cases = " ".join(
-            f"WHEN {group} = '{g}' THEN {int(n)}" for g, n in mix_quotas.items()
+            "WHEN {} = '{}' THEN {}".format(group, str(g).replace("'", "''"), int(n))
+            for g, n in mix_quotas.items()
         )
         mix_select = f", __mrn <= (CASE {cases} ELSE 0 END) AS in_mix"
         mix_rn = f""",
