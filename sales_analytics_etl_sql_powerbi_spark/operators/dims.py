@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "entity_match_pairs",
     "scd2_apply",
+    "scd2_lookup",
     "SCD2_END_OF_TIME",
     "upsert_missing",
     "enrich_coalesce",
@@ -281,4 +282,45 @@ def entity_match_pairs(
         .where(F.col("distance") <= max_distance)
         .select("key_a", "key_b", "name_a", "name_b", "distance")
         .orderBy("key_a", "key_b")
+    )
+
+
+def scd2_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str = "ts",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 history.
+
+    What the history exists FOR: each fact row joins the dim VERSION
+    that was valid at the fact's own timestamp (``valid_from ≤ ts <
+    valid_to``), so a July order carries July's customer state even
+    after the customer moved in August. Left join: facts before the
+    key's first version (or with no dim key) get NULL attributes.
+
+    Scale shape: a key equi-join with the interval predicate as a
+    residual filter — versions-per-key is small, so the candidate
+    blowup is bounded by version count, never a range join over the
+    fact; the intervals produced by :func:`scd2_apply` partition time
+    per key (half-open: a fact exactly at a change instant gets the
+    NEW version), so at most one version survives per fact row.
+    """
+    attrs = attrs or [
+        c
+        for c in dim.columns
+        if c not in (key, "valid_from", "valid_to", "is_current")
+    ]
+    d = dim.select(
+        key, "valid_from", "valid_to", *[F.col(a).alias(f"dim_{a}") for a in attrs]
+    )
+    f = fact.alias("f")
+    cond = (
+        (F.col(f"f.{key}") == d[key])
+        & (F.col(f"f.{ts}") >= d["valid_from"])
+        & (F.col(f"f.{ts}") < d["valid_to"])
+    )
+    return f.join(d, cond, "left").select(
+        "f.*", *[f"dim_{a}" for a in attrs]
     )

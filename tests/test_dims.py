@@ -201,3 +201,33 @@ def test_entity_match_null_blocks_and_empty_names(spark):
     pairs = {(r.key_a, r.key_b) for r in entity_match_pairs(dim).collect()}
     assert (1, 2) in pairs       # null-safe blocking
     assert (3, 4) not in pairs   # punctuation-only names excluded
+
+
+def test_scd2_lookup_point_in_time(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_lookup
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(
+        spark,
+        [
+            (1, "CA", "90001", t0, t1, False),
+            (1, "WA", "98001", t1, eot, True),
+        ],
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 3, 1)),   # during CA era
+            (101, 1, t1),                         # exactly at change -> NEW version
+            (102, 1, dt.datetime(2023, 1, 1)),   # before first version -> NULL
+            (103, 9, dt.datetime(2024, 3, 1)),   # unknown key -> NULL
+        ],
+        "order_id long, customer_id long, ts timestamp",
+    )
+    out = {r.order_id: r.dim_state_code for r in
+           scd2_lookup(fact, dim, "customer_id").collect()}
+    assert out == {100: "CA", 101: "WA", 102: None, 103: None}
+    # exactly one output row per fact row (intervals partition time)
+    assert scd2_lookup(fact, dim, "customer_id").count() == 4
