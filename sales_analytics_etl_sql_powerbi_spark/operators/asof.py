@@ -110,21 +110,26 @@ def _apply_tolerance(
     tolerance_seconds: float | None,
     prefix: str = "asof_",
 ) -> DataFrame:
+    """Null out matches farther than the tolerance, IN PLACE.
+
+    Each ``asof_*`` payload column is substituted at its original
+    position (not re-appended at the end), so the output column order
+    is identical between tolerance and no-tolerance calls — downstream
+    schema/hash comparisons that include column order can't diverge on
+    this knob alone.
+    """
     within = (
         F.abs(_ts_num(F.col(ts)) - _ts_num(F.col(f"{prefix}__ts")))
         <= F.lit(float(tolerance_seconds))
     )
+    masked = {f"{prefix}{c}" for c in payload}
     return out.select(
         *[
-            c
+            F.when(within, F.col(c)).alias(c) if c in masked else F.col(c)
             for c in out.columns
-            if not (c.startswith(prefix) and c != f"{prefix}__ts")
-        ],
-        *[
-            F.when(within, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}")
-            for c in payload
-        ],
-    ).drop(f"{prefix}__ts")
+            if c != f"{prefix}__ts"
+        ]
+    )
 
 
 def asof_backward(

@@ -660,6 +660,17 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     replacement order (email → url → ip → phone) is part of the
     contract — the counts are order-independent, the scrubbed text is
     not.
+
+    Count semantics (deliberate, cheap — one pass over the original
+    text per pattern): each pattern counts INDEPENDENTLY, so
+    overlapping matches double-count (an email inside a URL increments
+    both ``n_emails`` and ``n_urls``) and the IPv4 pattern matches any
+    dotted quad including version strings like ``10.0.0.1-beta`` —
+    counts are an upper bound on actual redactions, an AUDIT signal,
+    not an exact redaction ledger. Counting on the progressively
+    scrubbed text would attribute each character to exactly one
+    pattern at the cost of three extra full regex passes; flip to that
+    if the counts feed billing/compliance rather than triage.
     """
     c = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0)))

@@ -349,35 +349,65 @@ def compact_parquet(
     SAME columns as ``partition_by`` to keep its layout — otherwise
     the rewrite deliberately flattens partitions into data columns
     (valid, but readers lose directory pruning and a swapped-in
-    directory must not keep receiving partitioned appends). The
-    target sizing is global, not per-partition.
+    directory must not keep receiving partitioned appends). With
+    ``partition_by`` the rewrite range-partitions on (partition cols,
+    row key): the range sampler allocates tasks PROPORTIONAL to row
+    counts, so a large hive partition splits into several ~target-sized
+    files while small partitions share a task — not one-file-per-
+    partition. The row key is ``sort_within_by`` when given (the range
+    exchange then pre-orders the in-file sort) else a hash of the data
+    columns. Sizing is still computed from the global byte count.
+
+    File sizing/counting goes through the Hadoop FileSystem API (the
+    same resolver Spark's own reads use), so any supported URI works —
+    s3a/gs/hdfs/file — not just driver-local paths.
     """
-    import glob
     import math
 
-    src_bytes = sum(
-        os.path.getsize(f)
-        for f in glob.glob(
-            os.path.join(src_path, "**", "*.parquet"), recursive=True
-        )
-    )
+    src_bytes = _parquet_bytes(spark, src_path)
     if src_bytes == 0:
         raise ValueError(
             f"no parquet data found under {src_path!r} — nothing to compact"
         )
     n_files = max(1, math.ceil(src_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)
-    df = (
-        df.repartition(n_files, *partition_by)
-        if partition_by
-        else df.repartition(n_files)
-    )
+    if partition_by:
+        tail = (
+            [F.col(c) for c in sort_within_by]
+            if sort_within_by
+            else [F.hash(*[c for c in df.columns if c not in partition_by])]
+        )
+        df = df.repartitionByRange(n_files, *partition_by, *tail)
+    else:
+        df = df.repartition(n_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(dst_path)
-    return len(
-        glob.glob(os.path.join(dst_path, "**", "*.parquet"), recursive=True)
-    )
+    return _parquet_file_count(spark, dst_path)
+
+
+def _hadoop_parquet_files(spark, path: str):
+    """(path, length) for every ``*.parquet`` under ``path`` via the
+    Hadoop FileSystem API — works for any URI scheme Spark can read
+    (driver-local glob would find zero bytes on an object store)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            yield f.getPath().toString(), f.getLen()
+
+
+def _parquet_bytes(spark, path: str) -> int:
+    return sum(n for _, n in _hadoop_parquet_files(spark, path))
+
+
+def _parquet_file_count(spark, path: str) -> int:
+    return sum(1 for _ in _hadoop_parquet_files(spark, path))

@@ -94,20 +94,40 @@ def drain_available_now(q, timeout: float = 60.0) -> None:
     Only needed for stateful queries (``running_totals_stateful``);
     stateless availableNow queries self-terminate and just want
     ``awaitTermination()``.
+
+    Guard against a FALSE drain signal: on a slow-listing file source
+    the first micro-batches can legitimately report zero input rows
+    while data is still being discovered — two such batches must not
+    count as "drained". The two-idle-batch signal is only accepted
+    after at least one batch has carried data, OR after
+    ``min_elapsed`` seconds have passed (the genuinely-empty-input
+    case); otherwise the loop keeps waiting and falls back to the
+    timeout path.
     """
     import time
 
-    end = time.time() + timeout
+    min_elapsed = min(10.0, timeout / 2)
+    start = time.time()
+    end = start + timeout
     seen: set = set()
     idle = 0
-    while q.isActive and time.time() < end and idle < 2:
+    saw_data = False
+    while q.isActive and time.time() < end:
         time.sleep(0.5)
         for p in q.recentProgress:
             bid = p["batchId"]
             if bid not in seen:
                 seen.add(bid)
-                idle = idle + 1 if p["numInputRows"] == 0 else 0
-    drained = idle >= 2 or not q.isActive
+                if p["numInputRows"] == 0:
+                    idle += 1
+                else:
+                    saw_data = True
+                    idle = 0
+        if idle >= 2 and (saw_data or time.time() - start >= min_elapsed):
+            break
+    drained = (
+        idle >= 2 and (saw_data or time.time() - start >= min_elapsed)
+    ) or not q.isActive
     if q.isActive:
         q.stop()
     q.awaitTermination(30)

@@ -453,6 +453,60 @@ def test_compact_parquet_handles_partitioned_source_and_empty(spark, tmp_path):
         sinks.compact_parquet(spark, str(tmp_path / "nothing"), dst)
 
 
+def test_compact_parquet_splits_large_hive_partition(spark, tmp_path):
+    """A skewed hive partition must split into several ~target-sized
+    files (range partitioner allocates tasks by row count), not
+    collapse into one oversized single-task file."""
+    import glob
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    src = str(tmp_path / "skew_src")
+    # dt=0 holds 95% of the rows; dt=1/dt=2 are tiny
+    spark.range(20_000).selectExpr(
+        "id", "cast(case when id < 19000 then 0 else id % 2 + 1 end as long) dt"
+    ).write.partitionBy("dt").parquet(src)
+    total = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{src}/**/*.parquet", recursive=True)
+    )
+    dst = str(tmp_path / "skew_dst")
+    sinks.compact_parquet(
+        spark, src, dst, target_file_bytes=max(total // 6, 1), partition_by=["dt"]
+    )
+    big = glob.glob(f"{dst}/dt=0/*.parquet")
+    assert len(big) >= 2, "large partition stayed a single file"
+    small = glob.glob(f"{dst}/dt=1/*.parquet") + glob.glob(f"{dst}/dt=2/*.parquet")
+    assert len(small) <= 4  # small partitions are NOT sprayed into n_files
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_asof_tolerance_preserves_column_order(spark):
+    """Tolerance and no-tolerance calls of the same as-of function must
+    return the SAME column order (ADVICE r5: the old implementation
+    re-appended masked payload columns at the end)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0)], "event_id long, user_id long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(10, 90.0, 5, 1.0)], "user_id long, ts double, src long, value double"
+    )
+    for fn, kw in [
+        (asof.asof_backward, {}),
+        (asof.asof_forward, {}),
+        (asof.asof_nearest, {"left_key": "event_id"}),
+    ]:
+        plain = fn(left, right, on="user_id", ts="ts", payload=("src", "value"), **kw)
+        tol = fn(
+            left, right, on="user_id", ts="ts", payload=("src", "value"),
+            tolerance_seconds=5.0, **kw,
+        )
+        assert plain.columns == tol.columns
+
+
 def test_write_zordered_all_null_column_errors(spark, tmp_path):
     import pytest
 
