@@ -115,13 +115,14 @@ def main() -> None:
     # ---- cold-plan queries (full pipeline per query, like the driver) ----
     raw = entrymod._RAW_QUERIES
     for name in (
-        "grand_total",
-        "staging_profile",
+        "load_audit",
         "events_json",
         "events_asof",
-        "events_tumbling",
-        "events_sliding",
-        "events_sessions",
+        "events_windows",
+        "events_interval_join",
+        "events_cohort_funnel",
+        "scd2_customer_history",
+        "entity_match",
         "events_dedup",
         "text_stats",
         "doc_profile",

@@ -272,20 +272,31 @@ def cohort_retention(
     )
 
 
-COHORT_RETENTION_SQL = """
+def cohort_retention_sql(granularity: str = "month") -> str:
+    """DuckDB twin of :func:`cohort_retention`. Parity holds for
+    'month' (months_between on truncated dates is exact) and 'day'
+    (day diffs); 'week' is NOT offered — DuckDB's datediff('week')
+    counts week-boundary crossings while Spark computes days/7, which
+    diverge off-boundary."""
+    if granularity not in ("month", "day"):
+        raise ValueError("SQL twin supports month or day granularity")
+    return f"""
 WITH first AS (
-  SELECT user_id, date_trunc('month', min(ts)) AS cohort_ts
+  SELECT user_id, date_trunc('{granularity}', min(ts)) AS cohort_ts
   FROM events GROUP BY user_id
 ),
 active AS (
-  SELECT DISTINCT user_id, date_trunc('month', ts) AS period_ts FROM events
+  SELECT DISTINCT user_id, date_trunc('{granularity}', ts) AS period_ts FROM events
 )
 SELECT cast(cohort_ts AS DATE) AS cohort,
-       cast(datediff('month', cohort_ts, period_ts) AS INT) AS period_offset,
+       cast(datediff('{granularity}', cohort_ts, period_ts) AS INT) AS period_offset,
        cast(count(DISTINCT a.user_id) AS BIGINT) AS active_users
 FROM active a JOIN first f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+COHORT_RETENTION_SQL = cohort_retention_sql("month")
 
 
 def funnel_conversion(

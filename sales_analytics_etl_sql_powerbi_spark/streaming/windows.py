@@ -283,14 +283,15 @@ def view_purchase_interval_join(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
         )
     )
+    # gap via integer microseconds then one divide: casting each ts to
+    # double first loses sub-µs exactness (ulp at 1.7e9 s ≈ 5e-7 s),
+    # which would flake any cross-engine value comparison
+    gap_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))
     return purchases.join(views, cond, "inner").select(
         "purchase_id",
         "user_id",
         "purchase_ts",
         "view_id",
         "view_ts",
-        (
-            F.col("purchase_ts").cast("double")
-            - F.col("view_ts").cast("double")
-        ).alias("gap_seconds"),
+        (gap_us.cast("double") / F.lit(1_000_000.0)).alias("gap_seconds"),
     )
