@@ -124,6 +124,7 @@ def scd2_apply(
     key: str,
     tracked: list[str],
     effective_ts: str = "effective_ts",
+    strict: bool = False,
 ) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 merge: keep full history.
 
@@ -149,6 +150,16 @@ def scd2_apply(
     ``valid_from``). A late-arriving change would close the current
     row BEFORE it opened (inverted interval) — order/route late data
     upstream, the same posture as the watermarked streaming ops.
+    ``strict=True`` SELF-ENFORCES the contract: before returning, an
+    eager check scans the closing rows for inverted intervals
+    (``valid_to < valid_from``) and raises ``ValueError`` naming
+    sample keys — a contract violation surfaces as an error, never as
+    silently corrupt history. Cost: one extra change-batch-sized job
+    per apply (the change side is already materialized by the
+    checkpoint below, so the check re-runs only the key-equi close-out
+    join); the deliberately-lazy alternative (a ``raise_error`` column)
+    would be PRUNED away by any downstream plan that doesn't read
+    ``valid_to``, which is exactly when corruption slips through.
 
     Scale shape: one change-detection key-equi-join, materialized once
     (``localCheckpoint`` — three output branches consume it, recompute
@@ -196,6 +207,15 @@ def scd2_apply(
             F.lit(False).alias("is_current"),
         )
     )
+    if strict:
+        late = closing.where(F.col("valid_to") < F.col("valid_from"))
+        sample = [r[0] for r in late.select(key).limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "scd2_apply(strict=True): late-arriving change(s) — "
+                "effective_ts earlier than the current row's valid_from "
+                f"for key(s) {sample}; order or route late data upstream"
+            )
     untouched_cur = cur.join(real.select(key), on=key, how="left_anti")
     return (
         hist.unionByName(untouched_cur)

@@ -811,6 +811,177 @@ def shards_main() -> None:
     shutil.rmtree(out, ignore_errors=True)
 
 
+def scd2_main() -> None:
+    """SCD2 scale probe (VERDICT r5 item 4): 10M-row dim × 1M-row
+    change batch.
+
+    Change mix mirrors production: ~45% real changes, ~45% no-ops
+    (values equal the current row — change detection must drop them),
+    ~10% brand-new keys. Measures scd2_apply (lax + strict) and a
+    2M-probe point-in-time lookup; asserts the apply plan carries no
+    Window (no sort over the full dim) and no nested-loop join.
+    """
+    dim_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    chg_n = dim_n // 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-scd2")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        SCD2_END_OF_TIME,
+        scd2_apply,
+        scd2_lookup,
+    )
+
+    state = F.concat(
+        F.chr(F.lit(65) + F.col("id") % 26), F.chr(F.lit(65) + (F.col("id") * 7) % 26)
+    )
+    dim = (
+        spark.range(dim_n)
+        .select(
+            F.col("id").alias("customer_id"),
+            state.alias("state_code"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+            F.lit(SCD2_END_OF_TIME).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    print(f"dim rows: {dim.count()}")
+    # keys stride 10 over the dim; id%10==9 keys land beyond dim_n (new)
+    ckey = F.when(
+        F.col("id") % 10 == 9, F.lit(dim_n) + F.col("id")
+    ).otherwise(F.col("id") * 10 % dim_n)
+    cstate = F.when(
+        F.col("id") % 2 == 0, F.lit("zz")  # unreachable by generator: change
+    ).otherwise(
+        F.concat(  # equals the current value: no-op
+            F.chr(F.lit(65) + (F.col("id") * 10 % dim_n) % 26),
+            F.chr(F.lit(65) + ((F.col("id") * 10 % dim_n) * 7) % 26),
+        )
+    )
+    changes = (
+        spark.range(chg_n)
+        .select(
+            ckey.alias("customer_id"),
+            cstate.alias("state_code"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+        .dropDuplicates(["customer_id"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    print(f"change rows: {changes.count()}")
+
+    for label, strict in (("lax", False), ("strict", True)):
+        t0 = time.time()
+        out = scd2_apply(dim, changes, "customer_id", ["state_code"], strict=strict)
+        n = out.count()
+        print(f"scd2_apply {label} ({n} rows): {time.time()-t0:.1f}s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    print("plan: key-equi joins only, no Window over the dim ✓")
+
+    hist = out.persist(StorageLevel.MEMORY_AND_DISK)
+    hist.count()
+    probes = spark.range(dim_n // 5).select(
+        (F.col("id") * 5 % dim_n).alias("customer_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("2024-03-15 00:00:00"))
+        .otherwise(F.lit("2024-09-15 00:00:00"))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    t0 = time.time()
+    n = scd2_lookup(probes, hist, "customer_id", ts="ts").count()
+    print(f"scd2_lookup ({n} rows): {time.time()-t0:.1f}s")
+
+
+def entity_main() -> None:
+    """Entity-resolution blocking-skew probe (VERDICT r5 item 4).
+
+    Shape A — healthy blocking: 2M entities, one 'HOT' block column
+    value carrying 5% of all rows, but names whose 2-char normalized
+    prefix is diverse: the (block, prefix) composite key splits the
+    hot block ~676 ways, so candidate pairs stay bounded.
+
+    Shape B — degenerate blocking: a hot block whose names ALL share
+    one prefix, so the composite key cannot split it; candidate count
+    grows quadratically in the block size. The probe measures B at
+    three block sizes to show the curve, which is the operational
+    argument for salting the block key (longer prefix_len, extra
+    block columns) when one state dominates.
+    """
+    total = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-entity")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    # Shape A
+    block = F.when(F.col("id") % 20 == 0, F.lit("HOT")).otherwise(
+        F.concat(F.lit("S"), (F.col("id") % 200).cast("string"))
+    )
+    name = F.concat(
+        F.chr(F.lit(97) + F.col("id") % 26),
+        F.chr(F.lit(97) + F.floor(F.col("id") / 26) % 26),
+        F.lit(" entity "),
+        (F.col("id") % 997).cast("string"),
+    )
+    ents = spark.range(total).select(
+        F.col("id").alias("ek"), name.alias("ename"), block.alias("blk")
+    )
+    t0 = time.time()
+    n = entity_match_pairs(
+        ents, key="ek", name_col="ename", block_cols=["blk"]
+    ).count()
+    print(f"shape A diverse-prefix hot block ({n} pairs): {time.time()-t0:.1f}s")
+
+    # Shape B: same-prefix hot block at growing sizes
+    for hot_n in (5_000, 10_000, 20_000):
+        hot = spark.range(hot_n).select(
+            (F.col("id") + 10_000_000).alias("ek"),
+            F.concat(F.lit("zz entity "), (F.col("id") % 997).cast("string")).alias(
+                "ename"
+            ),
+            F.lit("HOT").alias("blk"),
+        )
+        t0 = time.time()
+        n = entity_match_pairs(
+            hot, key="ek", name_col="ename", block_cols=["blk"]
+        ).count()
+        print(
+            f"shape B same-prefix hot block n={hot_n} ({n} pairs): "
+            f"{time.time()-t0:.1f}s"
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -828,5 +999,9 @@ if __name__ == "__main__":
         incremental_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--shards":
         shards_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
+        scd2_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--entity":
+        entity_main()
     else:
         main()

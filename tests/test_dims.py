@@ -169,6 +169,78 @@ def test_entity_match_pairs_blocked_fuzzy(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_scd2_strict_rejects_late_arriving_change(spark):
+    """strict=True surfaces an inverted interval (a change whose
+    effective_ts precedes the current row's valid_from) as a raise
+    with the offending key named, instead of silently corrupt history;
+    the default lax mode keeps the documented garbage-in contract."""
+    import datetime as dt
+
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
+
+    t1 = dt.datetime(2024, 6, 1)
+    late = dt.datetime(2024, 3, 1)  # BEFORE the current row opened
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(spark, [(7, "CA", "90001", t1, eot, True)])
+    changes = spark.createDataFrame(
+        [(7, "WA", "98001", late)],
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    with pytest.raises(ValueError, match=r"late-arriving.*\[7\]"):
+        scd2_apply(
+            dim, changes, "customer_id", ["state_code", "postal_code"], strict=True
+        )
+    # lax mode: documented upstream contract, no check
+    out = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
+    assert out.count() == 2
+
+
+def test_scd2_strict_is_noop_for_in_order_batches(spark):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(spark, [(1, "CA", "90001", t0, eot, True)])
+    changes = spark.createDataFrame(
+        [(1, "WA", "98001", t1), (9, "FL", "33101", t1)],
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    strict = scd2_apply(
+        dim, changes, "customer_id", ["state_code", "postal_code"], strict=True
+    )
+    lax = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
+    assert strict.exceptAll(lax).count() == 0
+    assert lax.exceptAll(strict).count() == 0
+
+
+def test_scd2_apply_plan_is_key_equi_joins_no_full_dim_window(spark):
+    """Scale guard: change detection + close-out are key equi-joins;
+    there is NO window (sort over the whole dim) and no nested-loop /
+    cartesian join anywhere in the apply plan."""
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    eot = dt.datetime(9999, 12, 31)
+    dim = _scd_dim(
+        spark, [(i, "CA", "90001", t0, eot, True) for i in range(1, 50)]
+    )
+    changes = spark.createDataFrame(
+        [(i, "WA", "98001", t1) for i in range(1, 60)],
+        "customer_id long, state_code string, postal_code string, effective_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, "customer_id", ["state_code", "postal_code"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_scd2_null_valid_from_is_not_a_new_key(spark):
     import datetime as dt
 
