@@ -635,15 +635,25 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Feature extraction + resize over binary payloads in one frame
-    (doc_id left-joined — empty payloads have features but no resize).
-    The compared frame includes the resized payload itself as hex, so
-    the driver's value hash covers the binary path end to end (the
-    resized payload is ≤ width·height = 64 bytes, the hex stays tiny).
-    """
-    wp = multimodal.attach_binary_payload(_docs(spark, sf))
-    feats = multimodal.extract_features(wp)
-    rez = multimodal.resize_images(wp).select(
+    """REAL codec path, driver-gated: every doc carries a valid binary
+    P6 (PPM) image (formula-generated JVM-side), features come from a
+    genuine Python header parse (width/height read from the IMAGE),
+    and the resize is genuine nearest-neighbor over the pixel grid —
+    joined into one frame per doc. The compared frame includes the
+    resized RGB payload as hex, so the driver hash covers the decode
+    and the resampled bytes end to end; the DuckDB twin recomputes
+    every byte analytically from the generator formula, proving the
+    decoder read the real payload."""
+    wp = multimodal.attach_binary_payload(_docs(spark, sf), media="ppm")
+    feats = multimodal.extract_features(wp, codec="ppm").select(
+        "doc_id",
+        "n_bytes",
+        "first_byte",
+        "byte_checksum",
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+    )
+    rez = multimodal.resize_images(wp, codec="ppm").select(
         "doc_id",
         F.col("n_bytes").alias("resized_bytes"),
         "width",
@@ -1291,10 +1301,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_features": f"""
             SELECT m.doc_id, m.n_bytes, m.first_byte, m.byte_checksum,
+                   m.width AS src_width, m.height AS src_height,
                    r.n_bytes AS resized_bytes, r.width, r.height,
                    r.checksum AS resized_checksum, r.payload_hex
-            FROM ({multimodal.MULTIMODAL_META_SQL}) m
-            LEFT JOIN ({multimodal.RESIZE_SQL}) r USING (doc_id)
+            FROM ({multimodal.PPM_FEATURES_SQL}) m
+            LEFT JOIN ({multimodal.PPM_RESIZE_SQL}) r USING (doc_id)
         """,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
         "events_asof": _asof_sql(),

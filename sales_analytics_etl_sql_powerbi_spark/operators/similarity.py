@@ -319,9 +319,14 @@ def ann_lsh_topk(
     auto-sizes with the corpus (:func:`auto_n_planes`), so per-query
     candidate work stays ~target_bucket_size however big the corpus.
 
-    Stateless composition of :func:`ann_index` + :func:`ann_query`
-    (the driver contract rebuilds per call); long-lived deployments
-    materialize the index once and amortize.
+    CONTRACT SHAPE, NOT DEPLOYMENT SHAPE: this is the stateless
+    composition of :func:`ann_index` + :func:`ann_query`, rebuilding
+    the index per call because the driver's oracle contract requires a
+    self-contained query. A deployment materializes :func:`ann_index`
+    ONCE on corpus cadence and serves batches with :func:`ann_query`
+    — measured (PLAN_AUDIT round 5): ~0.7s per query batch FLAT in
+    corpus size over a materialized index, vs per-call rebuild cost
+    that grows with the corpus.
     """
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
@@ -683,9 +688,15 @@ def ann_ivf_topk(
     equi-join on ``cell``. Scale: k grows with corpus (k ≈ sqrt(N) rule
     of thumb), codebook stays driver-sized.
 
-    Stateless composition of :func:`ivf_codebook` + :func:`ivf_index` +
-    :func:`ivf_query` (the driver contract rebuilds per call);
-    long-lived deployments materialize the index once and amortize.
+    CONTRACT SHAPE, NOT DEPLOYMENT SHAPE: this is the stateless
+    composition of :func:`ivf_codebook` + :func:`ivf_index` +
+    :func:`ivf_query`, retraining the codebook per call because the
+    driver's oracle contract requires a self-contained query — the
+    heaviest entry in bench for exactly that reason. A deployment
+    trains the codebook + materializes :func:`ivf_index` ONCE
+    (parquet round-trip pinned by test) and serves with
+    :func:`ivf_query` — measured (PLAN_AUDIT round 5): 1.0–1.2s per
+    query batch over the materialized index vs ~14s stateless.
 
     Fully oracle-checked: the DuckDB twin (:func:`ann_ivf_topk_sql`)
     trains the identical codebook from the same parquet sample and

@@ -74,6 +74,88 @@ def test_resize_strided_bytes_and_codec_gate(spark):
         M.resize_stub(b"abc", 2, 2, codec="jpeg")
 
 
+def test_ppm_payload_is_valid_p6_and_decodes(spark):
+    """attach_binary_payload(media='ppm') must emit REAL P6 binaries:
+    the Python decoder parses them back and every pixel byte matches
+    the generator formula."""
+    df = spark.createDataFrame([(3, "ignored"), (7, None)], DOCS)
+    rows = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal.attach_binary_payload(df, media="ppm").collect()
+    }
+    for d, payload in rows.items():
+        w_want, h_want = 4 + d % 5, 3 + d % 4
+        assert payload.startswith(b"P6\n")
+        w, h, px = multimodal.decode_ppm(payload)
+        assert (w, h) == (w_want, h_want)
+        assert list(px) == [(d * 31 + i * 7) % 256 for i in range(3 * w * h)]
+
+
+def test_extract_features_ppm_reads_dims_from_image(spark):
+    df = spark.createDataFrame([(6, "x")], DOCS)
+    wp = multimodal.attach_binary_payload(df, media="ppm")
+    r = multimodal.extract_features(wp, codec="ppm").first()
+    # doc 6 → 4+6%5=5 wide, 3+6%4=5 high; first byte 'P'
+    assert (r.width, r.height) == (5, 5)
+    assert r.first_byte == ord("P")
+    payload = bytes(wp.first().payload)
+    assert r.n_bytes == len(payload)
+    assert r.byte_checksum == sum(payload) % 1_000_003
+
+
+def test_resize_ppm_nearest_neighbor_reference():
+    """Hand-checkable 2×2 → genuine nearest-neighbor sampling."""
+    # 2×2 image, pixels (r,g,b) = (0,1,2),(3,4,5),(6,7,8),(9,10,11)
+    payload = b"P6\n2 2\n255\n" + bytes(range(12))
+    out = multimodal.resize_ppm(payload, 4, 4)
+    # output (x,y) samples source (x*2//4, y*2//4) = (x//2, y//2)
+    want = bytearray()
+    for y in range(4):
+        for x in range(4):
+            base = ((y // 2) * 2 + (x // 2)) * 3
+            want += bytes(range(12))[base : base + 3]
+    assert out == bytes(want)
+    # upsample path: 1×1 source → every output pixel is the source pixel
+    one = b"P6\n1 1\n255\n" + bytes([9, 8, 7])
+    assert multimodal.resize_ppm(one, 3, 2) == bytes([9, 8, 7]) * 6
+
+
+def test_decode_ppm_rejects_malformed():
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated body
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n1 1\n15\n\x00\x00\x00")  # maxval != 255
+
+
+def test_ppm_sql_twins_match_python_path(spark):
+    """The analytic DuckDB twins must reproduce the REAL decode/resize
+    byte-for-byte (payload hex included) on live generated payloads."""
+    import duckdb
+
+    df = spark.createDataFrame([(i, "t") for i in range(12)], DOCS)
+    wp = multimodal.attach_binary_payload(df, media="ppm")
+    feats = {
+        r.doc_id: r for r in multimodal.extract_features(wp, codec="ppm").collect()
+    }
+    rez = {
+        r.doc_id: r for r in multimodal.resize_images(wp, codec="ppm").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(i, "t") for i in range(12)]
+    )
+    for r in con.execute(multimodal.PPM_FEATURES_SQL).fetchall():
+        f = feats[r[0]]
+        assert r[1:] == (f.n_bytes, f.first_byte, f.byte_checksum, f.width, f.height)
+    for r in con.execute(multimodal.PPM_RESIZE_SQL).fetchall():
+        z = rez[r[0]]
+        assert r[1:5] == (z.n_bytes, z.width, z.height, z.checksum)
+        assert r[5] == bytes(z.payload).hex().upper()
+
+
 def test_sample_frames_expands_rows(spark):
     from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
 
