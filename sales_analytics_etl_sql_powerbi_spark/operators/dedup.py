@@ -206,14 +206,30 @@ GROUP BY doc_id
 """
 
 
-def _band_structs() -> F.Column:
+def _band_structs(
+    bands: int = _BANDS, rows_per_band: int = _ROWS_PER_BAND
+) -> F.Column:
     """array<struct<band_id, band_hash>> over a signature row (m0..m15).
 
     The ONE shared band-hash builder for the self-join candidate
     generator and the incremental index/query split — the band
     arithmetic cannot drift between an index written last month and
     the batch hashed today.
+
+    ``bands``/``rows_per_band`` default to the module constants (the
+    production setting, carried with a MEASURED recall table — see
+    ``scripts/recall.py --minhash`` and PLAN_AUDIT round 6, where the
+    defaults sit on the knee of the curve); other values (bands ×
+    rows ≤ 16 permutations) exist for the recall harness and for
+    callers that need a different precision/recall trade (collision
+    probability is 1 − (1 − J^rows)^bands: fewer rows per band →
+    higher recall, lower precision — monotone, unit-pinned).
     """
+    if bands * rows_per_band > _N_PERM:
+        raise ValueError(
+            f"bands×rows_per_band ({bands}×{rows_per_band}) exceeds the "
+            f"{_N_PERM} available permutations"
+        )
     return F.array(
         *[
             F.struct(
@@ -222,18 +238,23 @@ def _band_structs() -> F.Column:
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
+                            F.col(f"m{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
                         ],
                     )
                 ).alias("band_hash"),
             )
-            for b in range(_BANDS)
+            for b in range(bands)
         ]
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, _handles: list | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    _handles: list | None = None,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+) -> DataFrame:
     """Banded LSH: equi-join docs whose signature agrees on any band.
 
     Bands of _ROWS_PER_BAND rows hashed to one value; candidates =
@@ -254,13 +275,15 @@ def lsh_candidate_pairs(sig: DataFrame, _handles: list | None = None) -> DataFra
     # union of 8 per-band selects would duplicate the whole minhash
     # subplan 8×; outer explode also dodges InferFiltersFromGenerate's
     # expression duplication — see shingle_docs)
-    bands = sig.select("doc_id", F.explode_outer(_band_structs()).alias("b")).select(
+    bands_df = sig.select(
+        "doc_id", F.explode_outer(_band_structs(bands, rows_per_band)).alias("b")
+    ).select(
         "doc_id",
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_hash").alias("band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
     return (
         a.join(b, on=["band_id", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

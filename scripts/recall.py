@@ -84,5 +84,93 @@ def main() -> None:
         )
 
 
+def minhash_main() -> None:
+    """Measured MinHash-LSH banding curve vs TRUE-Jaccard ground truth
+    (VERDICT r5 item 7): the _BANDS/_N_PERM defaults carry a measured
+    precision/recall table instead of folklore.
+
+    Ground truth = exact shingle-set Jaccard over ALL pairs (brute
+    self-join — affordable at the harness SF, never in production).
+    For each (bands, rows) split of the 16 permutations, candidate
+    pairs come from the REAL banded equi-join, and we report recall
+    (fraction of true pairs at each Jaccard threshold that are
+    candidates) and precision proxy (fraction of candidates with
+    J ≥ 0.5). Collision theory: P = 1 − (1 − J^rows)^bands.
+
+    Usage: python scripts/recall.py --minhash [sf_dir]
+    """
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+    from sales_analytics_etl_sql_powerbi_spark.session import get_spark
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    print(f"docs={n}")
+
+    sets = dedup.shingle_sets(docs).persist()
+    sets.count()
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__sa")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__sb")
+    )
+    t0 = time.perf_counter()
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size(F.array_union("__sa", "__sb"))
+            ).alias("j"),
+        )
+        .where(F.col("j") > 0)
+    )
+    truth_pairs = {(r.doc_a, r.doc_b): r.j for r in truth.collect()}
+    print(
+        f"ground truth: {len(truth_pairs)} nonzero-J pairs of {n*(n-1)//2} "
+        f"({time.perf_counter() - t0:.1f}s, brute — harness only)"
+    )
+    thresholds = (0.3, 0.5, 0.7, 0.9)
+    by_t = {
+        t: {p for p, j in truth_pairs.items() if j >= t} for t in thresholds
+    }
+    print("true pairs per threshold:", {t: len(s) for t, s in by_t.items()})
+
+    sig = dedup.minhash_signatures(docs).persist()
+    sig.count()
+    for bands, rows in ((16, 1), (8, 2), (4, 4), (2, 8)):
+        t0 = time.perf_counter()
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(
+                sig, bands=bands, rows_per_band=rows
+            ).collect()
+        }
+        rec = {
+            t: (len(by_t[t] & cand) / len(by_t[t]) if by_t[t] else float("nan"))
+            for t in thresholds
+        }
+        n_true_05 = len(by_t[0.5] & cand)
+        prec = n_true_05 / len(cand) if cand else float("nan")
+        print(
+            f"bands={bands} rows={rows}: candidates={len(cand)} "
+            + " ".join(f"recall@J≥{t}={rec[t]:.3f}" for t in thresholds)
+            + f" precision(J≥0.5)={prec:.3f}"
+            f" ({time.perf_counter() - t0:.1f}s)"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--minhash":
+        minhash_main()
+    else:
+        main()

@@ -338,3 +338,48 @@ def test_keep_canonical_drops_near_dups_keeps_min(spark):
     # 0,1,2 cluster together (near/exact dups) -> keep 0; 3 and 4 are
     # below-threshold to each other -> both singletons, both kept
     assert kept == {0, 3, 4}
+
+
+def test_banding_collision_probability_is_monotone_in_rows():
+    """Theory pin for the bands/rows knob: P(candidate) =
+    1 − (1 − J^rows)^bands is non-increasing as rows-per-band grows
+    (bands·rows fixed at 16 permutations) for EVERY Jaccard J — the
+    measured recall table (PLAN_AUDIT round 6) rides on this."""
+    def p(j, bands, rows):
+        return 1.0 - (1.0 - j**rows) ** bands
+
+    configs = [(16, 1), (8, 2), (4, 4), (2, 8)]
+    for j in [i / 20 for i in range(1, 20)]:
+        probs = [p(j, b, r) for b, r in configs]
+        assert probs == sorted(probs, reverse=True), (j, probs)
+
+
+def test_banded_candidates_recall_monotone_empirically(spark):
+    """Empirical twin of the theory pin on the REAL pipeline: a corpus
+    with graded near-dups; recall of true pairs must be non-increasing
+    as rows-per-band grows, and the band budget must be validated."""
+    import pytest
+
+    rows = []
+    # ten pairs: doc 2i is 20 tokens, doc 2i+1 shares 20−i of them
+    for i in range(10):
+        toks = [f"w{i}_{k}" for k in range(20)]
+        alt = toks[: 20 - i] + [f"x{i}_{k}" for k in range(i)]
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(alt)))
+    docs = spark.createDataFrame(rows, DOCS)
+    sig = dedup.minhash_signatures(docs)
+    truth = {(2 * i, 2 * i + 1) for i in range(10)}
+    recalls = []
+    for bands, rpb in ((16, 1), (8, 2), (4, 4), (2, 8)):
+        cand = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.lsh_candidate_pairs(
+                sig, bands=bands, rows_per_band=rpb
+            ).collect()
+        }
+        recalls.append(len(truth & cand) / len(truth))
+    assert recalls == sorted(recalls, reverse=True), recalls
+    assert recalls[0] == 1.0  # 16 single-row bands catch every graded pair
+    with pytest.raises(ValueError, match="permutations"):
+        dedup.lsh_candidate_pairs(sig, bands=8, rows_per_band=4).collect()
