@@ -293,13 +293,21 @@ def entity_match_pairs(
         *block_cols,
         "__prefix",
     )
+    # bounded levenshtein (3-arg form): the JVM computes with an early
+    # exit and returns −1 past the bound — on candidate-heavy blocks
+    # most pairs exceed max_distance, so the bound does the least work
+    # exactly where there is the most of it. Kept pairs carry their
+    # true distance (the bound only changes the reject path).
     return (
         a.join(b, on=[*block_cols, "__prefix"])
         .where(F.col("key_a") < F.col("key_b"))
         .withColumn(
-            "distance", F.levenshtein(F.col("__na"), F.col("__nb")).cast("int")
+            "distance",
+            F.levenshtein(
+                F.col("__na"), F.col("__nb"), threshold=max_distance
+            ).cast("int"),
         )
-        .where(F.col("distance") <= max_distance)
+        .where(F.col("distance") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "distance")
         .orderBy("key_a", "key_b")
     )
