@@ -982,6 +982,74 @@ def entity_main() -> None:
         )
 
 
+def sketches_main() -> None:
+    """HLL sketch rollup vs exact distinct at 10M rows (round 6).
+
+    The claim to quantify: once the per-day sketch table exists,
+    every coarser distinct-count rollup reads the (tiny) sketch table
+    instead of re-shuffling the raw corpus — and an incremental load
+    updates it by appending one day's sketches.
+    """
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-sketches")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sketches
+
+    ev = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id % 90 as string) day",
+            "cast((id * 2654435761) % 3000000 as long) user_id",
+            "cast(id % 5 as string) kind",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ev.count()
+
+    t0 = time.time()
+    exact = ev.groupBy("kind").agg(F.count_distinct("user_id").alias("n"))
+    exact_rows = {r.kind: r.n for r in exact.collect()}
+    print(f"exact distinct by kind (raw shuffle): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    sk = sketches.distinct_sketch_table(ev, ["day", "kind"], "user_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_groups = sk.count()
+    print(f"sketch table build ({n_groups} groups): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    est = {
+        r.kind: r.n_distinct_approx
+        for r in sketches.rollup_estimate(sk, ["kind"]).collect()
+    }
+    print(f"rollup from sketches: {time.time()-t0:.2f}s")
+    errs = [abs(est[k] - exact_rows[k]) / exact_rows[k] for k in exact_rows]
+    print(f"max rel err vs exact: {max(errs):.4f}")
+
+    # incremental: one new day's sketches + merge with the table
+    t0 = time.time()
+    new_day = ev.where(F.col("day") == "0").withColumn("day", F.lit("90"))
+    delta = sketches.distinct_sketch_table(new_day, ["day", "kind"], "user_id")
+    merged = sketches.merge_sketch_tables([sk, delta], ["day", "kind"])
+    m = merged.count()
+    print(f"incremental day append + merge ({m} groups): {time.time()-t0:.1f}s")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -1003,5 +1071,7 @@ if __name__ == "__main__":
         scd2_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--entity":
         entity_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
+        sketches_main()
     else:
         main()
