@@ -31,6 +31,10 @@ __all__ = [
     "vocab_topk_sql",
     "scrub_pii",
     "scrub_pii_sql",
+    "tfidf_terms",
+    "tfidf_terms_sql",
+    "bm25_search",
+    "bm25_search_sql",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -787,3 +791,200 @@ def corpus_quality_report(
     return row.select(F.explode(structs).alias("r")).select(
         "r.signal", "r.mean", "r.p10", "r.p50", "r.p90"
     )
+
+
+# ---------------------------------------------------------------------------
+# ranked retrieval: TF-IDF + BM25 (beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_terms(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """Per-(doc, token) TF-IDF weights over the corpus.
+
+    Scale shape: one explode → one (doc, token) aggregate (map-side
+    combinable) → one token aggregate for document frequency — the df
+    table is vocabulary-sized, so the tf⋈df join is a key equi-join on
+    a bounded side; the corpus row count rides a one-row aggregate
+    cross-joined in (no driver round trip, no window). Smoothed
+    ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's convention) keeps
+    unseen/ubiquitous tokens finite.
+
+    Output: (doc_id, token, tf, df, tfidf).
+    """
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
+    ).where(F.col("token").isNotNull() & (F.length("token") > 0))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if min_df > 1:
+        df = df.where(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_terms_sql(min_df: int = 1, source: str = "documents") -> str:
+    """DuckDB twin of :func:`tfidf_terms` (parity-tested with a float
+    tolerance — ln() may differ in the last ulp across libm builds)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM {source}
+),
+tf AS (
+  SELECT doc_id, token, count(1) AS tf FROM toks
+  WHERE token IS NOT NULL AND length(token) > 0
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(1) AS df FROM tf GROUP BY token HAVING count(1) >= {min_df}
+),
+n AS (SELECT count(1) AS n_docs FROM {source})
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+"""
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k docs for a bag-of-tokens query.
+
+    The classic Okapi scoring —
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Scale shape: term frequencies are computed ONLY for the query's
+    tokens (the explode is filtered before the shuffle — predicate
+    pushdown does the rest), df/N/avgdl ride broadcast one-row /
+    vocabulary-bounded sides, and the final ranking is a
+    TakeOrderedAndProject over matching docs only. No window over the
+    corpus, no driver collect.
+
+    Output: (doc_id, score, n_matched_terms), score descending,
+    doc_id ascending tiebreak.
+    """
+    if not query_tokens:
+        raise ValueError("bm25_search needs at least one query token")
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
+    ).where(F.col("token").isNotNull() & (F.length("token") > 0))
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__dl")
+    )
+    stats = doclen.agg(
+        F.avg("__dl").alias("__avgdl"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    qtoks = toks.where(F.col("token").isin(*query_tokens))
+    tf = qtoks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("__tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        (F.col("__n") - F.col("__df") + F.lit(0.5))
+                        / (F.col("__df") + F.lit(0.5))
+                    )
+                )
+                * (
+                    F.col("__tf").cast("double")
+                    * F.lit(k1 + 1.0)
+                    / (
+                        F.col("__tf").cast("double")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * F.col("__dl").cast("double")
+                            / F.col("__avgdl")
+                        )
+                    )
+                )
+            ).alias("__term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("__term_score").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+def bm25_search_sql(
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (tolerance-compared)."""
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_tokens)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM {source}
+),
+clean AS (
+  SELECT doc_id, token FROM toks
+  WHERE token IS NOT NULL AND length(token) > 0
+),
+doclen AS (SELECT doc_id, count(1) AS dl FROM clean GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(1) AS n FROM doclen),
+tf AS (
+  SELECT doc_id, token, count(1) AS tf FROM clean
+  WHERE token IN ({qlist}) GROUP BY doc_id, token
+),
+df AS (SELECT token, count(1) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * {k1 + 1.0}
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * doclen.dl / stats.avgdl))))
+         AS score,
+       count(1) AS n_matched_terms
+FROM tf
+JOIN df USING (token)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT {topk}
+"""

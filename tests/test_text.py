@@ -343,3 +343,95 @@ def test_corpus_quality_report_shape_and_values(spark, sf_dir):
     assert r.mean > 0
     for sig in ("ttr", "alpha_word_ratio"):
         assert 0.0 <= out[sig].p50 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark runs fast queries fast"),
+            (2, "duckdb runs queries"),
+            (3, "spark spark spark optimizer"),
+            (4, "completely unrelated text about cats"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_matches_duckdb_twin(spark):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = _retrieval_docs(spark)
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.tfidf)
+        for r in T.tfidf_terms(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(T.tfidf_terms_sql()).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert abs(got[k][2] - want[k][2]) < 1e-9  # ln() ulp tolerance
+    # hand check: 'spark' appears in 2 docs of 5 → idf = ln(6/3)+1
+    import math
+
+    assert abs(got[(3, "spark")][2] - 3 * (math.log(6 / 3) + 1)) < 1e-9
+
+
+def test_bm25_matches_duckdb_twin_and_ranks_sanely(spark):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = _retrieval_docs(spark)
+    query = ["spark", "queries"]
+    got = T.bm25_search(docs, query, topk=10).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    want = con.execute(T.bm25_search_sql(query, topk=10)).fetchall()
+    assert [r.doc_id for r in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g.score - w[1]) < 1e-9
+        assert g.n_matched_terms == w[2]
+    # the doc matching BOTH query terms must outrank single-term docs
+    assert got[0].doc_id == 1 and got[0].n_matched_terms == 2
+    # doc 4 (no query terms) and doc 5 (empty) never appear
+    assert {r.doc_id for r in got}.isdisjoint({4, 5})
+
+
+def test_bm25_plan_filters_before_shuffle_no_window(spark):
+    """Scale guard: the query-token filter sits under the aggregate
+    (only matching tokens shuffle), and there is no window/cartesian
+    over the corpus — the corpus-sized side never sorts globally."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = _retrieval_docs(spark)
+    df = T.bm25_search(docs, ["spark"], topk=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        T.bm25_search(docs, [])
