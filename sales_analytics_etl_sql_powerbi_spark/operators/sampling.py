@@ -28,6 +28,8 @@ __all__ = [
     "stratified_mix",
     "sampling_profile",
     "training_shards",
+    "weighted_sample",
+    "weighted_sample_sql",
     "deterministic_sample_sql",
     "split_assign_sql",
     "sample_per_group_sql",
@@ -317,3 +319,61 @@ def stratified_mix(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    salt: str = "w1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-n).
+
+    Efraimidis–Spirakis A-ES: each row scores
+    ``ln(u) / w`` with ``u`` the content-addressed uniform from
+    :func:`hash_bucket` (same md5 source as every sampler here — no
+    ``rand()``), and the n LARGEST scores win; that is exactly
+    weighted sampling without replacement with inclusion probability
+    proportional to weight. Deterministic across reruns, retries and
+    repartitioning; rows with NULL or non-positive weight are
+    excluded (a zero-weight row must never be sampled, and A-ES is
+    undefined for them).
+
+    Scale shape: one scan-side projection + a global top-n
+    (TakeOrderedAndProject — per-partition heaps, no full sort). Ties
+    (astronomically unlikely with distinct keys) break by key.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (hash_bucket(key, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    score = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es_score", score)
+        .orderBy(F.desc("__es_score"), F.asc(key))
+        .limit(n)
+        .drop("__es_score")
+    )
+
+
+def weighted_sample_sql(
+    key: str,
+    weight_col: str,
+    n: int,
+    salt: str = "w1",
+    source: str = "documents",
+    columns: str = "*",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (identical hash → same
+    u; ln/divide in binary64 on both engines)."""
+    u = f"(({_bucket_duck(key, salt)}) + 0.5) / {float(_BUCKETS)}"
+    return f"""
+SELECT {columns} FROM {source}
+WHERE {weight_col} IS NOT NULL AND cast({weight_col} AS DOUBLE) > 0
+ORDER BY ln({u}) / cast({weight_col} AS DOUBLE) DESC, {key} ASC
+LIMIT {n}
+"""

@@ -153,3 +153,90 @@ def test_profile_in_mix_flag_matches_stratified_mix(spark, sf_dir):
         r.doc_id for r in sampling.stratified_mix(docs, "lang", quotas).collect()
     }
     assert via_flag == via_op and via_flag
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_frame(spark, n=2000):
+    # half the rows carry weight 9, half weight 1 → the heavy class
+    # should win ~90% of sample slots
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 9.0 ELSE 1.0 END AS w",
+    )
+
+
+def test_weighted_sample_deterministic_and_weight_proportional(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    df = _weighted_frame(spark)
+    got1 = [r.doc_id for r in sampling.weighted_sample(df, "doc_id", "w", 200).collect()]
+    got2 = [
+        r.doc_id
+        for r in sampling.weighted_sample(
+            df.repartition(7), "doc_id", "w", 200
+        ).collect()
+    ]
+    assert got1 == got2  # repartition-stable
+    heavy = sum(1 for d in got1 if d % 2 == 0)
+    # E[heavy] ≈ 0.9·200 = 180; allow wide deterministic tolerance
+    assert 150 <= heavy <= 200, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in sampling.weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_weighted_sample_matches_duckdb_twin(spark):
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    df = _weighted_frame(spark, 500)
+    got = [
+        r.doc_id
+        for r in sampling.weighted_sample(df, "doc_id", "w", 50).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r.doc_id, r.w) for r in df.collect()]
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            sampling.weighted_sample_sql(
+                "doc_id", "w", 50, source="t", columns="doc_id"
+            )
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Global top-n must be TakeOrderedAndProject (per-partition
+    heaps), not a full sort of the corpus."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    df = _weighted_frame(spark)
+    plan = (
+        sampling.weighted_sample(df, "doc_id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
