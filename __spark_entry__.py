@@ -586,23 +586,40 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
 #: SF while the small languages keep everything (the shortfall case)
 _MIX_QUOTAS = {"en": 100, "fr": 1000, "zh": 50}
 
+#: deterministic per-doc weight for the weighted-sample flag (1..7 —
+#: varied, reproducible, mirrored verbatim in the oracle twin)
+_WEIGHT_EXPR = "(doc_id % 7 + 1)"
+
+
 def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
-    """All four deterministic samplers as flag columns on every doc:
+    """All five deterministic samplers as flag columns on every doc:
     train/val/test split, Bernoulli keep at 25%, the ≤20-per-lang
-    hash-order quota, and the per-language target-count mix
-    (quota-hit, shortfall, and absent-language cases all exercised) —
+    hash-order quota, the per-language target-count mix (quota-hit,
+    shortfall, and absent-language cases all exercised), and the
+    Efraimidis–Spirakis weighted top-100 (weight = doc_id%7+1) —
     content-addressed md5, no rand()."""
     from sales_analytics_etl_sql_powerbi_spark.operators import sampling
 
+    d = _docs(spark, sf).withColumn(
+        "__w", F.expr(_WEIGHT_EXPR).cast("double")
+    )
     return sampling.sampling_profile(
-        _docs(spark, sf),
+        d,
         "doc_id",
         "lang",
         rate=0.25,
         n_per_group=20,
         mix_quotas=_MIX_QUOTAS,
+        weighted_n=100,
+        weight_col="__w",
     ).select(
-        "doc_id", "lang", "split", "in_sample", "in_group_quota", "in_mix"
+        "doc_id",
+        "lang",
+        "split",
+        "in_sample",
+        "in_group_quota",
+        "in_mix",
+        "in_weighted",
     )
 
 
@@ -893,11 +910,11 @@ def _sampling_profile_sql() -> str:
 
     inner = sampling.sampling_profile_sql(
         "documents", "doc_id", "lang", rate=0.25, n_per_group=20,
-        mix_quotas=_MIX_QUOTAS,
+        mix_quotas=_MIX_QUOTAS, weighted_n=100, weight_expr=_WEIGHT_EXPR,
     )
     return (
-        "SELECT doc_id, lang, split, in_sample, in_group_quota, in_mix "
-        f"FROM ({inner}) p"
+        "SELECT doc_id, lang, split, in_sample, in_group_quota, in_mix, "
+        f"in_weighted FROM ({inner}) p"
     )
 
 

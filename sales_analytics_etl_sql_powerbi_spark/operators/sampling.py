@@ -173,6 +173,8 @@ def sampling_profile(
     n_per_group: int = 20,
     weights: dict[str, float] | None = None,
     mix_quotas: dict[str, int] | None = None,
+    weighted_n: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """All the sampling assignments as FLAG COLUMNS on every row:
     ``split`` (train/val/test), ``in_sample`` (Bernoulli at ``rate``),
@@ -186,7 +188,11 @@ def sampling_profile(
     row-for-row). ``mix_quotas`` adds ``in_mix`` — the
     :func:`stratified_mix` membership (per-group target counts, salt
     "mix"; groups absent from the map are all-false), same flag
-    discipline.
+    discipline. ``weighted_n`` (+ ``weight_col``) adds
+    ``in_weighted`` — membership in :func:`weighted_sample`'s top-n,
+    flagged via a broadcast semi-join against the (n-row-bounded)
+    winner set rather than a global rank window, so the corpus never
+    globally sorts.
     """
     threshold = int(rate * _BUCKETS)
     d = split_assign(df, key, weights).withColumn(
@@ -210,6 +216,17 @@ def sampling_profile(
             F.lit(0),
         )
         d = d.withColumn("in_mix", F.row_number().over(wm) <= quota)
+    if weighted_n is not None:
+        if weight_col is None:
+            raise ValueError("weighted_n requires weight_col")
+        top = weighted_sample(df, key, weight_col, weighted_n).select(
+            F.col(key).alias("__wk")
+        )
+        d = (
+            d.join(F.broadcast(top), d[key] == F.col("__wk"), "left")
+            .withColumn("in_weighted", F.col("__wk").isNotNull())
+            .drop("__wk")
+        )
     return d
 
 
@@ -221,11 +238,25 @@ def sampling_profile_sql(
     n_per_group: int = 20,
     weights: dict[str, float] | None = None,
     mix_quotas: dict[str, int] | None = None,
+    weighted_n: int | None = None,
+    weight_expr: str | None = None,
 ) -> str:
     threshold = int(rate * _BUCKETS)
     inner = split_assign_sql(source, key_expr, weights)
     b_sample = _bucket_duck(key_expr, "s1")
     b_grp = _bucket_duck(key_expr, "grp")
+    weighted_select = ""
+    if weighted_n is not None:
+        if weight_expr is None:
+            raise ValueError("weighted_n requires weight_expr")
+        u = f"(({_bucket_duck(key_expr, 'w1')}) + 0.5) / {float(_BUCKETS)}"
+        weighted_select = f""",
+       {key_expr} IN (
+         SELECT {key_expr} FROM {source}
+         WHERE cast({weight_expr} AS DOUBLE) > 0
+         ORDER BY ln({u}) / cast({weight_expr} AS DOUBLE) DESC, {key_expr} ASC
+         LIMIT {weighted_n}
+       ) AS in_weighted"""
     mix_select = ""
     mix_rn = ""
     if mix_quotas is not None:
@@ -240,7 +271,7 @@ def sampling_profile_sql(
            PARTITION BY {group} ORDER BY {b_mix} ASC, {key_expr} ASC) AS __mrn"""
     return f"""
 SELECT * EXCLUDE (__rn{", __mrn" if mix_quotas is not None else ""}),
-       __rn <= {n_per_group} AS in_group_quota{mix_select}
+       __rn <= {n_per_group} AS in_group_quota{mix_select}{weighted_select}
 FROM (
   SELECT *, {b_sample} < {threshold} AS in_sample,
          row_number() OVER (
