@@ -8,10 +8,16 @@ summaries** — at most ``capacity`` counters per partition however big
 the partition — merged by a tiny shuffle of
 ``partitions × capacity`` rows.
 
-Guarantees (the textbook MG bounds, surfaced as columns, unit-pinned):
+Guarantees (the textbook MG bounds, surfaced as columns, unit-pinned)
+— stated for the MERGED SUMMARY, i.e. before the final top-k cut:
 
-- every token with true frequency > N/(capacity+1) is PRESENT;
-- per token, ``count_min ≤ true ≤ count_max`` where
+- every token with true frequency > N/(capacity+1) is PRESENT in the
+  merged summary; a finite ``topk`` then keeps the k largest by
+  ``count_min``, so if MORE than k tokens clear the threshold the cut
+  can drop guaranteed-present ones — pass ``topk=None`` to get the
+  whole summary when the downstream consumer needs the presence
+  guarantee itself;
+- per reported token, ``count_min ≤ true ≤ count_max`` where
   ``count_max − count_min`` is the summed per-partition decrement
   (≤ N/(capacity+1) overall) — the caller sees the interval, not a
   point estimate pretending to be exact.
@@ -29,8 +35,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from .text import tokens_expr
 
 __all__ = ["frequent_tokens_approx", "misra_gries_update"]
 
@@ -65,14 +69,18 @@ def misra_gries_update(
 
 
 def frequent_tokens_approx(
-    docs: DataFrame, topk: int = 50, capacity: int = 1000
+    docs: DataFrame, topk: int | None = 50, capacity: int = 1000
 ) -> DataFrame:
     """Top-k tokens by approximate frequency, one bounded-memory pass.
 
     Output: (token, count_min, count_max) ordered by count_min desc,
     token asc — true count ∈ [count_min, count_max]. ``capacity``
     bounds per-task memory AND the error: interval width ≤
-    N/(capacity+1).
+    N/(capacity+1). ``topk=None`` returns the full merged summary
+    (≤ partitions×capacity tokens) — the form that carries the
+    heavy-hitter presence guarantee; a finite ``topk`` ranks by
+    ``count_min`` (an underestimate), which is a display convenience,
+    not part of the guarantee.
 
     Determinism contract: the INTERVAL guarantee is unconditional, but
     the point values (and hence near-tie rankings) depend on encounter
@@ -81,9 +89,9 @@ def frequent_tokens_approx(
     """
     import pandas as pd
 
-    toks = docs.select(
-        F.explode_outer(tokens_expr("text")).alias("token")
-    ).where(F.col("token").isNotNull() & (F.length("token") > 0))
+    from .text import exploded_tokens
+
+    toks = exploded_tokens(docs).select("token")
 
     def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict[str, int] = {}
@@ -105,9 +113,17 @@ def frequent_tokens_approx(
         marker = pd.DataFrame({"token": [None], "est": [0], "dec": [dec_total]})
         yield pd.concat([out, marker], ignore_index=True)
 
-    summaries = toks.mapInPandas(mg, schema=_MG_SCHEMA)
+    # materialize the summaries ONCE: the error aggregate and the
+    # per-token merge both consume them, and MG point values are
+    # encounter-order-dependent — two lazy executions could pair an
+    # error bound from one run with counts from another, voiding the
+    # interval guarantee (and re-scanning the corpus). The checkpoint
+    # is partitions×(capacity+1) rows — tiny by construction.
+    summaries = toks.mapInPandas(mg, schema=_MG_SCHEMA).localCheckpoint(
+        eager=True
+    )
     err = summaries.agg(F.sum("dec").cast("long").alias("__err"))
-    return (
+    out = (
         summaries.where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.sum("est").cast("long").alias("count_min"))
@@ -118,5 +134,5 @@ def frequent_tokens_approx(
             (F.col("count_min") + F.col("__err")).alias("count_max"),
         )
         .orderBy(F.desc("count_min"), F.asc("token"))
-        .limit(topk)
     )
+    return out.limit(topk) if topk is not None else out

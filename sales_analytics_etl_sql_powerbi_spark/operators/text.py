@@ -62,6 +62,21 @@ def _in_list_count(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 
 
+def exploded_tokens(docs: DataFrame, drop_empty: bool = True) -> DataFrame:
+    """(doc_id, token) rows — THE shared tokenize-and-explode step, so
+    the token contract cannot drift between the operators built on it
+    (vocab_topk, tfidf_terms, bm25_search, frequency module).
+    ``drop_empty`` additionally drops zero-length tokens (the
+    retrieval operators' contract; vocab_topk keeps its original
+    NULL-only filter for oracle-hash stability)."""
+    out = docs.select(
+        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
+    ).where(F.col("token").isNotNull())
+    if drop_empty:
+        out = out.where(F.length("token") > 0)
+    return out
+
+
 #: symbols the Gopher-style symbol-to-word ratio counts: '#', an ASCII
 #: ellipsis, or the unicode one (Rae et al. 2021's published filter)
 _SYMBOL_RE = r"#|\.\.\.|…"
@@ -623,9 +638,7 @@ def vocab_topk(docs: DataFrame, topk: int = 100) -> DataFrame:
     map-side; the distinct-doc count rides the same shuffle. The final
     top-k is a TakeOrderedAndProject over unique-token-sized data.
     """
-    toks = docs.select(
-        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
-    ).where(F.col("token").isNotNull())
+    toks = exploded_tokens(docs, drop_empty=False)
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
@@ -802,20 +815,24 @@ def tfidf_terms(docs: DataFrame, min_df: int = 1) -> DataFrame:
     """Per-(doc, token) TF-IDF weights over the corpus.
 
     Scale shape: one explode → one (doc, token) aggregate (map-side
-    combinable) → one token aggregate for document frequency — the df
-    table is vocabulary-sized, so the tf⋈df join is a key equi-join on
-    a bounded side; the corpus row count rides a one-row aggregate
-    cross-joined in (no driver round trip, no window). Smoothed
+    combinable), MATERIALIZED ONCE (``localCheckpoint`` — both the df
+    derivation and the tf⋈df join consume it; left lazy, Spark would
+    re-run the corpus tokenize+aggregate per consumer, the same
+    multi-consumer trap scd2_apply documents) → one token aggregate
+    for document frequency — the df table is vocabulary-sized, so the
+    tf⋈df join is a key equi-join on a bounded side; the corpus row
+    count rides a one-row, one-column-pruned aggregate cross-joined in
+    (no driver round trip, no window). Smoothed
     ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's convention) keeps
     unseen/ubiquitous tokens finite.
 
     Output: (doc_id, token, tf, df, tfidf).
     """
-    toks = docs.select(
-        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
-    ).where(F.col("token").isNotNull() & (F.length("token") > 0))
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    toks = exploded_tokens(docs)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     if min_df > 1:
@@ -879,36 +896,52 @@ def bm25_search(
     ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
     ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
 
-    Scale shape: term frequencies are computed ONLY for the query's
-    tokens (the explode is filtered before the shuffle — predicate
-    pushdown does the rest), df/N/avgdl ride broadcast one-row /
-    vocabulary-bounded sides, and the final ranking is a
-    TakeOrderedAndProject over matching docs only. No window over the
-    corpus, no driver collect.
+    Scale shape: ONE corpus tokenize + ONE doc-keyed aggregate total —
+    document length and each query token's term frequency come out of
+    the same map-side-combined pass (the query list is bounded, so the
+    per-query-token counts are a fixed handful of agg columns, unpivoted
+    afterwards with ``stack`` over the already doc-sized frame). The
+    doc-sized result is materialized once (``localCheckpoint``) and
+    feeds stats/tf/df/score without re-scanning the corpus; df/N/avgdl
+    ride broadcast one-row / query-bounded sides, and the final ranking
+    is a TakeOrderedAndProject over matching docs only. No window over
+    the corpus, no driver collect.
 
     Output: (doc_id, score, n_matched_terms), score descending,
     doc_id ascending tiebreak.
     """
     if not query_tokens:
         raise ValueError("bm25_search needs at least one query token")
-    toks = docs.select(
-        "doc_id", F.explode_outer(tokens_expr("text")).alias("token")
-    ).where(F.col("token").isNotNull() & (F.length("token") > 0))
-    doclen = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("__dl")
+    qtokens = list(dict.fromkeys(query_tokens))  # dedupe, keep order
+    toks = exploded_tokens(docs)
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__dl"),
+            *[
+                F.sum((F.col("token") == t).cast("long")).alias(f"__qtf_{i}")
+                for i, t in enumerate(qtokens)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
-    stats = doclen.agg(
+    stats = per_doc.agg(
         F.avg("__dl").alias("__avgdl"),
         F.count(F.lit(1)).cast("long").alias("__n"),
     )
-    qtoks = toks.where(F.col("token").isin(*query_tokens))
-    tf = qtoks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("__tf")
+    stack_expr = "stack({n}, {pairs}) as (token, __tf)".format(
+        n=len(qtokens),
+        pairs=", ".join(
+            "'{tok}', __qtf_{i}".format(tok=t.replace("'", "\\'"), i=i)
+            for i, t in enumerate(qtokens)
+        ),
+    )
+    tf = per_doc.select("doc_id", "__dl", F.expr(stack_expr)).where(
+        F.col("__tf") > 0
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     scored = (
         tf.join(F.broadcast(df), "token")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -372,11 +372,15 @@ def compact_parquet(
     n_files = max(1, math.ceil(src_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)
     if partition_by:
-        tail = (
-            [F.col(c) for c in sort_within_by]
-            if sort_within_by
-            else [F.hash(*[c for c in df.columns if c not in partition_by])]
-        )
+        data_cols = [c for c in df.columns if c not in partition_by]
+        if sort_within_by:
+            tail = [F.col(c) for c in sort_within_by]
+        elif data_cols:
+            tail = [F.hash(*data_cols)]
+        else:
+            # pure partition-key table: nothing to split within a
+            # partition value, fall back to the plain layout
+            tail = []
         df = df.repartitionByRange(n_files, *partition_by, *tail)
     else:
         df = df.repartition(n_files)

@@ -482,6 +482,28 @@ def test_compact_parquet_splits_large_hive_partition(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_compact_parquet_all_columns_partitioned_fails_cleanly(spark, tmp_path):
+    """partition_by covering EVERY column: no within-partition split
+    key exists. The compact must not die in a confusing zero-arg
+    F.hash() — it reaches the write, where Spark raises its canonical
+    ALL_PARTITION_COLUMNS_NOT_ALLOWED (such a table cannot exist as
+    hive-partitioned parquet anyway)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    src = str(tmp_path / "pk_src")
+    spark.range(50).selectExpr(
+        "cast(id % 3 as long) dt", "id AS x"
+    ).write.partitionBy("dt").parquet(src)
+    dst = str(tmp_path / "pk_dst")
+    with pytest.raises(AnalysisException, match="ALL_PARTITION_COLUMNS"):
+        sinks.compact_parquet(
+            spark, src, dst, target_file_bytes=10**12, partition_by=["dt", "x"]
+        )
+
+
 def test_asof_tolerance_preserves_column_order(spark):
     """Tolerance and no-tolerance calls of the same as-of function must
     return the SAME column order (ADVICE r5: the old implementation
