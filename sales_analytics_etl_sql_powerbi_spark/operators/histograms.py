@@ -1,0 +1,198 @@
+"""Mergeable fixed-bin histograms → approximate quantiles.
+
+The companion to :mod:`.sketches` (HLL distinct counts) for the OTHER
+recurring incremental-aggregate need: percentiles over a growing fact
+history. ``percentile()``/``approx_percentile`` answer one query over
+one frame; at 100 TB the question is "p95 per group, updated per
+load, WITHOUT re-scanning history" — and unlike HLL sketches, a
+fixed-bin histogram merges EXACTLY (vector addition), so rollups are
+bit-deterministic in any order.
+
+Shape: the histogram build is ONE map-side-combined aggregate (the
+bin counts are ``n_bins`` sum columns packed into an array — no
+explode, no shuffle of raw values beyond the group keys). Merging
+adds count vectors; quantile estimation runs over the (groups ×
+bins)-sized histogram table, never the raw data.
+
+Error contract: a quantile estimate lands within one bin width of the
+true value (linear interpolation inside the bin); values outside
+[lo, hi) are COUNTED (``n_under``/``n_over``) but excluded from
+interpolation — pick bounds from domain knowledge or a first-load
+min/max, and widen bins rather than silently clipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "histogram_table",
+    "merge_histogram_tables",
+    "quantile_estimate",
+]
+
+
+def histogram_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group fixed-bin histogram of ``value_col`` over [lo, hi).
+
+    Output: group cols + ``bins`` (array<long>, length ``n_bins``) +
+    ``n_under``/``n_over``/``n_null`` + ``lo``/``hi`` (carried so
+    merge/estimate can validate compatibility). One aggregate pass;
+    ``n_bins`` bounded (each bin is one sum column) — 64–512 is the
+    useful range.
+    """
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    if not 1 <= n_bins <= 4096:
+        raise ValueError("n_bins out of range (1..4096)")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    aggs = [
+        F.sum(((b == i) & v.isNotNull()).cast("long")).alias(f"__b{i}")
+        for i in range(n_bins)
+    ]
+    out = df.groupBy(*group_cols).agg(
+        *aggs,
+        F.sum((v.isNotNull() & (v < lo)).cast("long")).alias("n_under"),
+        F.sum((v.isNotNull() & (v >= hi)).cast("long")).alias("n_over"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+    )
+    return out.select(
+        *group_cols,
+        F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias("bins"),
+        "n_under",
+        "n_over",
+        "n_null",
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+    )
+
+
+def merge_histogram_tables(
+    parts: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """EXACT merge (element-wise vector add) of histogram tables —
+    bit-deterministic in any order, unlike HLL union. Parts must share
+    [lo, hi) and bin count; violations surface as a raise at
+    estimation time (bounds are carried columns)."""
+    if not parts:
+        raise ValueError("merge_histogram_tables needs at least one part")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.collect_list("bins"),
+            F.array_repeat(F.lit(0).cast("long"), F.size(F.first("bins"))),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("bins"),
+        F.sum("n_under").alias("n_under"),
+        F.sum("n_over").alias("n_over"),
+        F.sum("n_null").alias("n_null"),
+        F.min("lo").alias("lo"),
+        F.max("lo").alias("__lo2"),
+        F.min("hi").alias("hi"),
+        F.max("hi").alias("__hi2"),
+    )
+    # incompatible bounds must fail loudly, not silently mis-bin:
+    # raise_error rides the lo column, which every consumer reads
+    lo_ok = F.col("lo") == F.col("__lo2")
+    hi_ok = F.col("hi") == F.col("__hi2")
+    return merged.select(
+        *group_cols,
+        "bins",
+        "n_under",
+        "n_over",
+        "n_null",
+        F.when(lo_ok & hi_ok, F.col("lo"))
+        .otherwise(
+            F.raise_error(
+                F.lit("merge_histogram_tables: parts disagree on [lo, hi) bounds")
+            ).cast("double")
+        )
+        .alias("lo"),
+        "hi",
+    )
+
+
+def quantile_estimate(
+    hist: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantiles from a histogram table.
+
+    For each requested ``q``: find the bin holding the ceil(q·total)-th
+    in-range value (cumulative count walk) and interpolate linearly
+    inside it — error ≤ one bin width. Runs entirely over the
+    (groups × bins)-sized table: posexplode + a per-group window whose
+    partitions are ``n_bins`` rows (bounded by construction — this is
+    NOT a window over raw data). Out-of-range mass (``n_under``/
+    ``n_over``) is excluded from interpolation; groups with zero
+    in-range values yield NULL.
+
+    Output: group cols + q + quantile.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+    e = hist.select(
+        *group_cols,
+        "lo",
+        "hi",
+        F.size("bins").alias("__nb"),
+        F.posexplode("bins").alias("__bin", "__cnt"),
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    e = e.withColumn("__cum", F.sum("__cnt").over(wcum)).withColumn(
+        "__total", F.sum("__cnt").over(wtot)
+    )
+    qarr = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    width = (F.col("hi") - F.col("lo")) / F.col("__nb")
+    target = F.ceil(F.col("q") * F.col("__total"))
+    picked = (
+        e.select(*group_cols, "lo", "hi", "__nb", "__bin", "__cnt", "__cum", "__total", qarr)
+        .where(
+            (F.col("__total") > 0)
+            & (F.col("__cnt") > 0)
+            & (F.col("__cum") >= target)
+            & ((F.col("__cum") - F.col("__cnt")) < target)
+        )
+        .select(
+            *group_cols,
+            "q",
+            (
+                F.col("lo")
+                + width
+                * (
+                    F.col("__bin").cast("double")
+                    + (target - (F.col("__cum") - F.col("__cnt")))
+                    .cast("double")
+                    / F.col("__cnt").cast("double")
+                )
+            ).alias("quantile"),
+        )
+    )
+    # groups whose in-range mass is zero: emit NULL rows so the caller
+    # sees the group rather than silently losing it
+    empty = (
+        hist.select(*group_cols, F.aggregate("bins", F.lit(0).cast("long"), lambda a, x: a + x).alias("__t"))
+        .where(F.col("__t") == 0)
+        .select(
+            *group_cols,
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            F.lit(None).cast("double").alias("quantile"),
+        )
+    )
+    return picked.unionByName(empty)

@@ -1,0 +1,124 @@
+"""Mergeable histograms: exact merge algebra, quantile error bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_analytics_etl_sql_powerbi_spark.operators import histograms
+
+
+def _values(spark, n=3000):
+    # value = id % 1000 (uniform 0..999), two groups, some NULLs and
+    # out-of-range rows
+    return spark.range(n).selectExpr(
+        "cast(id % 2 as string) g",
+        "CASE WHEN id % 97 = 0 THEN NULL "
+        "     WHEN id % 89 = 0 THEN -5.0 "
+        "     WHEN id % 83 = 0 THEN 2000.0 "
+        "     ELSE cast(id % 1000 as double) END AS v",
+    )
+
+
+def test_histogram_counts_and_accounting(spark):
+    df = _values(spark)
+    h = histograms.histogram_table(df, ["g"], "v", lo=0.0, hi=1000.0, n_bins=100)
+    rows = {r.g: r for r in h.collect()}
+    exact = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            F.sum(((F.col("v") >= 0) & (F.col("v") < 1000)).cast("long")).alias("inr"),
+            F.sum((F.col("v") < 0).cast("long")).alias("under"),
+            F.sum((F.col("v") >= 1000).cast("long")).alias("over"),
+            F.sum(F.col("v").isNull().cast("long")).alias("nul"),
+        )
+        .collect()
+    }
+    for g, r in rows.items():
+        assert sum(r.bins) == exact[g].inr
+        assert r.n_under == exact[g].under
+        assert r.n_over == exact[g].over
+        assert r.n_null == exact[g].nul
+
+
+def test_merge_is_exact_and_order_insensitive(spark):
+    """The property HLL cannot give: merged bins are BIT-IDENTICAL to
+    the direct build, in every merge order."""
+    df = _values(spark)
+    parts = [
+        histograms.histogram_table(
+            df.where(F.col("id") % 3 == i), ["g"], "v", 0.0, 1000.0, 50
+        )
+        for i in range(3)
+    ]
+    direct = {
+        r.g: (list(r.bins), r.n_under, r.n_over, r.n_null)
+        for r in histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 50).collect()
+    }
+    for order in (parts, parts[::-1]):
+        merged = {
+            r.g: (list(r.bins), r.n_under, r.n_over, r.n_null)
+            for r in histograms.merge_histogram_tables(order, ["g"]).collect()
+        }
+        assert merged == direct
+
+
+def test_merge_rejects_incompatible_bounds(spark):
+    df = _values(spark)
+    a = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 50)
+    b = histograms.histogram_table(df, ["g"], "v", 0.0, 500.0, 50)
+    with pytest.raises(Exception, match="disagree"):
+        histograms.merge_histogram_tables([a, b], ["g"]).collect()
+
+
+def test_quantile_within_one_bin_width(spark):
+    df = _values(spark)
+    n_bins = 100
+    width = 1000.0 / n_bins
+    h = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, n_bins)
+    qs = [0.25, 0.5, 0.9, 0.95]
+    got = {
+        (r.g, r.q): r.quantile
+        for r in histograms.quantile_estimate(h, ["g"], qs).collect()
+    }
+    inrange = df.where((F.col("v") >= 0) & (F.col("v") < 1000))
+    for q in qs:
+        exact = {
+            r.g: r.p
+            for r in inrange.groupBy("g")
+            .agg(F.expr(f"percentile(v, {q})").alias("p"))
+            .collect()
+        }
+        for g, p in exact.items():
+            assert abs(got[(g, q)] - p) <= width + 1e-9, (g, q, got[(g, q)], p)
+
+
+def test_quantile_empty_group_yields_null_row(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", -1.0)], "g string, v double"
+    )  # group b: all mass out of range
+    h = histograms.histogram_table(df, ["g"], "v", 0.0, 10.0, 10)
+    got = {
+        (r.g, r.q): r.quantile
+        for r in histograms.quantile_estimate(h, ["g"], [0.5]).collect()
+    }
+    assert got[("b", 0.5)] is None
+    assert got[("a", 0.5)] is not None
+
+
+def test_histogram_build_plan_is_single_aggregate(spark):
+    df = _values(spark)
+    h = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 64)
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan and "Generate" not in plan
+
+
+def test_histogram_validates_params(spark):
+    df = _values(spark)
+    with pytest.raises(ValueError):
+        histograms.histogram_table(df, ["g"], "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        histograms.histogram_table(df, ["g"], "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError):
+        histograms.quantile_estimate(
+            histograms.histogram_table(df, ["g"], "v", 0.0, 1.0, 4), ["g"], [1.5]
+        )
