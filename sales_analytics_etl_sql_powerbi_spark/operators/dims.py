@@ -17,10 +17,11 @@ the broadcast threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cdc_apply",
     "entity_match_pairs",
     "scd2_apply",
     "scd2_lookup",
@@ -352,3 +353,48 @@ def scd2_lookup(
     return f.join(d, cond, "left").select(
         "f.*", *[f"dim_{a}" for a in attrs]
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change batch (Debezium-style I/U/D rows) to a
+    snapshot — the MERGE a warehouse runs per replication micro-batch.
+
+    ``changes`` carries the snapshot's columns plus ``op_col``
+    ('I' insert / 'U' update / 'D' delete) and ``seq_col`` (the log
+    sequence — commit LSN, binlog position). Per key the HIGHEST
+    sequence wins (last-writer-wins); a winning D removes the key,
+    a winning I/U upserts the row. Re-applying the same batch is a
+    no-op (idempotent — replayed micro-batches are the normal case
+    for at-least-once log consumers).
+
+    CONTRACT: ``seq_col`` must order each key's changes totally (equal
+    seqs for one key are broken deterministically by op 'U' > 'I' >
+    'D', but relying on that means the log lost its ordering — fix
+    upstream). The snapshot must not contain duplicate keys.
+
+    Scale shape: the dedup window runs over the CHANGE BATCH only
+    (micro-batch-sized, never the snapshot); the snapshot sees one key
+    equi-join (anti) + union — so cost per batch is
+    O(batch) + one snapshot pass, independent of history depth.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    # materialized once (micro-batch-sized): both the touched-keys
+    # anti-join side and the upsert rows consume it — left lazy, the
+    # dedup window would run twice
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    touched = latest.select(key)
+    upserts = latest.where(F.col(op_col) != "D").select(*snapshot.columns)
+    return snapshot.join(touched, on=key, how="left_anti").unionByName(upserts)

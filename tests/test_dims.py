@@ -303,3 +303,58 @@ def test_scd2_lookup_point_in_time(spark):
     assert out == {100: "CA", 101: "WA", 102: None, 103: None}
     # exactly one output row per fact row (intervals partition time)
     assert scd2_lookup(fact, dim, "customer_id").count() == 4
+
+
+def test_cdc_apply_insert_update_delete_lastwriter(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "b2", "U", 10),          # update
+            (3, None, "D", 11),          # delete
+            (4, "d", "I", 12),           # insert
+            (5, "e1", "I", 13),          # insert then update: seq 14 wins
+            (5, "e2", "U", 14),
+            (6, "f", "I", 15),           # insert then delete: gone
+            (6, None, "D", 16),
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = {r.k: r.v for r in cdc_apply(snap, ch, "k").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d", 5: "e2"}
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ch = spark.createDataFrame(
+        [(1, None, "D", 5), (3, "c", "I", 6)], "k long, v string, op string, seq long"
+    )
+    once = cdc_apply(snap, ch, "k")
+    twice = cdc_apply(once, ch, "k")
+    assert sorted((r.k, r.v) for r in once.collect()) == sorted(
+        (r.k, r.v) for r in twice.collect()
+    )
+    assert {r.k for r in once.collect()} == {2, 3}
+
+
+def test_cdc_apply_window_is_batch_side_only(spark):
+    """The dedup window must sit over the change batch, not the
+    snapshot — the snapshot side sees only the anti-join."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+
+    snap = spark.createDataFrame([(i, "x") for i in range(100)], "k long, v string")
+    ch = spark.createDataFrame(
+        [(1, "y", "U", 1)], "k long, v string, op string, seq long"
+    )
+    out = cdc_apply(snap, ch, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the dedup window ran ONCE, inside the eager batch-side
+    # checkpoint — the downstream plan reads the materialized batch,
+    # so no Window (and certainly none over the snapshot) remains
+    assert plan.count("Window") == 0, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
