@@ -1050,6 +1050,125 @@ def sketches_main() -> None:
     print(f"incremental day append + merge ({m} groups): {time.time()-t0:.1f}s")
 
 
+def retrieval_main() -> None:
+    """BM25/TF-IDF at 10× docs (round 6): verify the single-pass claim
+    holds at scale — cost should track ONE corpus tokenize, not one
+    per consumer."""
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sf_dir = "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-retrieval")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n0 = docs.count()
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" c{i}")).alias("text"),
+        )
+        for i in range(mult)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.repartition(64).persist(StorageLevel.MEMORY_AND_DISK)
+    n = big.count()
+    print(f"documents rows: {n}")
+
+    t0 = time.time()
+    nt = T.tfidf_terms(big).count()
+    print(f"tfidf_terms ({nt} doc-term rows): {time.time()-t0:.1f}s")
+
+    for q in (["fast", "row"], ["fast", "row", "value", "slow", "data"]):
+        t0 = time.time()
+        top = T.bm25_search(big, q, topk=10).collect()
+        print(
+            f"bm25 |q|={len(q)} top1={top[0].doc_id if top else None}: "
+            f"{time.time()-t0:.1f}s"
+        )
+
+
+def cdc_main() -> None:
+    """CDC apply at 10M-row snapshot × 1M-row change batch (round 6)."""
+    snap_n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    chg_n = snap_n // 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-cdc")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+
+    snap = (
+        spark.range(snap_n)
+        .selectExpr("id AS k", "cast(id % 1000 AS string) AS v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    snap.count()
+    # mix: 60% updates, 20% deletes, 20% inserts beyond the snapshot;
+    # every key gets TWO change rows (seq dedup does real work)
+    base_k = F.when(F.col("id") % 5 == 4, F.lit(snap_n) + F.col("id")).otherwise(
+        F.col("id") * 7 % snap_n
+    )
+    op = (
+        F.when(F.col("id") % 5 == 3, F.lit("D"))
+        .when(F.col("id") % 5 == 4, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    changes = (
+        spark.range(chg_n)
+        .select(
+            base_k.alias("k"),
+            F.lit("new").alias("v"),
+            op.alias("op"),
+            F.col("id").alias("seq"),
+        )
+        .unionByName(
+            spark.range(chg_n).select(
+                base_k.alias("k"),
+                F.lit("older").alias("v"),
+                F.lit("U").alias("op"),
+                (F.col("id") - chg_n).alias("seq"),  # always loses
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    print(f"snapshot {snap_n}, change rows {changes.count()}")
+    t0 = time.time()
+    out = cdc_apply(snap, changes, "k")
+    no = out.count()
+    print(f"cdc_apply ({no} rows): {time.time()-t0:.1f}s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and plan.count("Window") == 0
+    print("plan: batch-side window only (checkpointed), key equi-joins ✓")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -1073,5 +1192,9 @@ if __name__ == "__main__":
         entity_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
+        retrieval_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cdc":
+        cdc_main()
     else:
         main()
