@@ -1,0 +1,59 @@
+"""PageRank: numpy power-iteration parity, mass conservation, dangling."""
+
+import numpy as np
+
+from sales_analytics_etl_sql_powerbi_spark.operators import graph
+
+EDGES = "src long, dst long"
+
+
+def _numpy_pagerank(edges, n, damping=0.85, iters=12):
+    """Dense power-iteration reference with uniform dangling
+    redistribution — the same formulation pagerank() implements."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[s] for s in range(n) if s not in out)
+        new += damping * dangling / n
+        for s, ds in out.items():
+            share = r[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        r = new
+    return r
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # 5 nodes: a cycle 0→1→2→0, feeder 3→0, dangling node 4 (3→4)
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 4)]
+    df = spark.createDataFrame(edges, EDGES)
+    # SAME recurrence at the SAME iteration count matches to fp error
+    # even mid-convergence - 12 iterations keeps the test fast
+    got = {r.node: r.rank for r in graph.pagerank(df, max_iter=12, tol=0.0).collect()}
+    want = _numpy_pagerank(edges, 5, iters=12)
+    for i in range(5):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+    # mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_ranks_hub_higher(spark):
+    # star: everyone links to 0
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, EDGES)
+    got = {r.node: r.rank for r in graph.pagerank(df, max_iter=8).collect()}
+    assert got[0] == max(got.values())
+    leaves = [got[i] for i in range(1, 6)]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetric leaves tie
+
+
+def test_pagerank_converges_early_and_empty_graph(spark):
+    df = spark.createDataFrame([(0, 1), (1, 0)], EDGES)
+    out = graph.pagerank(df, max_iter=50, tol=1e-12).collect()
+    got = {r.node: r.rank for r in out}
+    assert abs(got[0] - 0.5) < 1e-9 and abs(got[1] - 0.5) < 1e-9
+    empty = spark.createDataFrame([], EDGES)
+    assert graph.pagerank(empty).count() == 0
