@@ -1169,6 +1169,44 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def graph_main() -> None:
+    """PageRank at 2M edges / 200k nodes (round 6): per-iteration cost
+    and the checkpoint cadence that keeps iteration time flat."""
+    n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_edges = n_nodes * 10
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-graph")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import graph
+
+    # deterministic pseudo-random graph: hub bias via modulo mixing,
+    # ~10 edges/node, some dangling nodes (dst-only)
+    edges = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761) % n_nodes).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    ranks = graph.pagerank(edges, max_iter=10, tol=0.0)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    secs = time.time() - t0
+    print(
+        f"pagerank {n_edges} edges / {n_nodes} nodes, 10 iters: "
+        f"{secs:.1f}s ({secs/10:.1f}s/iter), mass={total:.6f}"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -1196,5 +1234,7 @@ if __name__ == "__main__":
         retrieval_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc":
         cdc_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
+        graph_main()
     else:
         main()
