@@ -342,3 +342,98 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in W.view_purchase_interval_join(df, lookback="30 minutes").collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC replication into the versioned snapshot store (round 6)
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = "k long, v string, op string, seq long"
+
+
+def test_cdc_snapshot_versioning_and_batch_apply(spark, tmp_path):
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl")
+    init = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert cdc.snapshot_init(init, table) == 0
+    assert cdc.latest_version(table) == 0
+
+    ch = spark.createDataFrame(
+        [(1, "a2", "U", 1), (3, "c", "I", 2), (2, None, "D", 3)], CDC_SCHEMA
+    ).select("k", "v", "op", "seq")
+    v = cdc.apply_cdc_batch(spark, table, ch.select("k", "v", "op", "seq"), "k")
+    assert v == 1 and cdc.latest_version(table) == 1
+    got = {
+        r.k: r.v for r in cdc.read_snapshot(spark, table).select("k", "v").collect()
+    }
+    assert got == {1: "a2", 3: "c"}
+    # time travel: version 0 still readable
+    old = {r.k: r.v for r in cdc.read_snapshot(spark, table, version=0).collect()}
+    assert old == {1: "a", 2: "b"}
+    # replaying the SAME batch publishes a new version with identical content
+    v2 = cdc.apply_cdc_batch(spark, table, ch, "k")
+    again = {r.k: r.v for r in cdc.read_snapshot(spark, table).select("k", "v").collect()}
+    assert v2 == 2 and again == got
+
+
+def test_cdc_stream_replication_end_to_end(spark, tmp_path):
+    """Change files arriving as a stream → foreachBatch merge →
+    versioned snapshot matches a one-shot batch apply of all changes."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl2")
+    cdc.snapshot_init(
+        spark.createDataFrame([(i, "init") for i in range(10)], "k long, v string"),
+        table,
+    )
+    src = str(tmp_path / "changes")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    all_changes = [
+        (1, "x1", "U", 1),
+        (2, None, "D", 2),
+        (20, "new", "I", 3),
+        (1, "x2", "U", 4),   # later seq for key 1 in a LATER file
+    ]
+    spark.createDataFrame(all_changes[:3], CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(all_changes[3:], CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(CDC_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = cdc.stream_cdc_apply(
+        stream, table, "k", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r.k: r.v for r in cdc.read_snapshot(spark, table).select("k", "v").collect()
+    }
+    assert got[1] == "x2" and 2 not in got and got[20] == "new"
+    assert len(got) == 10  # 10 - 1 delete + 1 insert
+    assert cdc.latest_version(table) >= 1
+
+
+def test_cdc_prune_versions_keeps_latest(spark, tmp_path):
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl3")
+    cdc.snapshot_init(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    for s in range(3):
+        ch = spark.createDataFrame([(1, f"v{s}", "U", s)], CDC_SCHEMA)
+        cdc.apply_cdc_batch(spark, table, ch, "k")
+    removed = cdc.prune_versions(table, keep_last=2)
+    assert removed == [0, 1]
+    assert cdc.latest_version(table) == 3
+    assert cdc.read_snapshot(spark, table).count() == 1
+    import pytest
+
+    with pytest.raises(Exception):
+        cdc.read_snapshot(spark, table, version=0)
