@@ -166,6 +166,34 @@ def write_training_shards(
     )
 
 
+def write_training_shards_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+    salt: str = "",
+) -> None:
+    """:func:`write_training_shards`, but each shard is one JSONL file
+    — the line-delimited format most LLM training loaders read
+    directly. Same layout contract: one file per ``shard=N/``
+    directory, within-file row order pinned to the content hash, two
+    runs byte-identical. JSON field order follows the DataFrame column
+    order (stable for a fixed schema); use parquet shards when types
+    matter more than loader convenience.
+    """
+    from ..operators.sampling import training_shards
+
+    sharded = training_shards(df, n_shards, key, salt)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__ord", key)
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+
+
 def zorder_value(
     bounds: dict[str, tuple[float, float]], bits: int = 8
 ) -> Column:
