@@ -63,7 +63,9 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        empty = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()  # the early return must not leak the cache entry
+        return empty
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     links = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     links.count()

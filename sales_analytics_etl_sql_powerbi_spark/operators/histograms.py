@@ -55,9 +55,18 @@ def histogram_table(
         raise ValueError("n_bins out of range (1..4096)")
     v = F.col(value_col).cast("double")
     width = (hi - lo) / n_bins
-    b = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    # clamp to the last bin: with a non-representable width, the
+    # largest double below hi can compute floor((v-lo)/width) == n_bins
+    # (verified: lo=0, hi=1, n_bins=3, v=nextafter(1,0)) — without the
+    # clamp that IN-RANGE row would vanish from bins AND n_over,
+    # breaking the total-accounting contract
+    b = F.least(
+        F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    in_range = v.isNotNull() & (v >= lo) & (v < hi)
     aggs = [
-        F.sum(((b == i) & v.isNotNull()).cast("long")).alias(f"__b{i}")
+        F.sum(((b == i) & in_range).cast("long")).alias(f"__b{i}")
         for i in range(n_bins)
     ]
     out = df.groupBy(*group_cols).agg(
@@ -102,21 +111,31 @@ def merge_histogram_tables(
         F.max("lo").alias("__lo2"),
         F.min("hi").alias("hi"),
         F.max("hi").alias("__hi2"),
+        F.min(F.size("bins")).alias("__nb_min"),
+        F.max(F.size("bins")).alias("__nb_max"),
     )
-    # incompatible bounds must fail loudly, not silently mis-bin:
-    # raise_error rides the lo column, which every consumer reads
-    lo_ok = F.col("lo") == F.col("__lo2")
-    hi_ok = F.col("hi") == F.col("__hi2")
+    # incompatible parts must fail loudly, not silently mis-bin:
+    # bounds AND bin count (zip_with null-pads a shorter array, which
+    # would poison the fold with NULLs) — raise_error rides the lo
+    # column, which every consumer reads
+    ok = (
+        (F.col("lo") == F.col("__lo2"))
+        & (F.col("hi") == F.col("__hi2"))
+        & (F.col("__nb_min") == F.col("__nb_max"))
+    )
     return merged.select(
         *group_cols,
         "bins",
         "n_under",
         "n_over",
         "n_null",
-        F.when(lo_ok & hi_ok, F.col("lo"))
+        F.when(ok, F.col("lo"))
         .otherwise(
             F.raise_error(
-                F.lit("merge_histogram_tables: parts disagree on [lo, hi) bounds")
+                F.lit(
+                    "merge_histogram_tables: parts disagree on [lo, hi) "
+                    "bounds or bin count"
+                )
             ).cast("double")
         )
         .alias("lo"),

@@ -153,17 +153,7 @@ def write_training_shards(
     task memory is corpus/n_shards, so at 100 TB use thousands of
     shards, not tens.
     """
-    from ..operators.sampling import training_shards
-
-    sharded = training_shards(df, n_shards, key, salt)
-    (
-        sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__ord", key)
-        .drop("__ord")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    _write_training_shards(df, path, n_shards, key, salt, fmt="parquet")
 
 
 def write_training_shards_jsonl(
@@ -175,23 +165,36 @@ def write_training_shards_jsonl(
 ) -> None:
     """:func:`write_training_shards`, but each shard is one JSONL file
     — the line-delimited format most LLM training loaders read
-    directly. Same layout contract: one file per ``shard=N/``
-    directory, within-file row order pinned to the content hash, two
-    runs byte-identical. JSON field order follows the DataFrame column
-    order (stable for a fixed schema); use parquet shards when types
-    matter more than loader convenience.
+    directly. Same layout contract (shared implementation): one file
+    per ``shard=N/`` directory, within-file row order pinned to the
+    content hash, two runs byte-identical. NULL fields are WRITTEN
+    (``ignoreNullFields=false``) so every line carries the full key
+    set — loaders index ``rec["field"]`` without existence checks, and
+    an all-null column survives the round trip. Use parquet shards
+    when types matter more than loader convenience.
     """
+    _write_training_shards(df, path, n_shards, key, salt, fmt="json")
+
+
+def _write_training_shards(
+    df: DataFrame, path: str, n_shards: int, key: str, salt: str, fmt: str
+) -> None:
+    """The ONE shard layout implementation (see write_training_shards
+    for the contract) — format-specific writers only pick the codec."""
     from ..operators.sampling import training_shards
 
     sharded = training_shards(df, n_shards, key, salt)
-    (
+    w = (
         sharded.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "__ord", key)
         .drop("__ord")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .json(path)
     )
+    if fmt == "json":
+        w.option("ignoreNullFields", "false").json(path)
+    else:
+        w.parquet(path)
 
 
 def zorder_value(

@@ -15,10 +15,26 @@ last-pointer-wins. A production deployment with concurrent writers
 wants Delta/Iceberg — the OPERATOR (cdc_apply) is unchanged there;
 only this publish mechanism is.
 
+CROSS-BATCH ordering (the guarantee `cdc_apply` alone cannot give —
+it compares sequences only within one batch): the stored snapshot
+carries two hidden columns, ``__cdc_seq`` (the sequence of the change
+that produced each row) and ``__cdc_deleted`` (deletes persist as
+TOMBSTONES rather than vanishing). Every incoming change row is
+dropped as STALE when its sequence is ≤ the stored row's — so
+out-of-order batch delivery (file sources tie-break equal mtimes
+arbitrarily) and re-delivered old batches cannot regress a key to an
+older value, and a re-delivered insert cannot resurrect a
+higher-sequence delete. ``read_snapshot`` hides both columns and the
+tombstones; ``read_snapshot(..., internal=True)`` shows them.
+Tombstones are retained indefinitely (the price of the guarantee
+without a log); a deployment with a bounded out-of-order window can
+compact them away past the window.
+
 Failure contract: a crash between writing ``v=N`` and swapping the
 pointer leaves the table at ``v=N−1`` with an orphan directory — the
 checkpoint will replay the micro-batch, rewrite ``v=N`` (overwrite)
-and swap; replay is safe because cdc_apply is idempotent.
+and swap; replay is safe because the stale-sequence filter makes the
+merge idempotent.
 """
 
 from __future__ import annotations
@@ -26,6 +42,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dims import cdc_apply
 
@@ -62,21 +79,33 @@ def _publish(table_path: str, v: int) -> None:
 
 
 def snapshot_init(df: DataFrame, table_path: str) -> int:
-    """Create version 0 from an initial load and publish it."""
+    """Create version 0 from an initial load and publish it. Initial
+    rows carry sequence −∞ (any change supersedes them)."""
     os.makedirs(table_path, exist_ok=True)
-    df.write.mode("overwrite").parquet(_version_dir(table_path, 0))
+    seeded = df.withColumn(
+        "__cdc_seq", F.lit(-(2**63)).cast("long")
+    ).withColumn("__cdc_deleted", F.lit(False))
+    seeded.write.mode("overwrite").parquet(_version_dir(table_path, 0))
     _publish(table_path, 0)
     return 0
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    internal: bool = False,
 ) -> DataFrame:
-    """Open the pointed-at (or an explicit historical) version."""
+    """Open the pointed-at (or an explicit historical) version.
+    ``internal=True`` exposes the ``__cdc_seq``/``__cdc_deleted``
+    bookkeeping columns and the delete tombstones."""
     v = latest_version(table_path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no published snapshot under {table_path!r}")
-    return spark.read.parquet(_version_dir(table_path, v))
+    df = spark.read.parquet(_version_dir(table_path, v))
+    if internal:
+        return df
+    return df.where(~F.col("__cdc_deleted")).drop("__cdc_seq", "__cdc_deleted")
 
 
 def apply_cdc_batch(
@@ -89,9 +118,11 @@ def apply_cdc_batch(
 ) -> int:
     """Merge one change batch → write v=N+1 → swap the pointer.
 
-    Returns the published version. Rerunning the same batch against
-    the resulting version is a no-op merge (cdc_apply idempotence), so
-    at-least-once delivery upstream is safe.
+    Returns the published version. Stale rows (sequence ≤ the stored
+    row's ``__cdc_seq``) are dropped BEFORE the merge, so re-delivered
+    or out-of-order batches — including replays of already-applied
+    batches — never regress a key; deletes become tombstone rows so
+    the stale filter also guards them.
     """
     cur_v = latest_version(table_path)
     if cur_v is None:
@@ -99,7 +130,23 @@ def apply_cdc_batch(
             f"no published snapshot under {table_path!r} — snapshot_init first"
         )
     snap = spark.read.parquet(_version_dir(table_path, cur_v))
-    merged = cdc_apply(snap, changes, key, seq_col=seq_col, op_col=op_col)
+    # drop stale changes: anything at or below the stored sequence
+    stored_seq = snap.select(key, F.col("__cdc_seq").alias("__stored_seq"))
+    fresh = (
+        changes.join(stored_seq, on=key, how="left")
+        .where(
+            F.col("__stored_seq").isNull()
+            | (F.col(seq_col) > F.col("__stored_seq"))
+        )
+        .drop("__stored_seq")
+    )
+    # deletes persist as tombstones: every change becomes an upsert
+    # carrying its own sequence + deleted flag, so cdc_apply's delete
+    # path is bypassed and the row (with bookkeeping) survives
+    as_upserts = fresh.withColumn("__cdc_seq", F.col(seq_col).cast("long")) \
+        .withColumn("__cdc_deleted", F.col(op_col) == "D") \
+        .withColumn(op_col, F.lit("U"))
+    merged = cdc_apply(snap, as_upserts, key, seq_col=seq_col, op_col=op_col)
     new_v = cur_v + 1
     merged.write.mode("overwrite").parquet(_version_dir(table_path, new_v))
     _publish(table_path, new_v)

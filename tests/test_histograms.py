@@ -122,3 +122,23 @@ def test_histogram_validates_params(spark):
         histograms.quantile_estimate(
             histograms.histogram_table(df, ["g"], "v", 0.0, 1.0, 4), ["g"], [1.5]
         )
+
+
+def test_merge_rejects_mismatched_bin_counts(spark):
+    df = _values(spark)
+    a = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 50)
+    b = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 64)
+    with pytest.raises(Exception, match="disagree"):
+        histograms.merge_histogram_tables([a, b], ["g"]).collect()
+
+
+def test_fp_edge_value_just_below_hi_lands_in_last_bin(spark):
+    """nextafter(hi, 0) with a non-representable width computes bin
+    index n_bins — the clamp must keep it in the LAST bin, not drop it
+    from the accounting entirely."""
+    import math
+
+    v = math.nextafter(1.0, 0.0)
+    df = spark.createDataFrame([("a", v), ("a", 0.0)], "g string, v double")
+    h = histograms.histogram_table(df, ["g"], "v", 0.0, 1.0, 3).collect()[0]
+    assert sum(h.bins) == 2 and h.bins[2] == 1 and h.n_over == 0

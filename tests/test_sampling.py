@@ -273,8 +273,9 @@ def test_write_training_shards_jsonl_byte_identical_and_loadable(spark, sf_dir, 
     f = [x for x in f if not x.endswith(".crc")][0]
     lines = open(f).read().splitlines()
     assert len(lines) > 0
-    rec = jsonlib.loads(lines[0])
-    assert set(rec) <= {"doc_id", "lang", "text"} and "doc_id" in rec
+    # ignoreNullFields=false → EVERY line carries the full key set
+    for ln in lines[:50]:
+        assert set(jsonlib.loads(ln)) == {"doc_id", "lang", "text"}
     # full round trip preserves the corpus
     back = spark.read.json(str(tmp_path / "a"))
     assert back.count() == docs.count()

@@ -437,3 +437,37 @@ def test_cdc_prune_versions_keeps_latest(spark, tmp_path):
 
     with pytest.raises(Exception):
         cdc.read_snapshot(spark, table, version=0)
+
+
+def test_cdc_out_of_order_batches_cannot_regress(spark, tmp_path):
+    """The cross-batch guarantee cdc_apply alone can't give: applying
+    an OLDER batch after a newer one must be a no-op (stale filter),
+    and a re-delivered older insert must not resurrect a
+    higher-sequence delete (tombstones)."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl_ooo")
+    cdc.snapshot_init(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), table
+    )
+    newer = spark.createDataFrame(
+        [(1, "NEW", "U", 10), (2, None, "D", 11)], CDC_SCHEMA
+    )
+    older = spark.createDataFrame(
+        [(1, "OLD", "U", 5), (2, "zombie", "I", 6)], CDC_SCHEMA
+    )
+    cdc.apply_cdc_batch(spark, table, newer, "k")
+    cdc.apply_cdc_batch(spark, table, older, "k")  # must be fully stale
+    got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
+    assert got == {1: "NEW"}  # no regression, no zombie resurrection
+    # the tombstone is visible internally, with its sequence
+    internal = {
+        r["k"]: (r["__cdc_seq"], r["__cdc_deleted"])
+        for r in cdc.read_snapshot(spark, table, internal=True).collect()
+    }
+    assert internal[2] == (11, True)
+    # a genuinely newer insert DOES revive the key
+    revive = spark.createDataFrame([(2, "back", "I", 12)], CDC_SCHEMA)
+    cdc.apply_cdc_batch(spark, table, revive, "k")
+    got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
+    assert got == {1: "NEW", 2: "back"}
