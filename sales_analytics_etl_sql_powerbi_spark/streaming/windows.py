@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "enrich_with_dim",
     "events_stream",
     "tumbling_counts",
     "sliding_counts",
@@ -295,3 +296,30 @@ def view_purchase_interval_join(
         "view_ts",
         (gap_us.cast("double") / F.lit(1_000_000.0)).alias("gap_seconds"),
     )
+
+
+def enrich_with_dim(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dim enrichment — the most common streaming join.
+
+    Spark re-evaluates the STATIC side per micro-batch (so a dim
+    rebuilt between batches is picked up on the next one); with
+    ``broadcast_dim`` the dim ships to executors once per batch and
+    the stream side never shuffles — the same no-fact-exchange
+    discipline as the batch star. Works identically on batch frames
+    (the oracle-checkable route: the reporting view IS this join
+    pattern). Stream-static supports inner and left-outer with the
+    stream on the left; anything else raises in Spark itself.
+
+    At 100 TB-of-stream: keep dims under the broadcast threshold or
+    pre-bucket both sides; a dim too big to broadcast turns each
+    micro-batch into a shuffle join — at that point the dim belongs in
+    a key-value store looked up from ``foreachBatch`` instead.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream_df.join(d, on=on, how=how)

@@ -471,3 +471,44 @@ def test_cdc_out_of_order_batches_cannot_regress(spark, tmp_path):
     cdc.apply_cdc_batch(spark, table, revive, "k")
     got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
     assert got == {1: "NEW", 2: "back"}
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: streamed events pick up dim
+    attributes; results match the batch join; the stream side never
+    shuffles (single stateless projection + broadcast join)."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (2, 20, "view"), (3, 99, "purchase")],
+        "event_id long, user_id long, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    # batch route (oracle-checkable semantics)
+    batch = {
+        r.event_id: r.tier
+        for r in W.enrich_with_dim(ev, dim, on="user_id").collect()
+    }
+    assert batch == {1: "gold", 2: "silver", 3: None}
+    # stream route: identical results through availableNow
+    src = str(tmp_path / "enrich_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string"
+    ).parquet(src)
+    out = W.enrich_with_dim(stream, dim, on="user_id")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.event_id: r.tier for r in spark.sql("select * from t_enrich_out").collect()
+    }
+    assert got == batch
