@@ -292,3 +292,140 @@ def test_asof_property_parity_vs_pandas(spark, lrows, rrows, tol):
             ).collect()
         }
         assert got == pandas_side(direction), direction
+
+
+# ---------------------------------------------------------------------------
+# CDC + SCD2 property fuzz vs pure-Python references (round 6)
+# ---------------------------------------------------------------------------
+
+_cdc_ops = st.sampled_from(["I", "U", "D"])
+_cdc_keys = st.integers(min_value=0, max_value=6)
+
+
+def _py_cdc(snapshot: dict, batch):
+    """Reference: per key keep highest (seq, op) change; D deletes."""
+    latest = {}
+    for k, v, op, seq in batch:
+        cur = latest.get(k)
+        if cur is None or (seq, op) > (cur[3], cur[2]):
+            latest[k] = (k, v, op, seq)
+    out = dict(snapshot)
+    for k, (kk, v, op, seq) in latest.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # two sequential batches of (k, v, op, seq)
+        st.lists(
+            st.tuples(
+                _cdc_keys,
+                st.text(alphabet="abc", max_size=3),
+                _cdc_ops,
+                st.integers(min_value=0, max_value=50),
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_cdc_apply_matches_python_reference(spark, batches):
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+
+    # seq must totally order each key's changes within a batch — the
+    # documented contract; dedupe (k, seq) pairs per batch to honor it
+    snap_py = {0: "z", 1: "z"}
+    snap = spark.createDataFrame(list(snap_py.items()), "k long, v string")
+    for batch in batches:
+        seen = set()
+        clean = []
+        for k, v, op, seq in batch:
+            if (k, seq) not in seen:
+                seen.add((k, seq))
+                clean.append((k, v, op, seq))
+        snap_py = _py_cdc(snap_py, clean)
+        if clean:
+            ch = spark.createDataFrame(clean, "k long, v string, op string, seq long")
+            snap = cdc_apply(snap, ch, "k")
+    got = {r.k: r.v for r in snap.collect()}
+    assert got == snap_py
+
+
+def _py_scd2(history, changes_batches):
+    """Reference: in-effective-time-order SCD2 over one tracked attr.
+    history: list of [key, val, vf, vt, cur]."""
+    for eff, batch in changes_batches:
+        cur_by_key = {h[0]: h for h in history if h[4]}
+        for k, val in batch.items():
+            cur = cur_by_key.get(k)
+            if cur is None:
+                history.append([k, val, eff, None, True])
+            elif cur[1] != val:
+                cur[3] = eff
+                cur[4] = False
+                history.append([k, val, eff, None, True])
+    return sorted(
+        (h[0], h[1], h[2], h[3], h[4]) for h in history
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # per effective-instant: {key: new value}
+        st.dictionaries(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["A", "B", "C"]),
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_apply_matches_python_reference(spark, batches):
+    import datetime as dt
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        SCD2_END_OF_TIME,
+        scd2_apply,
+    )
+
+    eot = dt.datetime(9999, 12, 31)
+    t0 = dt.datetime(2024, 1, 1)
+    seed = {0: "A", 1: "B"}
+    dim = spark.createDataFrame(
+        [(k, v, t0, eot, True) for k, v in seed.items()],
+        "k long, state string, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    history = [[k, v, t0, None, True] for k, v in seed.items()]
+    eff_batches = []
+    for i, batch in enumerate(batches):
+        eff = t0 + dt.timedelta(days=30 * (i + 1))
+        eff_batches.append((eff, batch))
+        if batch:
+            ch = spark.createDataFrame(
+                [(k, v, eff) for k, v in batch.items()],
+                "k long, state string, effective_ts timestamp",
+            )
+            dim = scd2_apply(dim, ch, "k", ["state"], strict=True)
+    want = _py_scd2(history, eff_batches)
+    got = sorted(
+        (r.k, r.state, r.valid_from, None if r.valid_to == eot else r.valid_to,
+         r.is_current)
+        for r in dim.collect()
+    )
+    assert got == want
