@@ -45,9 +45,15 @@ def histogram_table(
 
     Output: group cols + ``bins`` (array<long>, length ``n_bins``) +
     ``n_under``/``n_over``/``n_null`` + ``lo``/``hi`` (carried so
-    merge/estimate can validate compatibility). One aggregate pass;
-    ``n_bins`` bounded (each bin is one sum column) — 64–512 is the
-    useful range.
+    merge/estimate can validate compatibility).
+
+    Build shape: TWO-STAGE NARROW aggregation — count per (group,
+    bin-index) first (a plain map-side-combined count whose cost does
+    NOT grow with n_bins), then pack the (groups × ≤n_bins+3)-row
+    result into the array via a map lookup. The obvious one-stage
+    alternative (n_bins sum columns) puts n_bins comparisons into the
+    per-row codegen loop — measured 6.9s vs 2.3s at 10M rows × 256
+    bins (PLAN_AUDIT round 6).
     """
     if not lo < hi:
         raise ValueError("need lo < hi")
@@ -59,28 +65,41 @@ def histogram_table(
     # largest double below hi can compute floor((v-lo)/width) == n_bins
     # (verified: lo=0, hi=1, n_bins=3, v=nextafter(1,0)) — without the
     # clamp that IN-RANGE row would vanish from bins AND n_over,
-    # breaking the total-accounting contract
-    b = F.least(
-        F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
-        F.lit(n_bins - 1),
+    # breaking the total-accounting contract. Sentinel bins −1/−2/−3
+    # carry under/over/null so ONE count covers the whole accounting.
+    b = (
+        F.when(v.isNull(), F.lit(-3))
+        .when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(-2))
+        .otherwise(
+            F.least(
+                F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
     )
-    in_range = v.isNotNull() & (v >= lo) & (v < hi)
-    aggs = [
-        F.sum(((b == i) & in_range).cast("long")).alias(f"__b{i}")
-        for i in range(n_bins)
-    ]
-    out = df.groupBy(*group_cols).agg(
-        *aggs,
-        F.sum((v.isNotNull() & (v < lo)).cast("long")).alias("n_under"),
-        F.sum((v.isNotNull() & (v >= hi)).cast("long")).alias("n_over"),
-        F.sum(v.isNull().cast("long")).alias("n_null"),
+    counts = df.groupBy(*group_cols, b.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    return out.select(
+    m = F.map_from_arrays(
+        F.collect_list("__bin"), F.collect_list("__cnt")
+    )
+    packed = counts.groupBy(*group_cols).agg(m.alias("__m"))
+    return packed.select(
         *group_cols,
-        F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias("bins"),
-        "n_under",
-        "n_over",
-        "n_null",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i), F.lit(0).cast("long")),
+        ).alias("bins"),
+        F.coalesce(F.element_at("__m", F.lit(-1)), F.lit(0).cast("long")).alias(
+            "n_under"
+        ),
+        F.coalesce(F.element_at("__m", F.lit(-2)), F.lit(0).cast("long")).alias(
+            "n_over"
+        ),
+        F.coalesce(F.element_at("__m", F.lit(-3)), F.lit(0).cast("long")).alias(
+            "n_null"
+        ),
         F.lit(float(lo)).alias("lo"),
         F.lit(float(hi)).alias("hi"),
     )

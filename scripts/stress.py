@@ -1207,6 +1207,74 @@ def graph_main() -> None:
     )
 
 
+def aggregates_main() -> None:
+    """Histogram + frequent-items at 10M rows (round 6): the other two
+    mergeable-aggregate families, measured like --sketches."""
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-aggregates")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import histograms
+
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "cast(id % 5 as string) g",
+            "cast((id * 2654435761) % 100000 as double) v",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df.count()
+
+    t0 = time.time()
+    exact = df.groupBy("g").agg(F.expr("percentile(v, 0.95)").alias("p")).collect()
+    print(f"exact percentile(0.95) by group (full sort path): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    h = histograms.histogram_table(df, ["g"], "v", 0.0, 100000.0, 256).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    h.count()
+    print(f"histogram_table build (256 bins): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    q = {
+        (r.g, r.q): r.quantile
+        for r in histograms.quantile_estimate(h, ["g"], [0.5, 0.95, 0.99]).collect()
+    }
+    print(f"3 quantiles from histogram: {time.time()-t0:.2f}s")
+    ex = {r.g: r.p for r in exact}
+    err = max(abs(q[(g, 0.95)] - ex[g]) for g in ex)
+    print(f"max |hist p95 - exact p95|: {err:.1f} (bin width {100000/256:.1f})")
+
+    # frequent tokens over a synthetic zipf-ish token stream
+    from sales_analytics_etl_sql_powerbi_spark.operators import frequency
+
+    docs = spark.range(n // 10).selectExpr(
+        "id AS doc_id",
+        "concat('t', cast(id % 7 AS string), ' t', cast(id % 97 AS string),"
+        " ' tail', cast(id AS string)) AS text",
+    )
+    t0 = time.time()
+    top = frequency.frequent_tokens_approx(docs, topk=10, capacity=2000).collect()
+    print(
+        f"frequent_tokens_approx over {3 * n // 10} tokens: {time.time()-t0:.1f}s; "
+        f"top1={top[0].token} [{top[0].count_min}, {top[0].count_max}]"
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
@@ -1236,5 +1304,7 @@ if __name__ == "__main__":
         cdc_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
         graph_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--aggregates":
+        aggregates_main()
     else:
         main()
