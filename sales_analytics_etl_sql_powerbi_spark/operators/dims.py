@@ -256,6 +256,12 @@ def entity_match_pairs(
     empty (punctuation-only) are excluded entirely — every such pair
     would otherwise score distance 0. Loosen by blocking on fewer
     columns.
+
+    Skew contract (measured — PLAN_AUDIT round-6 blocking-skew probe):
+    candidate count is quadratic in the size of a (block, prefix)
+    cell, so one dominant block whose names share a prefix is THE
+    failure mode; mitigate by raising ``prefix_len``, adding block
+    columns, or pre-splitting such blocks on a hash of the name tail.
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(

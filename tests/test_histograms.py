@@ -105,7 +105,10 @@ def test_quantile_empty_group_yields_null_row(spark):
     assert got[("a", 0.5)] is not None
 
 
-def test_histogram_build_plan_is_single_aggregate(spark):
+def test_histogram_build_plan_is_narrow_aggregates_only(spark):
+    """Two narrow hash aggregates (per-(group,bin) count, then the
+    groups×bins pack) — no join, no window, no explode, and no
+    per-row-per-bin work in codegen."""
     df = _values(spark)
     h = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 64)
     plan = h._jdf.queryExecution().executedPlan().toString()
