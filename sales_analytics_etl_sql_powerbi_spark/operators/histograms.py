@@ -8,11 +8,15 @@ load, WITHOUT re-scanning history" — and unlike HLL sketches, a
 fixed-bin histogram merges EXACTLY (vector addition), so rollups are
 bit-deterministic in any order.
 
-Shape: the histogram build is ONE map-side-combined aggregate (the
-bin counts are ``n_bins`` sum columns packed into an array — no
-explode, no shuffle of raw values beyond the group keys). Merging
-adds count vectors; quantile estimation runs over the (groups ×
-bins)-sized histogram table, never the raw data.
+Shape: the histogram build is a TWO-STAGE NARROW aggregation — a
+plain map-side-combined count per (group, bin-index) whose per-row
+cost does not grow with ``n_bins``, then the tiny
+(groups × ≤n_bins+3)-row result packs into the array via a map
+lookup. (The one-stage alternative — n_bins sum columns — puts
+n_bins comparisons in the per-row codegen loop: measured 3× slower
+at 10M rows × 256 bins, PLAN_AUDIT round 6.) Merging adds count
+vectors; quantile estimation runs over the (groups × bins)-sized
+histogram table, never the raw data.
 
 Error contract: a quantile estimate lands within one bin width of the
 true value (linear interpolation inside the bin); values outside
@@ -81,9 +85,11 @@ def histogram_table(
     counts = df.groupBy(*group_cols, b.alias("__bin")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    m = F.map_from_arrays(
-        F.collect_list("__bin"), F.collect_list("__cnt")
-    )
+    # ONE collect_list of (bin, cnt) structs — two parallel
+    # collect_lists would rely on element alignment across aggregate
+    # buffers, an ordering Spark does not guarantee; the struct pairs
+    # atomically, and map order is irrelevant (lookup by key)
+    m = F.map_from_entries(F.collect_list(F.struct("__bin", "__cnt")))
     packed = counts.groupBy(*group_cols).agg(m.alias("__m"))
     return packed.select(
         *group_cols,

@@ -108,11 +108,17 @@ def test_quantile_empty_group_yields_null_row(spark):
 def test_histogram_build_plan_is_narrow_aggregates_only(spark):
     """Two narrow hash aggregates (per-(group,bin) count, then the
     groups×bins pack) — no join, no window, no explode, and no
-    per-row-per-bin work in codegen."""
+    per-row-per-bin work in codegen. The wide-build regression is
+    guarded directly: a reverted n_bins-sum-columns build would put
+    __b0..__b63 aggregate columns in the plan and collapse it to one
+    aggregate pair."""
     df = _values(spark)
     h = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 64)
     plan = h._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan and "Generate" not in plan
+    assert "__b0" not in plan, "wide per-bin aggregate columns are back"
+    # partial+final for EACH of the two stages
+    assert plan.count("HashAggregate") >= 4, plan
 
 
 def test_histogram_validates_params(spark):

@@ -403,7 +403,7 @@ def test_scd2_apply_matches_python_reference(spark, batches):
         scd2_apply,
     )
 
-    eot = dt.datetime(9999, 12, 31)
+    eot = dt.datetime.fromisoformat(SCD2_END_OF_TIME.replace(" ", "T"))
     t0 = dt.datetime(2024, 1, 1)
     seed = {0: "A", 1: "B"}
     dim = spark.createDataFrame(
