@@ -263,3 +263,63 @@ def profile_table(
         ]
     )
     return row.select(F.explode(structs).alias("r")).select("r.*")
+
+
+def freshness_check(
+    df: DataFrame,
+    ts_col: str,
+    max_age_seconds: float,
+    as_of: "str | None" = None,
+) -> DataFrame:
+    """Data-freshness check: is the newest row recent enough?
+
+    The operational DQ signal the per-row expectations engine cannot
+    express (it judges rows; freshness judges the TABLE against the
+    clock). One max() aggregate → one row: (max_ts, age_seconds,
+    fresh). ``as_of`` pins "now" (ISO timestamp string) for
+    deterministic tests/backfills; the default reads the cluster
+    clock. An EMPTY table is stale by definition (NULL max_ts,
+    fresh=false) — silence is the failure freshness exists to catch.
+    """
+    now = (
+        F.to_timestamp(F.lit(as_of))
+        if as_of is not None
+        else F.current_timestamp()
+    )
+    age = F.unix_micros(now) - F.unix_micros(F.max(F.col(ts_col)))
+    return df.agg(
+        F.max(F.col(ts_col)).alias("max_ts"),
+        (age.cast("double") / F.lit(1_000_000.0)).alias("age_seconds"),
+        F.coalesce(
+            age <= F.lit(int(max_age_seconds * 1_000_000)), F.lit(False)
+        ).alias("fresh"),
+    )
+
+
+def volume_drift_check(
+    df: DataFrame,
+    expected: float,
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Volume-anomaly check: row count vs an expected baseline.
+
+    The second table-level signal (a load that silently delivered half
+    the rows passes every per-row rule). ``expected`` typically comes
+    from the previous loads' counts (their mean or median — the caller
+    owns the baseline policy, this op owns the comparison). Returns
+    one row: (row_count, expected, ratio, within), where ``within`` =
+    ratio ∈ [1−tolerance, 1+tolerance]. ``expected <= 0`` raises —
+    there is no meaningful ratio against an empty baseline.
+    """
+    if expected <= 0:
+        raise ValueError("expected must be > 0 (no baseline, no drift check)")
+    n = F.count(F.lit(1)).cast("long")
+    ratio = n.cast("double") / F.lit(float(expected))
+    return df.agg(
+        n.alias("row_count"),
+        F.lit(float(expected)).alias("expected"),
+        ratio.alias("ratio"),
+        (
+            (ratio >= F.lit(1.0 - tolerance)) & (ratio <= F.lit(1.0 + tolerance))
+        ).alias("within"),
+    )

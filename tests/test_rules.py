@@ -152,3 +152,38 @@ def test_guard_eq_case_insensitive(spark):
     # a dim arriving with 'outdoor & garden' must still get subcategories
     got = run_ref(spark, [("HZ77", "Garden Gazebo", "outdoor & garden", None)])
     assert got["HZ77"][1] == "Gazebo / Pergola"
+
+
+def test_freshness_check_fresh_stale_and_empty(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 10:00:00",)], "ts string"
+    ).selectExpr("cast(ts as timestamp) ts")
+    fresh = quality.freshness_check(
+        df, "ts", max_age_seconds=7200, as_of="2024-01-01 11:00:00"
+    ).collect()[0]
+    assert fresh.fresh and fresh.age_seconds == 3600.0
+    stale = quality.freshness_check(
+        df, "ts", max_age_seconds=1800, as_of="2024-01-01 11:00:00"
+    ).collect()[0]
+    assert not stale.fresh
+    empty = quality.freshness_check(
+        df.where("ts > timestamp'2030-01-01'"), "ts", 10**9,
+        as_of="2024-01-01 00:00:00",
+    ).collect()[0]
+    assert empty.max_ts is None and not empty.fresh  # silence = stale
+
+
+def test_volume_drift_check(spark):
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    df = spark.range(90)
+    r = quality.volume_drift_check(df, expected=100, tolerance=0.2).collect()[0]
+    assert r.within and r.row_count == 90 and abs(r.ratio - 0.9) < 1e-12
+    r2 = quality.volume_drift_check(df, expected=200, tolerance=0.2).collect()[0]
+    assert not r2.within  # half the rows silently missing -> flagged
+    with pytest.raises(ValueError):
+        quality.volume_drift_check(df, expected=0)
