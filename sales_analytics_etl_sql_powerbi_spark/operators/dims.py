@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cdc_apply",
+    "entity_clusters",
     "entity_match_pairs",
     "scd2_apply",
     "scd2_lookup",
@@ -404,3 +405,50 @@ def cdc_apply(
     touched = latest.select(key)
     upserts = latest.where(F.col(op_col) != "D").select(*snapshot.columns)
     return snapshot.join(touched, on=key, how="left_anti").unionByName(upserts)
+
+
+def entity_clusters(
+    dim: DataFrame,
+    key: str = "customer_id",
+    name_col: str = "customer_name",
+    block_cols: list[str] | None = None,
+    max_distance: int = 2,
+    prefix_len: int = 2,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Entity-resolution END STATE: every record → a canonical
+    ``entity_id``.
+
+    :func:`entity_match_pairs` finds probable-duplicate PAIRS; this
+    collapses them transitively (A~B, B~C ⇒ one entity even when A and
+    C never blocked together) by reusing the SAME min-label-propagation
+    connected-components routine the corpus dedup path runs
+    (:func:`..dedup.neardup_clusters` with ``pairs=`` — one algorithm,
+    two domains, zero drift). ``entity_id`` = min key in the component;
+    unmatched records are their own entity. Pass ``pairs=`` to reuse an
+    already-materialized match output (pair generation dominates cost,
+    same argument as the dedup flow).
+
+    Returns (key, entity_id) — join it back to the dim to pick
+    canonical survivor attributes, exactly like
+    :func:`..dedup.keep_canonical` does for documents.
+    """
+    from .dedup import neardup_clusters
+
+    if pairs is None:
+        pairs = entity_match_pairs(
+            dim,
+            key=key,
+            name_col=name_col,
+            block_cols=block_cols,
+            max_distance=max_distance,
+            prefix_len=prefix_len,
+        )
+    edge = pairs.select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    nodes = dim.select(F.col(key).alias("doc_id")).distinct()
+    out = neardup_clusters(nodes, pairs=edge)
+    return out.select(
+        F.col("doc_id").alias(key), F.col("cluster_id").alias("entity_id")
+    )

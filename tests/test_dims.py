@@ -358,3 +358,49 @@ def test_cdc_apply_window_is_batch_side_only(spark):
     # so no Window (and certainly none over the snapshot) remains
     assert plan.count("Window") == 0, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_clusters_transitive_and_singletons(spark):
+    """A~B and B~C collapse into ONE entity even though A and C are
+    distance 4 apart (never a direct pair); unmatched records stay
+    their own entity; entity_id = min key in the component."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_clusters,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (10, "acme corp", "CA"),
+            (11, "acme corpx", "CA"),    # dist 1 from 10
+            (12, "acme corpxx", "CA"),   # dist 1 from 11, dist 2 from 10
+            (13, "acme corpxxxx", "CA"), # dist 2 from 12, 4 from 10 -> chained in
+            (20, "zenith llc", "CA"),    # singleton
+        ],
+        "customer_id long, customer_name string, state_code string",
+    )
+    out = {r.customer_id: r.entity_id for r in entity_clusters(dim).collect()}
+    assert out[10] == out[11] == out[12] == out[13] == 10
+    assert out[20] == 20
+
+
+def test_entity_clusters_accepts_prebuilt_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_clusters,
+        entity_match_pairs,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "acme corp", "CA"), (2, "acme corpx", "CA"), (3, "other", "CA")],
+        "customer_id long, customer_name string, state_code string",
+    )
+    pairs = entity_match_pairs(dim)
+    via_pairs = {
+        r.customer_id: r.entity_id
+        for r in entity_clusters(dim, pairs=pairs).collect()
+    }
+    direct = {
+        r.customer_id: r.entity_id for r in entity_clusters(dim).collect()
+    }
+    assert via_pairs == direct == {1: 1, 2: 1, 3: 3}
