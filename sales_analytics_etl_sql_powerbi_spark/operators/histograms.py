@@ -116,14 +116,37 @@ def merge_histogram_tables(
 ) -> DataFrame:
     """EXACT merge (element-wise vector add) of histogram tables —
     bit-deterministic in any order, unlike HLL union. Parts must share
-    [lo, hi) and bin count; violations surface as a raise at
-    estimation time (bounds are carried columns)."""
+    [lo, hi) and bin count; violations raise ``ValueError`` EAGERLY
+    (one tiny one-row aggregate job over the parts, the scd2_apply
+    strict pattern) — the previously-lazy ``raise_error`` riding the
+    ``lo`` column was PRUNED whenever a consumer never read ``lo``
+    (e.g. ``select('bins')`` then sum), silently merging incompatible
+    parts. Cost: the check job re-runs the part builds when parts are
+    lazy raw-data derivations; in the incremental use case (parts read
+    from stored histogram tables — the point of a mergeable sketch)
+    it is a metadata-cheap scan of (groups × 1)-sized frames."""
     if not parts:
         raise ValueError("merge_histogram_tables needs at least one part")
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    merged = u.groupBy(*group_cols).agg(
+    lo_min, lo_max, hi_min, hi_max, nb_min, nb_max = u.agg(
+        F.min("lo"),
+        F.max("lo"),
+        F.min("hi"),
+        F.max("hi"),
+        F.min(F.size("bins")),
+        F.max(F.size("bins")),
+    ).collect()[0]
+    # incompatible parts must fail loudly, not silently mis-bin
+    # (zip_with null-pads a shorter array, poisoning the fold)
+    if lo_min != lo_max or hi_min != hi_max or nb_min != nb_max:
+        raise ValueError(
+            "merge_histogram_tables: parts disagree on [lo, hi) bounds "
+            f"or bin count (lo {lo_min}..{lo_max}, hi {hi_min}..{hi_max}, "
+            f"n_bins {nb_min}..{nb_max})"
+        )
+    return u.groupBy(*group_cols).agg(
         F.aggregate(
             F.collect_list("bins"),
             F.array_repeat(F.lit(0).cast("long"), F.size(F.first("bins"))),
@@ -133,38 +156,7 @@ def merge_histogram_tables(
         F.sum("n_over").alias("n_over"),
         F.sum("n_null").alias("n_null"),
         F.min("lo").alias("lo"),
-        F.max("lo").alias("__lo2"),
         F.min("hi").alias("hi"),
-        F.max("hi").alias("__hi2"),
-        F.min(F.size("bins")).alias("__nb_min"),
-        F.max(F.size("bins")).alias("__nb_max"),
-    )
-    # incompatible parts must fail loudly, not silently mis-bin:
-    # bounds AND bin count (zip_with null-pads a shorter array, which
-    # would poison the fold with NULLs) — raise_error rides the lo
-    # column, which every consumer reads
-    ok = (
-        (F.col("lo") == F.col("__lo2"))
-        & (F.col("hi") == F.col("__hi2"))
-        & (F.col("__nb_min") == F.col("__nb_max"))
-    )
-    return merged.select(
-        *group_cols,
-        "bins",
-        "n_under",
-        "n_over",
-        "n_null",
-        F.when(ok, F.col("lo"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "merge_histogram_tables: parts disagree on [lo, hi) "
-                    "bounds or bin count"
-                )
-            ).cast("double")
-        )
-        .alias("lo"),
-        "hi",
     )
 
 

@@ -382,8 +382,12 @@ def weighted_sample(
         float(_BUCKETS)
     )
     score = F.log(u) / w
+    # NaN weights must be excluded explicitly: Spark orders NaN LARGER
+    # than any double, so `w > 0` ADMITS NaN and the NaN score would
+    # sort first under desc, consuming top-n slots — the opposite of
+    # the documented invalid-weight exclusion
     return (
-        df.where(w.isNotNull() & (w > 0))
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("__es_score", score)
         .orderBy(F.desc("__es_score"), F.asc(key))
         .limit(n)
@@ -404,7 +408,8 @@ def weighted_sample_sql(
     u = f"(({_bucket_duck(key, salt)}) + 0.5) / {float(_BUCKETS)}"
     return f"""
 SELECT {columns} FROM {source}
-WHERE {weight_col} IS NOT NULL AND cast({weight_col} AS DOUBLE) > 0
+WHERE {weight_col} IS NOT NULL AND NOT isnan(cast({weight_col} AS DOUBLE))
+  AND cast({weight_col} AS DOUBLE) > 0
 ORDER BY ln({u}) / cast({weight_col} AS DOUBLE) DESC, {key} ASC
 LIMIT {n}
 """

@@ -929,16 +929,18 @@ def bm25_search(
         F.avg("__dl").alias("__avgdl"),
         F.count(F.lit(1)).cast("long").alias("__n"),
     )
-    stack_expr = "stack({n}, {pairs}) as (token, __tf)".format(
-        n=len(qtokens),
-        pairs=", ".join(
-            "'{tok}', __qtf_{i}".format(tok=t.replace("'", "\\'"), i=i)
-            for i, t in enumerate(qtokens)
-        ),
-    )
-    tf = per_doc.select("doc_id", "__dl", F.expr(stack_expr)).where(
-        F.col("__tf") > 0
-    )
+    # unpivot via F.stack over F.lit COLUMNS, not a rendered expr
+    # string: a query token containing a backslash (or any other SQL
+    # escape) would be re-parsed by the expression parser ('\b' →
+    # backspace), silently mis-matching the token and diverging from
+    # the DuckDB twin which only doubles quotes
+    stack_args: list = [F.lit(len(qtokens))]
+    for i, t in enumerate(qtokens):
+        stack_args.append(F.lit(t))
+        stack_args.append(F.col(f"__qtf_{i}"))
+    tf = per_doc.select(
+        "doc_id", "__dl", F.stack(*stack_args).alias("token", "__tf")
+    ).where(F.col("__tf") > 0)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     scored = (
         tf.join(F.broadcast(df), "token")

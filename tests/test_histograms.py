@@ -151,3 +151,15 @@ def test_fp_edge_value_just_below_hi_lands_in_last_bin(spark):
     df = spark.createDataFrame([("a", v), ("a", 0.0)], "g string, v double")
     h = histograms.histogram_table(df, ["g"], "v", 0.0, 1.0, 3).collect()[0]
     assert sum(h.bins) == 2 and h.bins[2] == 1 and h.n_over == 0
+
+
+def test_merge_incompatibility_check_is_eager_even_when_lo_unread(spark):
+    """The pruning trap (ADVICE r6): a consumer that never reads the
+    lo column (select('bins') then sum) must STILL hit the
+    compatibility raise — the check is an eager job at merge time,
+    not a lazy raise_error column Catalyst can prune away."""
+    df = _values(spark)
+    a = histograms.histogram_table(df, ["g"], "v", 0.0, 1000.0, 50)
+    b = histograms.histogram_table(df, ["g"], "v", 0.0, 500.0, 50)
+    with pytest.raises(ValueError, match="disagree"):
+        histograms.merge_histogram_tables([a, b], ["g"]).select("bins")

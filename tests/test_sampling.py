@@ -279,3 +279,32 @@ def test_write_training_shards_jsonl_byte_identical_and_loadable(spark, sf_dir, 
     # full round trip preserves the corpus
     back = spark.read.json(str(tmp_path / "a"))
     assert back.count() == docs.count()
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    """Spark orders NaN larger than any double, so `w > 0` alone
+    ADMITS NaN — and ln(u)/NaN scores sort first under desc, stealing
+    top-n slots (ADVICE r6). NaN weights must be excluded on both the
+    Spark side and the DuckDB twin."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 2.0), (4, float("nan"))],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in sampling.weighted_sample(df, "doc_id", "w", 3).collect()}
+    assert got == {1, 3}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, w DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r.doc_id, r.w) for r in df.collect()]
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            sampling.weighted_sample_sql("doc_id", "w", 3, source="t", columns="doc_id")
+        ).fetchall()
+    }
+    assert want == {1, 3}

@@ -512,3 +512,93 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
         r.event_id: r.tier for r in spark.sql("select * from t_enrich_out").collect()
     }
     assert got == batch
+
+
+def test_cdc_tombstone_compaction_bounded_window(spark, tmp_path):
+    """tombstone_window=W (VERDICT r6 item 2): tombstones older than
+    max(incoming seq) − W are dropped at publish — the snapshot's
+    delete overhead is bounded by the window, not by history — while
+    tombstones INSIDE the window keep blocking zombie resurrection."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl_compact")
+    cdc.snapshot_init(
+        spark.createDataFrame(
+            [(k, f"v{k}") for k in range(1, 6)], "k long, v string"
+        ),
+        table,
+    )
+    # batch 1: delete keys 1,2 at seq 10,11 (window 100 → retained)
+    cdc.apply_cdc_batch(
+        spark,
+        table,
+        spark.createDataFrame([(1, None, "D", 10), (2, None, "D", 11)], CDC_SCHEMA),
+        "k",
+        tombstone_window=100,
+    )
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    assert internal.where("__cdc_deleted").count() == 2
+    # zombie insert for key 1 below its tombstone seq: still blocked
+    cdc.apply_cdc_batch(
+        spark,
+        table,
+        spark.createDataFrame([(1, "zombie", "I", 5)], CDC_SCHEMA),
+        "k",
+        tombstone_window=100,
+    )
+    got = {r.k for r in cdc.read_snapshot(spark, table).collect()}
+    assert 1 not in got and 2 not in got
+    # batch at seq 200: both tombstones (seq ≤ 200-100) compact away
+    cdc.apply_cdc_batch(
+        spark,
+        table,
+        spark.createDataFrame([(3, "v3b", "U", 200)], CDC_SCHEMA),
+        "k",
+        tombstone_window=100,
+    )
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    assert internal.where("__cdc_deleted").count() == 0
+    assert {r.k for r in cdc.read_snapshot(spark, table).collect()} == {3, 4, 5}
+    # no window (default): tombstones retained indefinitely
+    table2 = str(tmp_path / "tbl_nocompact")
+    cdc.snapshot_init(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table2
+    )
+    cdc.apply_cdc_batch(
+        spark, table2,
+        spark.createDataFrame([(1, None, "D", 10)], CDC_SCHEMA), "k",
+    )
+    cdc.apply_cdc_batch(
+        spark, table2,
+        spark.createDataFrame([(2, "b", "I", 500)], CDC_SCHEMA), "k",
+    )
+    assert (
+        cdc.read_snapshot(spark, table2, internal=True)
+        .where("__cdc_deleted")
+        .count()
+        == 1
+    )
+
+
+def test_cdc_latest_version_falls_back_to_committed_dirs(spark, tmp_path):
+    """Mid-swap (or crashed-publish) recovery: with the _LATEST
+    pointer missing, latest_version finds the newest fully-committed
+    v=N directory via its _SUCCESS marker."""
+    import os
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl_ptr")
+    cdc.snapshot_init(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    cdc.apply_cdc_batch(
+        spark, table,
+        spark.createDataFrame([(1, "b", "U", 1)], CDC_SCHEMA), "k",
+    )
+    assert cdc.latest_version(table) == 1
+    os.remove(os.path.join(table, "_LATEST"))
+    assert cdc.latest_version(table) == 1  # fallback scan
+    assert {r.v for r in cdc.read_snapshot(spark, table).collect()} == {"b"}
+    # file:// scheme resolves through the same local path
+    assert cdc.latest_version("file://" + table) == 1

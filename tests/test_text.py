@@ -435,3 +435,29 @@ def test_bm25_plan_filters_before_shuffle_no_window(spark):
 
     with pytest.raises(ValueError):
         T.bm25_search(docs, [])
+
+
+def test_bm25_query_token_with_backslash_matches_twin(spark):
+    """A query token containing a backslash must be matched literally
+    (ADVICE r6: the old rendered-expr unpivot re-parsed '\\b' as a SQL
+    escape → backspace, silently diverging from the DuckDB twin)."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, r"path c:\bin and more"), (2, "plain words only"), (3, r"c:\bin again c:\bin")],
+        "doc_id long, text string",
+    )
+    got = T.bm25_search(docs, [r"c:\bin"], topk=5).collect()
+    assert {r.doc_id for r in got} == {1, 3}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    want = con.execute(T.bm25_search_sql([r"c:\bin"], topk=5)).fetchall()
+    assert [r.doc_id for r in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g.score - w[1]) < 1e-9
