@@ -543,8 +543,84 @@ def q_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     return text.doc_profile(_docs(spark, sf))
 
 
+#: histogram gate bounds for doc lengths: width = (576−64)/128 = 4.0
+#: EXACTLY (power of two) so the interpolation arithmetic is
+#: bit-reproducible across engines; lengths below 64 / at-or-above 576
+#: exist in the corpus, so the under/over accounting is exercised with
+#: NONZERO counts
+_HIST_LO, _HIST_HI, _HIST_BINS = 64.0, 576.0, 128
+_HIST_QS = (0.25, 0.5, 0.75, 0.9, 0.95)
+
+
 def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
-    return text.doc_length_quantiles(_docs(spark, sf))
+    """Exact interpolated quantiles PLUS the mergeable-histogram path
+    (VERDICT r6 item 4), one discriminated frame: part='exact' is the
+    percentile() row; part='histmeta'/'hist' are the fixed-bin
+    histogram's accounting and interpolated quantiles — built as TWO
+    split parts (doc_id parity) and merged, so the driver hash covers
+    histogram_table + merge_histogram_tables (exact vector-add) +
+    quantile_estimate against a DuckDB twin that computes the DIRECT
+    histogram by a different route."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import histograms
+
+    docs = _docs(spark, sf)
+    lens = docs.select("doc_id", F.length("text").cast("double").alias("v"))
+    parts = [
+        histograms.histogram_table(
+            lens.where(F.col("doc_id") % 2 == i),
+            [],
+            "v",
+            _HIST_LO,
+            _HIST_HI,
+            _HIST_BINS,
+        )
+        for i in (0, 1)
+    ]
+    hist = histograms.merge_histogram_tables(parts, [])
+    null_long = F.lit(None).cast("long")
+    null_dbl = F.lit(None).cast("double")
+    exact = text.doc_length_quantiles(docs).select(
+        F.lit("exact").alias("part"),
+        null_dbl.alias("q"),
+        null_dbl.alias("quantile"),
+        "n_docs",
+        null_long.alias("n_under"),
+        null_long.alias("n_over"),
+        "p25",
+        "p50",
+        "p75",
+        "p95",
+        "mean_len",
+    )
+    meta = hist.select(
+        F.lit("histmeta").alias("part"),
+        null_dbl.alias("q"),
+        null_dbl.alias("quantile"),
+        F.aggregate("bins", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_docs"
+        ),
+        "n_under",
+        "n_over",
+        null_dbl.alias("p25"),
+        null_dbl.alias("p50"),
+        null_dbl.alias("p75"),
+        null_dbl.alias("p95"),
+        null_dbl.alias("mean_len"),
+    )
+    hq = histograms.quantile_estimate(hist, [], list(_HIST_QS)).select(
+        F.lit("hist").alias("part"),
+        "q",
+        "quantile",
+        null_long.alias("n_docs"),
+        null_long.alias("n_under"),
+        null_long.alias("n_over"),
+        null_dbl.alias("p25"),
+        null_dbl.alias("p50"),
+        null_dbl.alias("p75"),
+        null_dbl.alias("p95"),
+        null_dbl.alias("mean_len"),
+    )
+    return exact.unionByName(meta).unionByName(hq)
 
 
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1086,6 +1162,36 @@ FROM ({funnel}) f
 """
 
 
+def _doc_length_quantiles_sql() -> str:
+    """Exact-percentile part + the direct-histogram twin of the
+    split-build-then-merge Spark side (see q_doc_length_quantiles)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.histograms import (
+        global_histogram_quantiles_sql,
+    )
+
+    hist = global_histogram_quantiles_sql(
+        "length(text)",
+        "documents",
+        _HIST_LO,
+        _HIST_HI,
+        _HIST_BINS,
+        list(_HIST_QS),
+    )
+    return f"""
+SELECT 'exact' AS part, cast(NULL AS DOUBLE) AS q,
+       cast(NULL AS DOUBLE) AS quantile, e.n_docs,
+       cast(NULL AS BIGINT) AS n_under, cast(NULL AS BIGINT) AS n_over,
+       e.p25, e.p50, e.p75, e.p95, e.mean_len
+FROM ({text.DOC_LENGTH_QUANTILES_SQL}) e
+UNION ALL
+SELECT h.part, h.q, h.quantile, h.n_docs, h.n_under, h.n_over,
+       cast(NULL AS DOUBLE) AS p25, cast(NULL AS DOUBLE) AS p50,
+       cast(NULL AS DOUBLE) AS p75, cast(NULL AS DOUBLE) AS p95,
+       cast(NULL AS DOUBLE) AS mean_len
+FROM ({hist}) h
+"""
+
+
 def _oracle_sf_dir() -> str:
     """SF dir the oracle twins derive their SIDE-INPUTS from: the CSV
     export fixture and every trained-from-the-corpus constant (IVF
@@ -1304,7 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": text.text_stats_sql(),
         "doc_profile": text.doc_profile_sql(),
-        "doc_length_quantiles": text.DOC_LENGTH_QUANTILES_SQL,
+        "doc_length_quantiles": _doc_length_quantiles_sql(),
         "chunk_documents": text.chunk_documents_sql(chunk_size=32, overlap=8),
         "vocab_topk": text.vocab_topk_sql(),
         "scrub_pii": text.scrub_pii_sql(

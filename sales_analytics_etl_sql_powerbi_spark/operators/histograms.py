@@ -34,6 +34,7 @@ __all__ = [
     "histogram_table",
     "merge_histogram_tables",
     "quantile_estimate",
+    "global_histogram_quantiles_sql",
 ]
 
 
@@ -232,3 +233,75 @@ def quantile_estimate(
         )
     )
     return picked.unionByName(empty)
+
+
+def global_histogram_quantiles_sql(
+    value_expr: str,
+    source: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: list[float],
+) -> str:
+    """DuckDB twin of the global (no-group) histogram build +
+    quantile estimate — the hash gate for the deterministic histogram
+    path (build, exact merge, interpolation).
+
+    The twin computes the DIRECT histogram; a Spark side that builds
+    split parts and merges them agrees only if the merge is exact —
+    so one hash covers build + merge + estimate. Emits two
+    discriminated parts: ``histmeta`` (in-range/under/over counts)
+    and ``hist`` (one row per q with the interpolated quantile).
+
+    FP-parity contract (why the values hash-match bit-for-bit): the
+    interpolation is written with the SAME operand order and types as
+    :func:`quantile_estimate` — ``lo + ((hi−lo)/n_bins) · (bin +
+    (target − cumprev)/cnt)`` with integer target/cum/cnt cast to
+    double only at the division — and callers should pick bounds
+    whose bin width is exactly representable (a power of two) so the
+    width term itself carries no rounding.
+    """
+    flo, fhi = float(lo), float(hi)
+    width = (fhi - flo) / n_bins
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+WITH vals AS (SELECT cast({value_expr} AS DOUBLE) AS v FROM {source}),
+binned AS (
+  SELECT CASE WHEN v < {flo!r} THEN -1
+              WHEN v >= {fhi!r} THEN -2
+              ELSE least(cast(floor((v - {flo!r}) / {width!r}) AS INT), {n_bins - 1})
+         END AS b
+  FROM vals WHERE v IS NOT NULL
+),
+counts AS (SELECT b, count(1) AS c FROM binned WHERE b >= 0 GROUP BY b),
+meta AS (
+  SELECT coalesce((SELECT sum(c) FROM counts), 0) AS total,
+         (SELECT count(1) FROM binned WHERE b = -1) AS under,
+         (SELECT count(1) FROM binned WHERE b = -2) AS over
+),
+cum AS (
+  SELECT b, c,
+         sum(c) OVER (ORDER BY b) AS cum,
+         sum(c) OVER () AS total
+  FROM counts
+),
+qq AS (SELECT unnest([{qlist}]) AS q),
+hist AS (
+  SELECT qq.q,
+         {flo!r} + (({fhi!r} - {flo!r}) / {n_bins}) *
+           (cast(cum.b AS DOUBLE)
+            + cast(cast(ceil(qq.q * cum.total) AS BIGINT) - cum.cum + cum.c AS DOUBLE)
+              / cast(cum.c AS DOUBLE)) AS quantile
+  FROM qq JOIN cum
+    ON cum.total > 0 AND cum.c > 0
+   AND cum.cum >= cast(ceil(qq.q * cum.total) AS BIGINT)
+   AND cum.cum - cum.c < cast(ceil(qq.q * cum.total) AS BIGINT)
+)
+SELECT 'histmeta' AS part, cast(NULL AS DOUBLE) AS q,
+       cast(NULL AS DOUBLE) AS quantile,
+       cast(total AS BIGINT) AS n_docs,
+       cast(under AS BIGINT) AS n_under, cast(over AS BIGINT) AS n_over
+FROM meta
+UNION ALL
+SELECT 'hist', q, quantile, NULL, NULL, NULL FROM hist
+"""

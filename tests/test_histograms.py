@@ -163,3 +163,48 @@ def test_merge_incompatibility_check_is_eager_even_when_lo_unread(spark):
     b = histograms.histogram_table(df, ["g"], "v", 0.0, 500.0, 50)
     with pytest.raises(ValueError, match="disagree"):
         histograms.merge_histogram_tables([a, b], ["g"]).select("bins")
+
+
+def test_global_histogram_quantiles_sql_twin_bit_exact(spark):
+    """The DuckDB twin of the no-group histogram path must agree
+    BIT-exactly with split-build + merge + quantile_estimate when the
+    bin width is exactly representable — the fp-parity contract the
+    driver gate relies on (q_doc_length_quantiles)."""
+    import duckdb
+
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 41 = 0 THEN 2.0 "  # under
+        "     WHEN id % 43 = 0 THEN 700.0 "  # over
+        "     ELSE cast(64 + (id % 500) as double) END AS v",
+    )
+    parts = [
+        histograms.histogram_table(
+            df.where(F.col("doc_id") % 2 == i), [], "v", 64.0, 576.0, 128
+        )
+        for i in (0, 1)
+    ]
+    hist = histograms.merge_histogram_tables(parts, [])
+    qs = [0.25, 0.5, 0.9]
+    got = {
+        round(r.q, 6): r.quantile
+        for r in histograms.quantile_estimate(hist, [], qs).collect()
+    }
+    meta = hist.select(
+        F.aggregate("bins", F.lit(0).cast("long"), lambda a, x: a + x),
+        "n_under",
+        "n_over",
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r.doc_id, r.v) for r in df.collect()]
+    )
+    rows = con.execute(
+        histograms.global_histogram_quantiles_sql("v", "t", 64.0, 576.0, 128, qs)
+    ).fetchall()
+    for part, q, quant, n_docs, n_under, n_over in rows:
+        if part == "histmeta":
+            assert (n_docs, n_under, n_over) == tuple(meta)
+        else:
+            assert got[round(q, 6)] == quant  # BIT equality, no tolerance
