@@ -123,11 +123,11 @@ def main() -> None:
         "events_cohort_funnel",
         "scd2_customer_history",
         "entity_match",
-        "events_dedup",
+        "events_state",
         "text_stats",
         "doc_profile",
         "chunk_documents",
-        "vocab_topk",
+        "text_retrieval",
         "scrub_pii",
         "reference_rules",
         "merge_product_master",
@@ -143,7 +143,8 @@ def main() -> None:
         "staging_csv_roundtrip",
         "corpus_clean",
         "category_rollup",
-        "events_running_totals",
+        "graph_pagerank",
+        "doc_length_quantiles",
     ):
         clock(name, lambda fn=raw[name]: fn(spark, sf_dir).toPandas())
 

@@ -135,3 +135,66 @@ def pagerank(
     nodes.unpersist()
     links.unpersist()
     return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    iters: int = 6,
+    scale: float = 1e12,
+) -> str:
+    """DuckDB twin of a FIXED-iteration :func:`pagerank` run — the
+    driver-gate companion (``max_iter=iters, tol=0.0`` on the Spark
+    side so both engines run exactly ``iters`` rounds).
+
+    The iteration is UNROLLED into one CTE chain per round (r0..rN,
+    each with its own dangling-mass scalar subquery) — the relational
+    closed form of the same synchronous update, written with the SAME
+    operand order as the Spark side (``teleport + damping·(in_mass +
+    dangling/n)``). Ranks are emitted as ``round(rank·scale)``
+    INTEGERS: per-destination mass sums in different orders across
+    engines (and across Spark partitionings), so raw doubles drift by
+    ulps; the quantum absorbs that while pinning 12 decimals.
+
+    ``edges_sql`` must yield columns (src, dst).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    # every numeric literal is cast to DOUBLE: DuckDB parses decimal
+    # literals as exact DECIMALs, whose arithmetic would diverge from
+    # the Spark side's IEEE doubles
+    damp = f"cast({damping!r} AS DOUBLE)"
+    one = "cast(1.0 AS DOUBLE)"
+    zero = "cast(0.0 AS DOUBLE)"
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(1) AS n FROM nodes)",
+        "deg AS (SELECT src, count(1) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {one} / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.rank), {zero}) AS m "
+            f"FROM {prev} r LEFT JOIN deg ON deg.src = r.node "
+            "WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT n.node, "
+            f"({one} - {damp}) / nn.n + {damp} * "
+            f"(coalesce(c.mass, {zero}) + (SELECT m FROM d{i}) / nn.n) AS rank "
+            "FROM nodes n CROSS JOIN nn LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r.rank / deg.d) AS mass "
+            f"FROM edges e JOIN deg ON deg.src = e.src "
+            f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst) c "
+            "ON c.node = n.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, cast(round(rank * cast({scale!r} AS DOUBLE)) AS BIGINT)"
+        " AS rank_e12 "
+        f"FROM r{iters}"
+    )
