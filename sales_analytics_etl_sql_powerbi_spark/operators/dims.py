@@ -233,6 +233,8 @@ def entity_match_pairs(
     block_cols: list[str] | None = None,
     max_distance: int = 2,
     prefix_len: int = 2,
+    max_cell_size: int | None = None,
+    max_salts: int = 256,
 ) -> DataFrame:
     """Record linkage: probable-duplicate entity pairs via blocked
     fuzzy matching.
@@ -261,8 +263,18 @@ def entity_match_pairs(
     Skew contract (measured — PLAN_AUDIT round-6 blocking-skew probe):
     candidate count is quadratic in the size of a (block, prefix)
     cell, so one dominant block whose names share a prefix is THE
-    failure mode; mitigate by raising ``prefix_len``, adding block
-    columns, or pre-splitting such blocks on a hash of the name tail.
+    failure mode. The candidate VOLUME of such a cell is a data
+    property — no key change shrinks it without a recall trade — but
+    the PLAN defect (all of it landing on one task) is fixable:
+    ``max_cell_size=m`` auto-salts every oversized cell, splitting
+    side A into ``ceil(cell/m)`` hash-of-key salt groups (capped at
+    ``max_salts``) and replicating side B across them, so the ~cell²
+    comparisons spread over that many tasks. OUTPUT-IDENTICAL to the
+    unsalted join by construction (each (a, b) pair meets exactly
+    once — at a's salt; unit-pinned), i.e. recall is untouched; the
+    costs are one cell-size aggregate + replicated shuffle volume for
+    the oversized cells only. Default off: the detection aggregate is
+    wasted work when blocking is known-healthy.
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(
@@ -287,12 +299,46 @@ def entity_match_pairs(
         .where(F.length("__norm") > 0)
         .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
     )
+    join_keys = [*block_cols, "__prefix"]
+    if max_cell_size is not None:
+        if max_cell_size < 1:
+            raise ValueError("max_cell_size must be >= 1")
+        # detect oversized (block, prefix) cells (cell-count-sized
+        # aggregate) and assign each a salt fan-out; healthy cells get
+        # __nsalt = 1 and behave exactly as the unsalted path
+        sizes = base.groupBy(*join_keys).agg(
+            F.least(
+                F.ceil(F.count(F.lit(1)) / F.lit(max_cell_size)),
+                F.lit(max_salts).cast("long"),
+            ).alias("__nsalt")
+        )
+        base = base.join(sizes, on=join_keys)
+        join_keys = [*join_keys, "__salt"]
+    a_extra = (
+        # side A: one deterministic salt per row (hash of the key)
+        [F.pmod(F.xxhash64("__k"), F.col("__nsalt")).alias("__salt")]
+        if max_cell_size is not None
+        else []
+    )
+    b_extra = (
+        # side B: replicated to EVERY salt of its cell — pair (a, b)
+        # meets exactly once, at a's salt, so the output is identical
+        # to the unsalted join (no recall trade, only parallelism)
+        [
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("__nsalt") - 1)
+            ).alias("__salt")
+        ]
+        if max_cell_size is not None
+        else []
+    )
     a = base.select(
         F.col("__k").alias("key_a"),
         F.col("__name").alias("name_a"),
         F.col("__norm").alias("__na"),
         *block_cols,
         "__prefix",
+        *a_extra,
     )
     b = base.select(
         F.col("__k").alias("key_b"),
@@ -300,6 +346,7 @@ def entity_match_pairs(
         F.col("__norm").alias("__nb"),
         *block_cols,
         "__prefix",
+        *b_extra,
     )
     # bounded levenshtein (3-arg form): the JVM computes with an early
     # exit and returns −1 past the bound — on candidate-heavy blocks
@@ -307,7 +354,7 @@ def entity_match_pairs(
     # exactly where there is the most of it. Kept pairs carry their
     # true distance (the bound only changes the reject path).
     return (
-        a.join(b, on=[*block_cols, "__prefix"])
+        a.join(b, on=join_keys)
         .where(F.col("key_a") < F.col("key_b"))
         .withColumn(
             "distance",

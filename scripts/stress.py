@@ -980,6 +980,22 @@ def entity_main() -> None:
             f"shape B same-prefix hot block n={hot_n} ({n} pairs): "
             f"{time.time()-t0:.1f}s"
         )
+        # auto-salt (round 7): same cell, same OUTPUT (recall-free
+        # parallelization), the quadratic work spread over
+        # ceil(cell/max_cell_size) tasks instead of one straggler
+        t0 = time.time()
+        ns = entity_match_pairs(
+            hot,
+            key="ek",
+            name_col="ename",
+            block_cols=["blk"],
+            max_cell_size=2_000,
+        ).count()
+        assert ns == n, (ns, n)
+        print(
+            f"shape B SALTED (max_cell_size=2000) n={hot_n} ({ns} pairs, "
+            f"identical): {time.time()-t0:.1f}s"
+        )
 
 
 def sketches_main() -> None:
@@ -1169,6 +1185,129 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def cdc_stream_main() -> None:
+    """Streaming-CDC end-to-end replay probe (VERDICT r6 item 6).
+
+    Sustained micro-batches through ``stream_cdc_apply`` with (a)
+    OUT-OF-ORDER file delivery (maxFilesPerTrigger=1 over files whose
+    listing order scrambles the sequence order), (b) a forced REPLAY
+    (a second run from a fresh checkpoint re-delivers every batch on
+    top of the already-replicated table), and (c) a delete-heavy
+    workload with and without ``tombstone_window``. Asserts the final
+    snapshot equals the one-shot batch ``cdc_apply`` result BIT-
+    EXACTLY (exceptAll both ways) and prints per-batch publish
+    overhead and tombstone retention.
+    """
+    snap_n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_batches = 8
+    batch_n = snap_n // 20
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-cdc-stream")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import cdc_apply
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    work = tempfile.mkdtemp(prefix="cdcstream-")
+    src = f"{work}/src"
+    schema = "k long, v string, op string, seq long"
+
+    init = spark.range(snap_n).selectExpr("id AS k", "cast(id % 97 AS string) AS v")
+
+    def batch_frame(b: int):
+        # each batch touches a striped key range; ops mixed I/U/D;
+        # seq strictly increasing across batches (b * batch_n + i)
+        return spark.range(batch_n).select(
+            ((F.col("id") * 31 + b) % (snap_n + snap_n // 10)).alias("k"),
+            F.concat(F.lit(f"b{b}-"), F.col("id").cast("string")).alias("v"),
+            F.when(F.col("id") % 5 == 3, F.lit("D"))
+            .when(F.col("id") % 5 == 4, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.lit(b * batch_n) + F.col("id")).alias("seq"),
+        )
+
+    # write one file per batch, NAMED so directory-listing order
+    # scrambles sequence order (file sources tie-break equal mtimes by
+    # path) — batch 7 lists first, 0 last
+    all_changes = None
+    for b in range(n_batches):
+        bf = batch_frame(b)
+        bf.coalesce(1).write.mode("append").parquet(f"{src}/f{n_batches - b:02d}")
+        all_changes = bf if all_changes is None else all_changes.unionByName(bf)
+    all_changes = all_changes.localCheckpoint(eager=True)
+
+    # ---- batch reference: one-shot cdc_apply over the union --------------
+    ref = cdc_apply(init, all_changes, "k").localCheckpoint(eager=True)
+    print(f"batch reference rows: {ref.count()}")
+
+    # ---- streamed replication, out-of-order delivery ---------------------
+    table = f"{work}/table"
+    cdc.snapshot_init(init, table)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    t0 = time.time()
+    q = cdc.stream_cdc_apply(stream, table, "k", checkpoint_dir=f"{work}/ckpt1")
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    v1 = cdc.latest_version(table)
+    print(
+        f"stream run 1 (out-of-order): {dt:.1f}s, {v1} versions published, "
+        f"{dt / max(v1, 1):.1f}s/batch publish-then-swap"
+    )
+    got = cdc.read_snapshot(spark, table)
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    print("snapshot == batch cdc_apply result (bit-exact) ✓")
+
+    # ---- forced replay: fresh checkpoint re-delivers EVERY batch ---------
+    t0 = time.time()
+    q = cdc.stream_cdc_apply(stream, table, "k", checkpoint_dir=f"{work}/ckpt2")
+    q.awaitTermination(600)
+    print(f"stream run 2 (full replay): {time.time()-t0:.1f}s")
+    got = cdc.read_snapshot(spark, table)
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    print("replayed snapshot still == batch result (idempotent merge) ✓")
+
+    # ---- delete-heavy: tombstone growth, with/without the window ---------
+    for window in (None, batch_n * 2):
+        tbl = f"{work}/tbl_del_{window}"
+        cdc.snapshot_init(init, tbl)
+        for b in range(n_batches):
+            deletes = spark.range(batch_n).select(
+                ((F.col("id") * 17 + b * batch_n) % snap_n).alias("k"),
+                F.lit(None).cast("string").alias("v"),
+                F.lit("D").alias("op"),
+                (F.lit(b * batch_n) + F.col("id")).alias("seq"),
+            )
+            cdc.apply_cdc_batch(
+                spark, tbl, deletes, "k", tombstone_window=window
+            )
+        internal = cdc.read_snapshot(spark, tbl, internal=True)
+        stones = internal.where("__cdc_deleted").count()
+        print(
+            f"delete-heavy, tombstone_window={window}: "
+            f"{stones} tombstones retained of ~{n_batches * batch_n} deletes"
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def graph_main() -> None:
     """PageRank at 2M edges / 200k nodes (round 6): per-iteration cost
     and the checkpoint cadence that keeps iteration time flat."""
@@ -1296,6 +1435,8 @@ if __name__ == "__main__":
         scd2_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--entity":
         entity_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-stream":
+        cdc_stream_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":

@@ -404,3 +404,46 @@ def test_entity_clusters_accepts_prebuilt_pairs(spark):
         r.customer_id: r.entity_id for r in entity_clusters(dim).collect()
     }
     assert via_pairs == direct == {1: 1, 2: 1, 3: 3}
+
+
+def test_entity_match_auto_salt_output_identical(spark):
+    """max_cell_size salting (VERDICT r6 item 5) is pure
+    parallelization: the salted join must return EXACTLY the pairs of
+    the unsalted join — each (a, b) pair meets once, at a's salt,
+    because side B is replicated across every salt of its cell."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    # one degenerate cell: 300 names sharing block+prefix, near-dup
+    # neighbors at distance 1 (id and id+1 share 'entity N'/'entity M'
+    # names close in edit distance), plus a healthy small cell
+    hot = spark.range(300).select(
+        F.col("id").alias("customer_id"),
+        F.concat(F.lit("zz entity "), (F.col("id") / 10).cast("int").cast("string"))
+        .alias("customer_name"),
+        F.lit("HOT").alias("state_code"),
+    )
+    cold = spark.createDataFrame(
+        [(1000, "acme corp", "CA"), (1001, "acme corpx", "CA")],
+        "customer_id long, customer_name string, state_code string",
+    )
+    dim = hot.unionByName(cold)
+    unsalted = {
+        (r.key_a, r.key_b, r.distance)
+        for r in entity_match_pairs(dim).collect()
+    }
+    salted = {
+        (r.key_a, r.key_b, r.distance)
+        for r in entity_match_pairs(dim, max_cell_size=50).collect()
+    }
+    assert salted == unsalted and len(unsalted) > 100
+    # salt columns must not leak into the output schema
+    cols = entity_match_pairs(dim, max_cell_size=50).columns
+    assert cols == ["key_a", "key_b", "name_a", "name_b", "distance"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        entity_match_pairs(dim, max_cell_size=0)
