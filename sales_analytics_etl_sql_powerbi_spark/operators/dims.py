@@ -348,6 +348,29 @@ def entity_match_pairs(
         "__prefix",
         *b_extra,
     )
+    if max_cell_size is not None:
+        # REGIME NOTE (measured, PLAN_AUDIT round 7): salting matters
+        # only when this join is a SHUFFLE join — i.e. the dim is too
+        # big to broadcast, so hash-partitioning by (block, prefix)
+        # lands the entire hot cell on ONE reducer task. When the
+        # smaller side fits the broadcast threshold, Spark already
+        # parallelizes the hot cell across the probe side's input
+        # partitions and salting is pure overhead — callers in that
+        # regime should leave max_cell_size=None. Two pins make the
+        # salted shuffle join actually parallel:
+        # - explicit-numPartitions repartition on the join keys: AQE
+        #   coalesces post-shuffle partitions by INPUT bytes (a hot
+        #   cell is a few hundred KB) and would fold every salt group
+        #   back into one task while the join OUTPUT is quadratic;
+        #   explicit repartition is exempt, and both sides sharing the
+        #   user-specified partitioning lets the join reuse it;
+        # - a shuffle_hash hint: sort-merge join buffers+replays each
+        #   duplicate-key group (ExternalAppendOnlyUnsafeRowArray) —
+        #   pathological when one key group IS the workload; a hash
+        #   join streams the probe side instead.
+        n_part = max(base.sparkSession.sparkContext.defaultParallelism, 2)
+        a = a.repartition(n_part, *join_keys)
+        b = b.repartition(n_part, *join_keys).hint("shuffle_hash")
     # bounded levenshtein (3-arg form): the JVM computes with an early
     # exit and returns −1 past the bound — on candidate-heavy blocks
     # most pairs exceed max_distance, so the bound does the least work

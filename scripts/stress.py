@@ -980,22 +980,49 @@ def entity_main() -> None:
             f"shape B same-prefix hot block n={hot_n} ({n} pairs): "
             f"{time.time()-t0:.1f}s"
         )
-        # auto-salt (round 7): same cell, same OUTPUT (recall-free
-        # parallelization), the quadratic work spread over
-        # ceil(cell/max_cell_size) tasks instead of one straggler
+
+    # Auto-salt (round 7) — measured in the SHUFFLE-JOIN regime only:
+    # with the small side broadcastable Spark already parallelizes the
+    # hot cell across the probe side's input partitions (salting there
+    # measured 2-4× SLOWER — pure overhead; that first wrong reading
+    # is the documented reason max_cell_size defaults to None). At
+    # scale the dim does NOT broadcast, the join shuffles, and the
+    # whole hot cell lands on ONE reducer — that is the regime the
+    # threshold=-1 below simulates and where salting pays.
+    hot_n = 20_000
+    hot = spark.range(hot_n).select(
+        (F.col("id") + 10_000_000).alias("ek"),
+        F.concat(F.lit("zz entity "), (F.col("id") % 997).cast("string")).alias(
+            "ename"
+        ),
+        F.lit("HOT").alias("blk"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
         t0 = time.time()
-        ns = entity_match_pairs(
-            hot,
-            key="ek",
-            name_col="ename",
-            block_cols=["blk"],
-            max_cell_size=2_000,
+        n = entity_match_pairs(
+            hot, key="ek", name_col="ename", block_cols=["blk"]
         ).count()
-        assert ns == n, (ns, n)
         print(
-            f"shape B SALTED (max_cell_size=2000) n={hot_n} ({ns} pairs, "
-            f"identical): {time.time()-t0:.1f}s"
+            f"shuffle-regime UNSALTED n={hot_n} ({n} pairs, one reducer "
+            f"task): {time.time()-t0:.1f}s"
         )
+        for mcs in (650, 250):
+            t0 = time.time()
+            ns = entity_match_pairs(
+                hot,
+                key="ek",
+                name_col="ename",
+                block_cols=["blk"],
+                max_cell_size=mcs,
+            ).count()
+            assert ns == n, (ns, n)
+            print(
+                f"shuffle-regime SALTED max_cell_size={mcs} ({ns} pairs, "
+                f"identical): {time.time()-t0:.1f}s"
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def sketches_main() -> None:
