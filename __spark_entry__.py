@@ -764,7 +764,21 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_matched_terms").alias("n_matched"),
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
     )
-    return vocab.unionByName(tfidf).unionByName(bm25)
+    # kind='lm' (round 7): per-doc average token log-likelihood under
+    # the corpus unigram LM — the perplexity-style quality signal,
+    # every doc scored, same integer-quantum treatment of ln()
+    lm = text.unigram_logprob(docs).select(
+        F.lit("lm").alias("kind"),
+        F.lit(None).cast("string").alias("token"),
+        "doc_id",
+        F.col("n_tokens").alias("tf"),
+        null_l.alias("df"),
+        null_l.alias("n_occurrences"),
+        null_l.alias("n_docs"),
+        null_l.alias("n_matched"),
+        F.round(F.col("avg_logprob") * 1e6).cast("long").alias("score_e6"),
+    )
+    return vocab.unionByName(tfidf).unionByName(bm25).unionByName(lm)
 
 
 _PII_SUFFIX = " contact alice.b@example.com via https://ex.co/a?q=1"
@@ -1408,6 +1422,10 @@ UNION ALL
 SELECT 'bm25', NULL, doc_id, NULL, NULL, NULL, NULL, n_matched_terms,
        cast(round(score * 1000000.0) AS BIGINT)
 FROM ({text.bm25_search_sql(list(_BM25_QUERY), topk=10)}) b
+UNION ALL
+SELECT 'lm', NULL, doc_id, n_tokens, NULL, NULL, NULL, NULL,
+       cast(round(avg_logprob * 1000000.0) AS BIGINT)
+FROM ({text.unigram_logprob_sql()}) l
 """
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "tfidf_terms_sql",
     "bm25_search",
     "bm25_search_sql",
+    "unigram_logprob",
+    "unigram_logprob_sql",
     "DEFAULT_STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -1022,4 +1024,102 @@ CROSS JOIN stats
 GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id ASC
 LIMIT {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM document scoring (beyond-reference, round 7)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    docs: DataFrame, lm: DataFrame | None = None
+) -> DataFrame:
+    """Per-document average token log-likelihood under a unigram LM —
+    the cheap end of perplexity filtering (Wenzek et al. 2020's
+    CCNet ranks documents by LM perplexity; a unigram model catches
+    the same gross outliers — boilerplate, key-mash, wrong-language —
+    at one aggregate's cost, no model artifact needed).
+
+    By default the LM is the corpus itself (``P(t) = count(t) /
+    total_tokens``, no smoothing needed — every scored token is in the
+    vocabulary by construction). Pass ``lm`` — a (token, count) frame,
+    e.g. a stored :func:`vocab_topk`-style table from a REFERENCE
+    corpus — to score against an external model; then unseen tokens
+    get add-one smoothing (``ln((c+1)/(N+V))``), the standard
+    held-out correction.
+
+    Scale shape: ONE tokenize-and-explode, one (token) aggregate for
+    the model (vocabulary-sized), one key equi-join token→model, one
+    (doc) aggregate — all map-side combinable; N and V ride a
+    broadcast one-row aggregate. No window, no driver collect.
+
+    Output: (doc_id, n_tokens, avg_logprob), ``avg_logprob`` NULL for
+    token-less docs. More-negative = more surprising under the LM.
+    """
+    toks = exploded_tokens(docs)
+    if lm is None:
+        model = toks.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        smooth = False
+    else:
+        model = lm.select("token", F.col("count").cast("long").alias("__c"))
+        smooth = True
+    totals = model.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    )
+    joined = toks.join(model, "token", "left" if smooth else "inner").crossJoin(
+        F.broadcast(totals)
+    )
+    if smooth:
+        lp = F.log(
+            (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("__n") + F.col("__v")).cast("double")
+        )
+    else:
+        lp = F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum(lp) / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+    # token-less docs (empty/whitespace text) surface with NULL score
+    # rather than dropping out of the frame
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+
+def unigram_logprob_sql(source: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_logprob` (self-corpus LM;
+    tolerance- or quantum-compared — ln may differ in the last ulp)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM {source}
+),
+clean AS (
+  SELECT doc_id, token FROM toks
+  WHERE token IS NOT NULL AND length(token) > 0
+),
+model AS (SELECT token, count(1) AS c FROM clean GROUP BY token),
+totals AS (SELECT sum(c) AS n FROM model),
+scored AS (
+  SELECT doc_id, count(1) AS n_tokens,
+         sum(ln(cast(model.c AS DOUBLE) / cast(totals.n AS DOUBLE)))
+           / count(1) AS avg_logprob
+  FROM clean JOIN model USING (token) CROSS JOIN totals
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       s.avg_logprob
+FROM {source} d LEFT JOIN scored s USING (doc_id)
 """

@@ -461,3 +461,71 @@ def test_bm25_query_token_with_backslash_matches_twin(spark):
     assert [r.doc_id for r in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g.score - w[1]) < 1e-9
+
+
+def test_unigram_logprob_self_corpus_values_and_twin(spark):
+    """Hand-checked self-corpus unigram scores + DuckDB twin parity
+    (1e-9 tolerance — ln ulp) + NULL for token-less docs."""
+    import math
+
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.unigram_logprob(docs).collect()}
+    # corpus: a=2, b=2, c=1, N=5
+    exp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert abs(rows[1].avg_logprob - exp1) < 1e-12 and rows[1].n_tokens == 3
+    assert abs(rows[2].avg_logprob - exp2) < 1e-12 and rows[2].n_tokens == 2
+    assert rows[3].avg_logprob is None and rows[3].n_tokens == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    for doc_id, n_tok, lp in con.execute(T.unigram_logprob_sql()).fetchall():
+        assert rows[doc_id].n_tokens == n_tok
+        if lp is None:
+            assert rows[doc_id].avg_logprob is None
+        else:
+            assert abs(rows[doc_id].avg_logprob - lp) < 1e-9
+
+
+def test_unigram_logprob_external_lm_smoothing(spark):
+    """External-LM mode: unseen tokens get add-one smoothing
+    ln((c+1)/(N+V)), seen tokens ln((c+1)/(N+V)) too (consistent
+    smoothed estimator), and a surprising doc scores lower."""
+    import math
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "common common"), (2, "zzzunseen")],
+        "doc_id long, text string",
+    )
+    lm = spark.createDataFrame(
+        [("common", 9), ("rare", 1)], "token string, count long"
+    )
+    rows = {r.doc_id: r for r in T.unigram_logprob(docs, lm=lm).collect()}
+    n, v = 10, 2
+    assert abs(rows[1].avg_logprob - math.log((9 + 1) / (n + v))) < 1e-12
+    assert abs(rows[2].avg_logprob - math.log(1 / (n + v))) < 1e-12
+    assert rows[2].avg_logprob < rows[1].avg_logprob
+
+
+def test_unigram_logprob_plan_no_window_no_cartesian(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = (
+        T.unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "CartesianProduct" not in plan
