@@ -1128,12 +1128,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # window families into events_windows, cohort+funnel into
 # events_cohort_funnel, feature-extract+resize into
 # multimodal_features, the customer upsert+backfill pair into
-# customer_dim_repair; operators exercised transitively by a checked
-# composite — minhash signatures under neardup_pairs, quality_filter
-# under corpus_clean, coalesce-enrich under merge_product_master —
-# have no redundant standalone entry). Streaming/multimodal/as-of
-# entries sit EARLY as defense against any window truncation: they
-# were the ones silently dropped in round 3.
+# customer_dim_repair; round 7: watermark-dedup + stateful totals into
+# events_state (freeing the graph_pagerank slot), vocab_topk + TF-IDF
+# + BM25 + unigram-LM into text_retrieval, batch CDC apply chained
+# into merge_product_master, entity_clusters into entity_match, the
+# mergeable-histogram quantile path into doc_length_quantiles;
+# operators exercised transitively by a checked composite — minhash
+# signatures under neardup_pairs, quality_filter under corpus_clean,
+# coalesce-enrich under merge_product_master — have no redundant
+# standalone entry). Streaming/multimodal/as-of entries sit EARLY as
+# defense against any window truncation: they were the ones silently
+# dropped in round 3.
 _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "staging_clean": q_staging_clean,
         "staging_csv_roundtrip": q_staging_csv_roundtrip,

@@ -263,13 +263,19 @@ def global_histogram_quantiles_sql(
     """
     flo, fhi = float(lo), float(hi)
     width = (fhi - flo) / n_bins
-    qlist = ", ".join(repr(float(q)) for q in qs)
+    # every numeric literal is cast to DOUBLE: DuckDB parses bare
+    # decimal literals as exact DECIMALs, whose arithmetic can diverge
+    # from the Spark side's IEEE doubles (same rule as pagerank_sql)
+    dlo = f"cast({flo!r} AS DOUBLE)"
+    dhi = f"cast({fhi!r} AS DOUBLE)"
+    dwidth = f"cast({width!r} AS DOUBLE)"
+    qlist = ", ".join(f"cast({float(q)!r} AS DOUBLE)" for q in qs)
     return f"""
 WITH vals AS (SELECT cast({value_expr} AS DOUBLE) AS v FROM {source}),
 binned AS (
-  SELECT CASE WHEN v < {flo!r} THEN -1
-              WHEN v >= {fhi!r} THEN -2
-              ELSE least(cast(floor((v - {flo!r}) / {width!r}) AS INT), {n_bins - 1})
+  SELECT CASE WHEN v < {dlo} THEN -1
+              WHEN v >= {dhi} THEN -2
+              ELSE least(cast(floor((v - {dlo}) / {dwidth}) AS INT), {n_bins - 1})
          END AS b
   FROM vals WHERE v IS NOT NULL
 ),
@@ -288,7 +294,7 @@ cum AS (
 qq AS (SELECT unnest([{qlist}]) AS q),
 hist AS (
   SELECT qq.q,
-         {flo!r} + (({fhi!r} - {flo!r}) / {n_bins}) *
+         {dlo} + (({dhi} - {dlo}) / {n_bins}) *
            (cast(cum.b AS DOUBLE)
             + cast(cast(ceil(qq.q * cum.total) AS BIGINT) - cum.cum + cum.c AS DOUBLE)
               / cast(cum.c AS DOUBLE)) AS quantile

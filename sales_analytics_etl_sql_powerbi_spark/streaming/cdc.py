@@ -92,7 +92,12 @@ def _is_local(path: str) -> bool:
 
 
 def _strip_file_scheme(path: str) -> str:
-    return path[len("file://"):] if path.startswith("file://") else path
+    # both URI forms reach here: file:///tmp/x and Hadoop's file:/tmp/x
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
 
 
 def _hadoop_fs(path: str, spark: SparkSession | None):
