@@ -869,7 +869,20 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.cosine_topk(read_table(spark, sf, "embeddings"))
+    """Brute-force cosine baseline + its int8-quantized twin (round
+    7) in one discriminated frame: kind='exact' is the float (micro-
+    unit integer) path, kind='int8' scores over 4×-compressed
+    symmetric int8 codes — codes and scores are deterministic
+    (round is half-away-from-zero in both engines), so the driver
+    hash pins the quantizer itself, not just the search."""
+    emb = read_table(spark, sf, "embeddings")
+    exact = similarity.cosine_topk(emb).select(
+        F.lit("exact").alias("kind"), "query_id", "vec_id", "cosine", "rn"
+    )
+    int8 = similarity.int8_cosine_topk(emb).select(
+        F.lit("int8").alias("kind"), "query_id", "vec_id", "cosine", "rn"
+    )
+    return exact.unionByName(int8)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1718,7 +1731,13 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pairs": dedup.neardup_pairs_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),
-        "cosine_topk": similarity.cosine_topk_sql(),
+        "cosine_topk": f"""
+            SELECT 'exact' AS kind, query_id, vec_id, cosine, rn
+            FROM ({similarity.cosine_topk_sql()}) e
+            UNION ALL
+            SELECT 'int8', query_id, vec_id, cosine, rn
+            FROM ({similarity.int8_cosine_topk_sql()}) i
+        """,
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(sf_dir=_oracle_sf_dir()),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(sf_dir=_oracle_sf_dir()),
         "embedding_neardup": similarity.embedding_neardup_pairs_sql(

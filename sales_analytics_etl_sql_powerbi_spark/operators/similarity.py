@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "quantized",
+    "quantize_int8",
+    "int8_cosine_topk",
+    "int8_cosine_topk_sql",
     "cosine_topk",
     "cosine_topk_sql",
     "lsh_buckets",
@@ -804,6 +807,126 @@ scored AS (
   JOIN assigned a ON a.cell = p.cell
   JOIN queries q ON q.query_id = p.query_id
   WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (round 7, beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    4× compression for embedding retrieval (FAISS ``SQ8``): codes =
+    ``round(x / (absmax/127))`` in −127..127 plus one double
+    ``q_scale`` per vector for dequantization.
+
+    At 100 TB this is a bandwidth feature, not a CPU one: a 64-dim
+    float32 vector is 256 B, its int8 codes are 64 B — every scan,
+    shuffle and broadcast in the similarity path shrinks ~4× (measured
+    in the ``--vectors`` probe along with recall@k). Cosine over
+    codes needs NO dequantization — the per-vector scale cancels —
+    so downstream scoring is pure integer dot products.
+
+    Deterministic: round() is half-away-from-zero in BOTH Spark
+    (BigDecimal HALF_UP) and DuckDB, so codes are cross-engine
+    reproducible and hash-gateable. All-zero vectors quantize to
+    all-zero codes with ``q_scale`` 0.
+    """
+    x = F.transform(F.col(col), lambda v: v.cast("double"))
+    absmax = F.array_max(F.transform(x, F.abs))
+    scale = absmax / F.lit(127.0)
+    codes = F.when(
+        absmax > 0,
+        F.transform(
+            x, lambda v: F.round(v / scale).cast("tinyint")
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return emb.withColumn("codes", codes).withColumn("q_scale", scale)
+
+
+def _dot_codes(a: str, b: str) -> F.Column:
+    # tinyint*tinyint would overflow ByteType silently — widen in the
+    # lambda; 64 dims × 127² accumulates far inside an int, summed
+    # into a long
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int8_cosine_topk(
+    emb: DataFrame, n_queries: int = 5, topk: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k over int8 CODES — the compressed twin
+    of :func:`cosine_topk` (same join shape, same 9-dp rounding and
+    tie-break): cosine of quantized vectors is scale-invariant, so
+    scoring is exact integer dot products over the 4×-smaller codes
+    with one sqrt at the end. Approximation error vs float cosine is
+    the quantization error only (recall@k measured in the
+    ``--vectors`` probe). Zero vectors score NULL (undefined cosine)
+    and are excluded, matching :func:`cosine_topk`'s domain.
+    """
+    q = quantize_int8(emb)
+    qn = F.sqrt(_dot_codes("codes", "codes").cast("double"))
+    base = q.select("vec_id", "codes", qn.alias("__n")).where(F.col("__n") > 0)
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("__qc"),
+        F.col("__n").alias("__qn"),
+    )
+    joined = F.broadcast(queries).crossJoin(base).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot_codes("__qc", "codes").cast("double") / (F.col("__qn") * F.col("__n")),
+        9,
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+_INT8_DUCK = (
+    "list_transform(embedding, x -> cast(round(cast(x AS DOUBLE) / "
+    "(list_max(list_transform(embedding, y -> abs(cast(y AS DOUBLE)))) / 127.0)"
+    ") AS INT))"
+)
+
+
+def int8_cosine_topk_sql(
+    n_queries: int = 5, topk: int = 10, dim: int = _DIM
+) -> str:
+    """DuckDB twin of :func:`int8_cosine_topk` (codes recomputed
+    independently; round is half-away-from-zero in both engines)."""
+    dot = _DOT_DUCK.format(a="q.__c", b="c.__c", n=dim)
+    nq = _DOT_DUCK.format(a="q.__c", b="q.__c", n=dim)
+    nc = _DOT_DUCK.format(a="c.__c", b="c.__c", n=dim)
+    return f"""
+WITH qz AS (
+  SELECT vec_id, {_INT8_DUCK} AS __c FROM embeddings
+  WHERE list_max(list_transform(embedding, y -> abs(cast(y AS DOUBLE)))) > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
 )
 SELECT query_id, vec_id, cosine, rn FROM (
   SELECT *, cast(row_number() OVER (

@@ -279,3 +279,61 @@ def test_ivf_index_parquet_roundtrip_serves_queries(spark, tmp_path):
     mem = [tuple(r) for r in similarity.ivf_query(idx, queries, cb, nprobe=2, topk=5).collect()]
     dsk = [tuple(r) for r in similarity.ivf_query(disk, queries, cb, nprobe=2, topk=5).collect()]
     assert mem == dsk and mem
+
+
+def test_quantize_int8_codes_bounds_and_zero_vector(spark):
+    """Codes live in −127..127, the absmax element hits ±127 exactly,
+    and all-zero vectors quantize to zero codes with q_scale 0."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in S.quantize_int8(emb).collect()}
+    assert rows[1].codes == [64, -127, 32, 0]  # round(1/ (2/127)) = 64
+    assert abs(rows[1].q_scale - 2.0 / 127.0) < 1e-15
+    assert rows[2].codes == [0, 0, 0, 0] and rows[2].q_scale == 0.0
+    assert all(-127 <= c <= 127 for c in rows[1].codes)
+    # schema: codes are BYTES (the 4x compression claim is real)
+    dt = dict(S.quantize_int8(emb).dtypes)["codes"]
+    assert dt == "array<tinyint>", dt
+
+
+def test_int8_cosine_topk_close_to_exact_and_twin_parity(spark, sf_dir):
+    """int8 ranking stays close to the float ranking (recall@10 high
+    on the real embeddings table) and matches the DuckDB twin
+    bit-for-bit (codes + 9dp rounding are cross-engine)."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb).collect()
+    got = S.int8_cosine_topk(emb).collect()
+    # recall@10 of the int8 ranking vs the float ranking
+    from collections import defaultdict
+
+    e_top, i_top = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e_top[r.query_id].add(r.vec_id)
+    for r in got:
+        i_top[r.query_id].add(r.vec_id)
+    recalls = [
+        len(e_top[q] & i_top[q]) / len(e_top[q]) for q in e_top
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(S.int8_cosine_topk_sql()).fetchall()
+    assert [(r.query_id, r.vec_id, r.cosine, r.rn) for r in got] == [
+        tuple(w) for w in want
+    ]
