@@ -850,7 +850,35 @@ def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf))
+    """Whole-document exact dedup PLUS exact duplicated-substring
+    spans (round 7, Lee et al. 2022 style) in one discriminated
+    frame: kind='doc' rows are the content-hash groups; kind='span'
+    rows are every maximal token span whose 5-grams repeat in the
+    corpus — whole-doc dedup misses a boilerplate paragraph pasted
+    into otherwise-distinct documents, span detection finds the
+    paragraph itself. The twin recomputes spans with list_slice grams
+    and its own gaps-and-islands collapse."""
+    docs = _docs(spark, sf)
+    null_i = F.lit(None).cast("int")
+    doc_part = dedup.exact_dedup(docs).select(
+        F.lit("doc").alias("kind"),
+        F.col("canonical_doc_id").alias("doc_id"),
+        "content_hash",
+        "dup_count",
+        null_i.alias("span_start"),
+        null_i.alias("span_end"),
+        null_i.alias("span_tokens"),
+    )
+    span_part = dedup.duplicated_spans(docs, k=5).select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("long").alias("dup_count"),
+        "span_start",
+        "span_end",
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    )
+    return doc_part.unionByName(span_part)
 
 
 def q_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1727,7 +1755,18 @@ def oracle_sql() -> dict[str, str]:
             benchmark_source="(SELECT * FROM documents WHERE doc_id % 97 = 0) bm"
         ),
         "corpus_sampling": _sampling_profile_sql(),
-        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_exact": f"""
+            SELECT 'doc' AS kind, canonical_doc_id AS doc_id,
+                   content_hash, dup_count,
+                   cast(NULL AS INT) AS span_start,
+                   cast(NULL AS INT) AS span_end,
+                   cast(NULL AS INT) AS span_tokens
+            FROM ({dedup.EXACT_DEDUP_SQL}) d
+            UNION ALL
+            SELECT 'span', doc_id, NULL, NULL,
+                   span_start, span_end, span_tokens
+            FROM ({dedup.duplicated_spans_sql(k=5)}) s
+        """,
         "neardup_pairs": dedup.neardup_pairs_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),
         "ngram_jaccard_topk": dedup.ngram_jaccard_topk_sql(),

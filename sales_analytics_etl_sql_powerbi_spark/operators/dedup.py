@@ -16,7 +16,7 @@ across engines, so every step has an exact DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -35,6 +35,9 @@ __all__ = [
     "simhash_neardup_pairs",
     "ngram_jaccard_topk",
     "EXACT_DEDUP_SQL",
+    "duplicated_spans",
+    "duplicated_spans_sql",
+    "cut_duplicated_spans",
     "minhash_signatures_sql",
     "neardup_pairs_sql",
     "neardup_clusters_sql",
@@ -933,3 +936,159 @@ def keep_canonical(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataF
     clusters = neardup_clusters(docs, k, threshold)
     keepers = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return docs.join(keepers, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (round 7, beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Maximal duplicated token SPANS — the exact-substring dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), token granularity: every maximal run of
+    positions whose ``k``-token grams occur ≥ ``min_count`` times in
+    the corpus. Whole-doc dedup (:func:`exact_dedup`) misses a
+    boilerplate paragraph pasted into thousands of otherwise-distinct
+    pages; this finds the paragraph itself.
+
+    Soundness contract: a substring of ≥ k tokens duplicated anywhere
+    in the corpus is covered by some reported span (every one of its
+    grams repeats); runs of overlapping duplicated grams merge into
+    ONE maximal span (the union, gaps-and-islands), so spans do not
+    fragment.
+
+    Scale shape: one tokenize → posexplode (positions ≈ corpus token
+    count — this is the op's honest cost, the same explode budget as
+    tfidf) → one (gram) count aggregate (map-side combinable) → one
+    key equi-join back → a per-DOC window whose partitions are
+    bounded by document length, never corpus-sized.
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 0-based
+    inclusive token positions, ordered.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("__t")
+    ).where(F.size("__t") >= k)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__t", i + j + 1) for j in range(k)]
+        ),
+    )
+    grams = toks.select(
+        "doc_id", F.posexplode(gram).alias("pos", "__gram")
+    )
+    counts = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c"))
+    dup_pos = grams.join(
+        counts.where(F.col("__c") >= min_count).select("__gram"), "__gram"
+    ).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def duplicated_spans_sql(
+    k: int = 5, min_count: int = 2, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (list_slice grams +
+    the same gaps-and-islands collapse, independently)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM {source}
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+  WHERE len(t) >= {k}
+),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= {min_count}),
+dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT doc_id, cast(min(pos) AS INT) AS span_start,
+       cast(max(pos) + {k - 1} AS INT) AS span_end,
+       cast(max(pos) + {k - 1} - min(pos) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
+def cut_duplicated_spans(
+    docs: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """The REWRITE side of exact-substring dedup: return the corpus
+    with every duplicated span's tokens removed (Lee et al. cut the
+    duplicated bytes from the training set rather than dropping whole
+    documents). Text is rebuilt from the kept tokens with single
+    spaces — a documented normalization (original inter-token
+    whitespace is not preserved; the tokenize→rebuild round trip is
+    whitespace-normalizing by construction).
+
+    Output: (doc_id, text, n_tokens_kept, n_tokens_cut).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("__t")
+    )
+    tok_pos = toks.select(
+        "doc_id", F.posexplode("__t").alias("pos", "__tok")
+    )
+    spans = duplicated_spans(docs, k=k, min_count=min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+    )
+    totals = tok_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_total")
+    )
+    # fully-cut docs (every token inside a span) surface with empty
+    # text rather than dropping out
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_tokens_kept", F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            (F.col("__n_total") - F.coalesce("n_tokens_kept", F.lit(0))).alias(
+                "n_tokens_cut"
+            ),
+        )
+    )

@@ -383,3 +383,78 @@ def test_banded_candidates_recall_monotone_empirically(spark):
     assert recalls[0] == 1.0  # 16 single-row bands catch every graded pair
     with pytest.raises(ValueError, match="permutations"):
         dedup.lsh_candidate_pairs(sig, bands=8, rows_per_band=4).collect()
+
+
+def test_duplicated_spans_finds_planted_boilerplate(spark):
+    """The Lee-et-al scenario: a boilerplate sentence pasted into
+    several otherwise-distinct docs must surface as one maximal span
+    per occurrence; unique text must NOT."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup as D
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler + " delta"),
+            (2, "omega " + boiler),
+            (3, "totally unique words here nothing repeats ever once"),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicated_spans(docs, k=5).collect()
+    }
+    # doc 1: boiler at tokens 3..9; doc 2: 1..7; doc 4: 0..6
+    assert spans[1] == (3, 9, 7)
+    assert spans[2] == (1, 7, 7)
+    assert spans[4] == (0, 6, 7)
+    assert 3 not in spans
+
+
+def test_duplicated_spans_matches_duckdb_twin(spark, sf_dir):
+    import duckdb
+    import os
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup as D
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicated_spans(docs, k=4).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    want = con.execute(D.duplicated_spans_sql(k=4)).fetchall()
+    assert sorted(got) == sorted(tuple(w) for w in want)
+    assert len(got) > 0  # the synthetic corpus does repeat 4-grams
+
+
+def test_cut_duplicated_spans_removes_exactly_the_spans(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup as D
+
+    boiler = "one two three four five"  # 5 tokens, k=5 exact
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me " + boiler + " and me"),
+            (2, boiler),
+            (3, "nothing shared in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in D.cut_duplicated_spans(docs, k=5).collect()}
+    assert rows[1].text == "keep me and me"
+    assert rows[1].n_tokens_kept == 4 and rows[1].n_tokens_cut == 5
+    assert rows[2].text == "" and rows[2].n_tokens_kept == 0
+    assert rows[3].text == "nothing shared in this document at all"
+    assert rows[3].n_tokens_cut == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.duplicated_spans(docs, k=1)
+    with pytest.raises(ValueError):
+        D.duplicated_spans(docs, min_count=1)
