@@ -1,0 +1,190 @@
+"""Byte-pair-encoding tokenizer TRAINING and encoding (round 7,
+beyond-reference).
+
+The canonical tokenizer-building workload of an LLM data pipeline
+(Sennrich et al. 2016): learn an ordered list of symbol merges from
+corpus statistics, then encode text with them. The scalable shape is
+the classic one — train on the WORD-FREQUENCY TABLE, never the raw
+corpus:
+
+- one corpus pass builds (word, count) — vocabulary-sized from then
+  on (the synthetic corpus has ~31 types; a web corpus has ~10⁷ —
+  either way orders of magnitude under the token count);
+- each merge iteration is an adjacent-pair count over the vocab table
+  (weighted by word count, map-side combinable), ONE single-row
+  argmax collect (count desc, pair asc — fully deterministic
+  tie-break), and a vocab-sized symbol-array rewrite;
+- lineage is truncated every ``checkpoint_every`` merges
+  (``localCheckpoint``) — same iterative-DataFrame rule as
+  :mod:`.graph`; without it the plan doubles per merge.
+
+Encoding re-uses the same trick: apply the merges to the DISTINCT
+token table (vocab-sized, in Python-loop order with the same
+checkpoint cadence), then one key equi-join stamps every corpus token
+with its subword sequence — the corpus is touched exactly twice
+(tokenize, join), regardless of merge count.
+
+The merge-application fold is greedy left-to-right over the symbol
+array, which equals standard non-overlapping BPE application: after a
+merge fires, the accumulated last element becomes ``a+b`` (≠ ``a``
+since ``b`` is non-empty), so an overlapping re-fire is structurally
+impossible. Parity with a pure-Python reference implementation is
+pinned in tests (the scd2-style cross-implementation witness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import exploded_tokens
+
+__all__ = ["bpe_train", "bpe_encode", "bpe_train_py"]
+
+#: end-of-word marker (Sennrich's </w>) — lets merges distinguish
+#: word-final symbols; single unicode char so char-split stays trivial
+_EOW = "▁"
+
+
+def _chars_with_eow(col: F.Column) -> F.Column:
+    # split into single chars, then append the end-of-word marker
+    return F.concat(
+        F.filter(F.split(col, ""), lambda c: F.length(c) > 0),
+        F.array(F.lit(_EOW)),
+    )
+
+
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right non-overlapping replacement of the
+    adjacent pair (a, b) with a+b inside a symbol array."""
+    merged = F.lit(a + b)
+    return F.when(F.size(syms) < 2, syms).otherwise(
+        F.aggregate(
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.slice(syms, 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge list (the tokenizer model — driver-sized, like the
+    IVF codebook). Stops early when no adjacent pair reaches
+    ``min_pair_count`` weighted occurrences. Deterministic: argmax
+    ties break lexicographically on the pair.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        exploded_tokens(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
+        .select("token", "__wc", _chars_with_eow(F.col("token")).alias("__syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = words.select(
+            "__wc",
+            F.explode(
+                F.when(F.size("__syms") < 2, F.array().cast("array<struct<a:string,b:string>>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("__syms", i).alias("a"),
+                            F.element_at("__syms", i + 1).alias("b"),
+                        ),
+                    )
+                )
+            ).alias("__p"),
+        )
+        top = (
+            pairs.groupBy("__p")
+            .agg(F.sum("__wc").alias("__n"))
+            .orderBy(F.desc("__n"), F.asc("__p"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["__n"] < min_pair_count:
+            break
+        a, b = top[0]["__p"]["a"], top[0]["__p"]["b"]
+        merges.append((a, b))
+        words = words.withColumn("__syms", _apply_merge(F.col("__syms"), a, b))
+        # truncate lineage: each merge nests an aggregate inside the
+        # previous plan — unchecked, analysis time grows superlinearly
+        if (it + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Encode the corpus with a learned merge list: (doc_id, token,
+    subwords array<string>, n_subwords) — one row per corpus token
+    occurrence. The merge chain is applied to the DISTINCT token
+    table only; the corpus pays one tokenize and one key equi-join
+    however many merges the model has.
+    """
+    toks = exploded_tokens(docs)
+    vocab = toks.select("token").distinct().withColumn(
+        "subwords", _chars_with_eow(F.col("token"))
+    )
+    for i, (a, b) in enumerate(merges):
+        vocab = vocab.withColumn(
+            "subwords", _apply_merge(F.col("subwords"), a, b)
+        )
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return toks.join(vocab, "token").select(
+        "doc_id",
+        "token",
+        "subwords",
+        F.size("subwords").cast("int").alias("n_subwords"),
+    )
+
+
+def bpe_train_py(
+    word_counts: dict[str, int], n_merges: int = 50, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Pure-Python reference implementation (the parity witness for
+    :func:`bpe_train` — same argmax, same tie-break, same greedy
+    left-to-right application)."""
+    vocab = {w: list(w) + [_EOW] for w in word_counts}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            wc = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
