@@ -713,6 +713,11 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 #: frequency tokens so single- and multi-term matches both occur
 _BM25_QUERY = ("spark", "window", "merge")
 
+#: BPE merges for the text_retrieval gate — enough to learn multi-char
+#: subwords on the synthetic vocabulary while keeping the per-merge
+#: driver-sync cost bounded (~0.3s/merge at sf0.1)
+_BPE_MERGES = 12
+
 
 def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     """Ranked retrieval under the driver gate (VERDICT r6 item 1), one
@@ -778,7 +783,42 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         null_l.alias("n_matched"),
         F.round(F.col("avg_logprob") * 1e6).cast("long").alias("score_e6"),
     )
-    return vocab.unionByName(tfidf).unionByName(bm25).unionByName(lm)
+    # kind='bpe' (round 7): the DISTRIBUTED trainer's merges drive the
+    # encoder over the vocab; the oracle trains the SAME model with
+    # the pure-Python reference on DuckDB word counts and inlines the
+    # encoded vocab as literals (the IVF-codebook pattern) — so any
+    # trainer divergence, not just encoder drift, breaks the hash
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe as _bpe
+
+    merges = _bpe.bpe_train(docs, n_merges=_BPE_MERGES)
+    enc = (
+        _bpe.bpe_encode(docs, merges)
+        .groupBy("token", F.concat_ws(" ", "subwords").alias("detail"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.first("n_subwords").cast("long").alias("tf"),
+        )
+    )
+    bpe_part = enc.select(
+        F.lit("bpe").alias("kind"),
+        "token",
+        null_l.alias("doc_id"),
+        "tf",
+        null_l.alias("df"),
+        "n_occurrences",
+        null_l.alias("n_docs"),
+        null_l.alias("n_matched"),
+        null_l.alias("score_e6"),
+        F.col("detail"),
+    )
+    with_detail = [
+        df.withColumn("detail", F.lit(None).cast("string"))
+        for df in (vocab, tfidf, bm25, lm)
+    ]
+    out = with_detail[0]
+    for df in with_detail[1:]:
+        out = out.unionByName(df)
+    return out.unionByName(bpe_part)
 
 
 _PII_SUFFIX = " contact alice.b@example.com via https://ex.co/a?q=1"
@@ -1450,28 +1490,90 @@ def _graph_pagerank_sql() -> str:
     )
 
 
+def _bpe_vocab_values() -> str:
+    """Oracle side of the BPE gate: train the SAME model with the
+    pure-Python reference (:func:`...operators.bpe.bpe_train_py`) on
+    word counts DuckDB extracts from the oracle corpus, encode every
+    distinct token, and inline the (token, subwords, n_subwords)
+    mapping as VALUES literals — the IVF-codebook pattern. The merge
+    lists agree only while the distributed trainer's argmax/tie-break/
+    fold semantics agree with the reference, so the hash gates the
+    TRAINER, not just the encoder."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.bpe import (
+        _EOW,
+        bpe_train_py,
+    )
+
+    sf = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT token, count(1) FROM ("
+        "SELECT unnest(string_split_regex(trim(text), ' +')) AS token "
+        f"FROM read_parquet('{sf}/documents.parquet')) t "
+        "WHERE token IS NOT NULL AND length(token) > 0 GROUP BY token"
+    ).fetchall()
+    con.close()
+    wc = {t: int(c) for t, c in rows}
+    merges = bpe_train_py(wc, n_merges=_BPE_MERGES)
+
+    def encode(w: str) -> list[str]:
+        syms = list(w) + [_EOW]
+        for a, b in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return ", ".join(
+        f"('{q(t)}', '{q(' '.join(encode(t)))}', {len(encode(t))})"
+        for t in sorted(wc)
+    )
+
+
 def _text_retrieval_sql() -> str:
-    """Twin of q_text_retrieval: the three proven retrieval twins
-    (vocab_topk_sql / tfidf_terms_sql / bm25_search_sql) discriminated
-    into one frame, scores as round(·1e6) integers on both sides."""
+    """Twin of q_text_retrieval: the proven retrieval twins
+    (vocab_topk_sql / tfidf_terms_sql / bm25_search_sql /
+    unigram_logprob_sql) plus the Python-trained BPE vocab,
+    discriminated into one frame; transcendental scores as
+    round(·1e6) integers on both sides."""
     return f"""
 SELECT 'vocab' AS kind, token, cast(NULL AS BIGINT) AS doc_id,
        cast(NULL AS BIGINT) AS tf, cast(NULL AS BIGINT) AS df,
        n_occurrences, n_docs, cast(NULL AS BIGINT) AS n_matched,
-       cast(NULL AS BIGINT) AS score_e6
+       cast(NULL AS BIGINT) AS score_e6, cast(NULL AS VARCHAR) AS detail
 FROM ({text.vocab_topk_sql()}) v
 UNION ALL
 SELECT 'tfidf', token, doc_id, tf, df, NULL, NULL, NULL,
-       cast(round(tfidf * 1000000.0) AS BIGINT)
+       cast(round(tfidf * 1000000.0) AS BIGINT), NULL
 FROM ({text.tfidf_terms_sql()}) t WHERE doc_id % 13 = 0
 UNION ALL
 SELECT 'bm25', NULL, doc_id, NULL, NULL, NULL, NULL, n_matched_terms,
-       cast(round(score * 1000000.0) AS BIGINT)
+       cast(round(score * 1000000.0) AS BIGINT), NULL
 FROM ({text.bm25_search_sql(list(_BM25_QUERY), topk=10)}) b
 UNION ALL
 SELECT 'lm', NULL, doc_id, n_tokens, NULL, NULL, NULL, NULL,
-       cast(round(avg_logprob * 1000000.0) AS BIGINT)
+       cast(round(avg_logprob * 1000000.0) AS BIGINT), NULL
 FROM ({text.unigram_logprob_sql()}) l
+UNION ALL
+SELECT 'bpe', bv.token, NULL, bv.n_sub, NULL, oc.n_occurrences,
+       NULL, NULL, NULL, bv.detail
+FROM (VALUES {_bpe_vocab_values()}) bv(token, detail, n_sub)
+JOIN (
+  SELECT token, count(1) AS n_occurrences FROM (
+    SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+    FROM documents) t
+  WHERE token IS NOT NULL AND length(token) > 0
+  GROUP BY token
+) oc USING (token)
 """
 
 
