@@ -918,7 +918,20 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         "span_end",
         F.col("span_tokens").cast("int").alias("span_tokens"),
     )
-    return doc_part.unionByName(span_part)
+    # kind='cut': the rewrite side — md5 of each doc's rebuilt text
+    # (duplicated tokens removed) rides content_hash and the cut count
+    # rides dup_count, so the gate covers the cut/rebuild without
+    # hauling full texts through the hash
+    cut_part = dedup.cut_duplicated_spans(docs, k=5).select(
+        F.lit("cut").alias("kind"),
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.col("n_tokens_cut").cast("long").alias("dup_count"),
+        null_i.alias("span_start"),
+        null_i.alias("span_end"),
+        null_i.alias("span_tokens"),
+    )
+    return doc_part.unionByName(span_part).unionByName(cut_part)
 
 
 def q_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1868,6 +1881,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'span', doc_id, NULL, NULL,
                    span_start, span_end, span_tokens
             FROM ({dedup.duplicated_spans_sql(k=5)}) s
+            UNION ALL
+            SELECT 'cut', doc_id, content_hash, n_tokens_cut,
+                   NULL, NULL, NULL
+            FROM ({dedup.cut_duplicated_spans_sql(k=5)}) c
         """,
         "neardup_pairs": dedup.neardup_pairs_sql(),
         "neardup_clusters": dedup.neardup_clusters_sql(),

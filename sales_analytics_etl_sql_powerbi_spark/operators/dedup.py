@@ -38,6 +38,7 @@ __all__ = [
     "duplicated_spans",
     "duplicated_spans_sql",
     "cut_duplicated_spans",
+    "cut_duplicated_spans_sql",
     "minhash_signatures_sql",
     "neardup_pairs_sql",
     "neardup_clusters_sql",
@@ -1092,3 +1093,48 @@ def cut_duplicated_spans(
             ),
         )
     )
+
+
+def cut_duplicated_spans_sql(
+    k: int = 5, min_count: int = 2, source: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`cut_duplicated_spans`, reduced to the
+    gate surface: (doc_id, content_hash = md5 of the rebuilt text,
+    n_tokens_cut). The rebuild is string_agg over kept positions —
+    the same whitespace-normalizing tokenize→rebuild round trip."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM {source}
+),
+tp AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS gram
+  FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+  WHERE len(t) >= {k}
+),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(1) >= {min_count}),
+dp AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),
+covered AS (
+  SELECT DISTINCT doc_id, cast(p AS BIGINT) AS pos
+  FROM dp, unnest(range(pos, pos + {k})) AS u(p)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp LEFT JOIN covered USING (doc_id, pos)
+  WHERE covered.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS text,
+         count(1) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(1) AS n_total FROM tp GROUP BY doc_id)
+SELECT t.doc_id, md5(coalesce(r.text, '')) AS content_hash,
+       cast(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_cut
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
