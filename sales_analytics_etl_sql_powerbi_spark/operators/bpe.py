@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .text import exploded_tokens
 
-__all__ = ["bpe_train", "bpe_encode", "bpe_train_py"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_train_py", "bpe_vocab_ids", "bpe_encode_ids"]
 
 #: end-of-word marker (Sennrich's </w>) — lets merges distinguish
 #: word-final symbols; single unicode char so char-split stays trivial
@@ -188,3 +188,73 @@ def bpe_train_py(
                     out.append(s)
             vocab[w] = out
     return merges
+
+
+def bpe_vocab_ids(
+    merges: list[tuple[str, str]], alphabet: list[str] | None = None
+) -> dict[str, int]:
+    """Deterministic subword-id table for a trained model — what a
+    training pipeline feeds the embedding layer. Ids are assigned in
+    model order (the GPT-2/SentencePiece convention): base symbols
+    first (sorted), then one id per merge in learned order.
+
+    ID STABILITY: with an explicit ``alphabet`` (the fixed base
+    symbol set — e.g. the 256 byte values of a byte-level model, or
+    the corpus character set frozen at first training), extending the
+    model with more merges APPENDS ids without renumbering — the
+    property checkpoint-compatible vocabularies need. Without it the
+    base set is derived from the merges themselves (every operand
+    that is not a merge product), which needs no corpus pass but can
+    RENUMBER when a later merge first touches a new character — fine
+    for a one-shot model, wrong for incremental growth (unit-pinned
+    both ways).
+
+    Tokens containing symbols outside the table are the caller's OOV
+    policy; :func:`bpe_encode_ids` maps them to id −1 and flags the
+    row.
+    """
+    products = {a + b for a, b in merges}
+    if alphabet is not None:
+        base = set(alphabet)
+    else:
+        # chars inside multi-char base operands are reachable only via
+        # the operand itself — the operand IS the base symbol
+        base = {s for pair in merges for s in pair if s not in products}
+    base.add(_EOW)
+    table: dict[str, int] = {}
+    for s in sorted(base):
+        table[s] = len(table)
+    for a, b in merges:
+        m = a + b
+        if m not in table:
+            table[m] = len(table)
+    return table
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    alphabet: list[str] | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """:func:`bpe_encode` + id assignment: (doc_id, token, subword_ids
+    array<int>, n_oov). Unknown symbols (characters absent from every
+    merge — the model never saw them) map to −1 and are counted in
+    ``n_oov`` so a pipeline can route them to a byte-fallback pass
+    instead of silently training on a sentinel.
+    """
+    vocab_ids = bpe_vocab_ids(merges, alphabet=alphabet)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in vocab_ids.items() for x in kv]
+    )
+    enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every)
+    ids = F.transform(
+        "subwords",
+        lambda s: F.coalesce(mapping[s], F.lit(-1)).cast("int"),
+    )
+    return enc.select(
+        "doc_id",
+        "token",
+        ids.alias("subword_ids"),
+        F.size(F.filter(ids, lambda i: i == -1)).cast("int").alias("n_oov"),
+    )

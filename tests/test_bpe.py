@@ -69,3 +69,49 @@ def test_bpe_encode_corpus_join_shape(spark):
         .toString()
     )
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_vocab_ids_stable_under_model_growth(spark):
+    """With a FIXED alphabet, extending the model with more merges
+    APPENDS ids — existing assignments never renumber (the
+    checkpoint-compatibility property). The merges-derived default
+    does NOT guarantee this (a later merge touching a new character
+    shifts the sorted base) — pinned as the documented caveat."""
+    docs = _docs(spark)
+    m8 = bpe.bpe_train(docs, n_merges=8)
+    m12 = bpe.bpe_train(docs, n_merges=12)
+    assert m12[:8] == m8
+    alphabet = sorted(set("lowerstnew"))
+    ids8 = bpe.bpe_vocab_ids(m8, alphabet=alphabet)
+    ids12 = bpe.bpe_vocab_ids(m12, alphabet=alphabet)
+    for sym, i in ids8.items():
+        assert ids12[sym] == i
+    assert len(ids12) > len(ids8)
+    assert sorted(ids12.values()) == list(range(len(ids12)))  # dense
+    # derived-alphabet mode: same symbols, ids dense, but growth MAY
+    # renumber (no cross-model assertion — that is the caveat)
+    d8 = bpe.bpe_vocab_ids(m8)
+    assert sorted(d8.values()) == list(range(len(d8)))
+
+
+def test_bpe_encode_ids_roundtrip_and_oov(spark):
+    """Known symbols map to their table ids; a token with characters
+    the model never saw maps those subwords to −1 and counts them."""
+    docs = _docs(spark)
+    merges = bpe.bpe_train(docs, n_merges=10)
+    ids = bpe.bpe_vocab_ids(merges)
+    rows = {r.token: r for r in bpe.bpe_encode_ids(docs, merges).collect()}
+    subs = {r.token: r.subwords for r in bpe.bpe_encode(docs, merges).collect()}
+    for tok, r in rows.items():
+        expect = [ids.get(s, -1) for s in subs[tok]]
+        assert r.subword_ids == expect
+        assert r.n_oov == sum(1 for i in expect if i == -1)
+    # an unseen-character doc: 'z' and 'q' never appear in training
+    oov_docs = spark.createDataFrame(
+        [(9, "zq low")], "doc_id long, text string"
+    )
+    oov_rows = {
+        r.token: r for r in bpe.bpe_encode_ids(oov_docs, merges).collect()
+    }
+    assert oov_rows["zq"].n_oov >= 2
+    assert oov_rows["low"].n_oov == 0
