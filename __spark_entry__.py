@@ -909,7 +909,15 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         null_i.alias("span_end"),
         null_i.alias("span_tokens"),
     )
-    span_part = dedup.duplicated_spans(docs, k=5).select(
+    # spans are computed ONCE (persisted) and shared by the span rows
+    # and the cut/rebuild rows — the entry no longer pays the gram
+    # count twice (ADVICE r7)
+    from pyspark.storagelevel import StorageLevel
+
+    spans = dedup.duplicated_spans(docs, k=5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    span_part = spans.select(
         F.lit("span").alias("kind"),
         "doc_id",
         F.lit(None).cast("string").alias("content_hash"),
@@ -922,7 +930,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     # (duplicated tokens removed) rides content_hash and the cut count
     # rides dup_count, so the gate covers the cut/rebuild without
     # hauling full texts through the hash
-    cut_part = dedup.cut_duplicated_spans(docs, k=5).select(
+    cut_part = dedup.cut_duplicated_spans(docs, k=5, spans=spans).select(
         F.lit("cut").alias("kind"),
         "doc_id",
         F.md5("text").alias("content_hash"),

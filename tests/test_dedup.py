@@ -412,6 +412,55 @@ def test_duplicated_spans_finds_planted_boilerplate(spark):
     assert 3 not in spans
 
 
+def test_duplicated_spans_merges_nonconsecutive_overlaps(spark):
+    """VERDICT r7 item 1 repro: duplicated grams whose starts differ
+    by 2..k overlap in COVERAGE and must merge into ONE maximal span —
+    the r7 island logic (consecutive starts) reported overlapping
+    (0,2)+(2,4) and span_tokens summed to 6 over 5 covered tokens."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x q r"), (3, "z c d e y w")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicated_spans(docs, k=3, min_count=2).collect()
+    }
+    # doc 1: dup grams at pos 0 ('a b c') and pos 2 ('c d e') → ONE
+    # maximal span covering tokens 0..4 (5 tokens, counted once)
+    assert got[1] == (0, 4, 5)
+    assert got[2] == (0, 2, 3)
+    assert got[3] == (1, 3, 3)
+    # spans never overlap: pinned across a doc with two disjoint runs
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f q q q a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    spans2 = sorted(
+        (r.span_start, r.span_end)
+        for r in D.duplicated_spans(docs2, k=3, min_count=2).collect()
+        if r.doc_id == 1
+    )
+    assert spans2 == [(0, 5), (9, 14)]
+    for (s1, e1), (s2, e2) in zip(spans2, spans2[1:]):
+        assert e1 < s2
+    # the DuckDB twin mirrors the coverage-gap rule on the repro too
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c d e f'), (2, 'a b c x q r'), (3, 'z c d e y w')"
+        ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(D.duplicated_spans_sql(k=3, min_count=2)).fetchall()
+    }
+    assert want == got
+
+
 def test_duplicated_spans_matches_duckdb_twin(spark, sf_dir):
     import duckdb
     import os
