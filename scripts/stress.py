@@ -995,7 +995,8 @@ def entity_main() -> None:
     )
     t0 = time.time()
     n = entity_match_pairs(
-        ents, key="ek", name_col="ename", block_cols=["blk"]
+        ents, key="ek", name_col="ename", block_cols=["blk"],
+        max_cell_size=None,
     ).count()
     print(f"shape A diverse-prefix hot block ({n} pairs): {time.time()-t0:.1f}s")
 
@@ -1010,7 +1011,8 @@ def entity_main() -> None:
         )
         t0 = time.time()
         n = entity_match_pairs(
-            hot, key="ek", name_col="ename", block_cols=["blk"]
+            hot, key="ek", name_col="ename", block_cols=["blk"],
+            max_cell_size=None,
         ).count()
         print(
             f"shape B same-prefix hot block n={hot_n} ({n} pairs): "
@@ -1033,15 +1035,43 @@ def entity_main() -> None:
         ),
         F.lit("HOT").alias("blk"),
     )
+    def _is_salted(df) -> bool:
+        return "__salt" in str(df._jdf.queryExecution().analyzed())
+
+    # AUTO regime detection (round 8, knob unset): broadcast regime →
+    # auto must choose the UNSALTED plan
+    t0 = time.time()
+    auto_b = entity_match_pairs(
+        hot, key="ek", name_col="ename", block_cols=["blk"]
+    )
+    assert not _is_salted(auto_b), "auto salted in the broadcast regime"
+    nb = auto_b.count()
+    print(
+        f"broadcast-regime AUTO chose unsalted n={hot_n} ({nb} pairs): "
+        f"{time.time()-t0:.1f}s"
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         t0 = time.time()
         n = entity_match_pairs(
-            hot, key="ek", name_col="ename", block_cols=["blk"]
+            hot, key="ek", name_col="ename", block_cols=["blk"],
+            max_cell_size=None,
         ).count()
         print(
             f"shuffle-regime UNSALTED n={hot_n} ({n} pairs, one reducer "
             f"task): {time.time()-t0:.1f}s"
+        )
+        # shuffle regime, knob unset: auto must choose the SALTED plan
+        t0 = time.time()
+        auto_s = entity_match_pairs(
+            hot, key="ek", name_col="ename", block_cols=["blk"]
+        )
+        assert _is_salted(auto_s), "auto unsalted in the shuffle regime"
+        ns = auto_s.count()
+        assert ns == n == nb, (ns, n, nb)
+        print(
+            f"shuffle-regime AUTO chose salted ({ns} pairs, identical): "
+            f"{time.time()-t0:.1f}s"
         )
         for mcs in (650, 250):
             t0 = time.time()
