@@ -455,6 +455,7 @@ def test_entity_match_auto_regime_detection(spark):
     broadcastable side → UNSALTED plan (salting measured 2–4× worse
     there); broadcasting disabled/oversized → SALTED plan — with
     identical output either way."""
+    import pytest
     from pyspark.sql import functions as F
 
     from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
