@@ -1507,8 +1507,68 @@ def aggregates_main() -> None:
     )
 
 
+def bpe_main() -> None:
+    """Driver-side vs distributed BPE training at a REAL vocabulary
+    size (VERDICT r7 item 5): the distributed loop pays one driver
+    sync per merge (fine for tens, hours for 32k); ``bpe_train_local``
+    collects the vocab-sized count table once and trains locally.
+    Probe: a ~1M-token corpus over ~25k types — time 24 distributed
+    merges (→ s/merge), then 1000 local merges, and pin prefix parity
+    between the two paths."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-bpe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    # Zipf-ish synthetic corpus: 200k docs × 5 tokens; type count
+    # dominated by the alpha% 19997 and w% 4999 families (~25k types)
+    docs = spark.range(200_000).selectExpr(
+        "id AS doc_id",
+        "concat('alpha', cast(id % 19997 AS string),"
+        " ' beta', cast(id % 311 AS string),"
+        " ' gamma', cast(id % 7 AS string),"
+        " ' delta', cast(id % 47 AS string),"
+        " ' w', cast(id % 4999 AS string)) AS text",
+    ).persist()
+    docs.count()
+
+    n_dist = 24
+    t0 = time.time()
+    m_dist = bpe_train(docs, n_merges=n_dist)
+    td = time.time() - t0
+    print(
+        f"distributed bpe_train {len(m_dist)} merges: {td:.1f}s "
+        f"({td / max(len(m_dist), 1):.2f}s/merge)"
+    )
+
+    t0 = time.time()
+    m_loc = bpe_train_local(docs, n_merges=1000)
+    tl = time.time() - t0
+    print(f"local bpe_train_local {len(m_loc)} merges: {tl:.1f}s total")
+    assert m_loc[: len(m_dist)] == m_dist, "path divergence"
+    print(
+        f"prefix parity OK; projected distributed cost for "
+        f"{len(m_loc)} merges ≈ {td / max(len(m_dist), 1) * len(m_loc):.0f}s"
+    )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--docs":
+    if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        bpe_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         events_main()

@@ -25,6 +25,24 @@ def test_bpe_train_matches_python_reference(spark):
     assert m[:2] == [("l", "o"), ("lo", "w")]  # the textbook first merges
 
 
+def test_bpe_train_local_parity_and_guard(spark):
+    """The driver-side fast path (VERDICT r7 item 5) returns the
+    IDENTICAL merge list as the distributed trainer — same argmax,
+    tie-break, fold — and refuses the collect (rather than attempting
+    it) when the type table exceeds the explicit size guard."""
+    docs = _docs(spark)
+    assert bpe.bpe_train_local(docs, n_merges=12) == bpe.bpe_train(
+        docs, n_merges=12
+    )
+    # early-stop parity too
+    tiny = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    assert bpe.bpe_train_local(tiny, n_merges=10, min_pair_count=3) == []
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe.bpe_train_local(docs, n_merges=4, max_vocab_rows=3)
+    with pytest.raises(ValueError):
+        bpe.bpe_train_local(docs, n_merges=0)
+
+
 def test_bpe_train_deterministic_across_runs(spark):
     docs = _docs(spark)
     assert bpe.bpe_train(docs, n_merges=8) == bpe.bpe_train(docs, n_merges=8)
