@@ -718,6 +718,14 @@ _BM25_QUERY = ("spark", "window", "merge")
 #: driver-sync cost bounded (~0.3s/merge at sf0.1)
 _BPE_MERGES = 12
 
+#: fixed base alphabet for the bpe_ids gate (round 9 — VERDICT r7
+#: item 2): lowercase + digits, DELIBERATELY narrower than the corpus
+#: character set so unmerged out-of-alphabet base symbols exercise the
+#: −1/OOV path on both engines; merge PRODUCTS get ids regardless (the
+#: id-table convention under test: sorted base first, then one id per
+#: merge in learned order)
+_BPE_ID_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
 
 def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     """Ranked retrieval under the driver gate (VERDICT r6 item 1), one
@@ -811,6 +819,35 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         null_l.alias("score_e6"),
         F.col("detail"),
     )
+    # kind='bpe_ids' (round 9 — VERDICT r7 item 2): subword-id
+    # assignment under a FIXED alphabet; the oracle re-derives the id
+    # table with an independent pure-Python build from its own
+    # retrained merges, so the convention (sorted base first, merge
+    # products in learned order, unknown base symbols → −1) is pinned
+    # cross-engine; tf carries n_oov
+    ids_enc = (
+        _bpe.bpe_encode_ids(docs, merges, alphabet=list(_BPE_ID_ALPHABET))
+        .groupBy(
+            "token",
+            F.concat_ws(
+                " ", F.transform("subword_ids", lambda i: i.cast("string"))
+            ).alias("detail"),
+            "n_oov",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    bpe_ids_part = ids_enc.select(
+        F.lit("bpe_ids").alias("kind"),
+        "token",
+        null_l.alias("doc_id"),
+        F.col("n_oov").cast("long").alias("tf"),
+        null_l.alias("df"),
+        "n_occurrences",
+        null_l.alias("n_docs"),
+        null_l.alias("n_matched"),
+        null_l.alias("score_e6"),
+        F.col("detail"),
+    )
     with_detail = [
         df.withColumn("detail", F.lit(None).cast("string"))
         for df in (vocab, tfidf, bm25, lm)
@@ -818,7 +855,7 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     out = with_detail[0]
     for df in with_detail[1:]:
         out = out.unionByName(df)
-    return out.unionByName(bpe_part)
+    return out.unionByName(bpe_part).unionByName(bpe_ids_part)
 
 
 _PII_SUFFIX = " contact alice.b@example.com via https://ex.co/a?q=1"
