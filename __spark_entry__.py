@@ -1548,15 +1548,28 @@ def _graph_pagerank_sql() -> str:
     )
 
 
-def _bpe_vocab_values() -> str:
-    """Oracle side of the BPE gate: train the SAME model with the
+def _bpe_oracle_values() -> tuple[str, str]:
+    """Oracle side of the BPE gates: train the SAME model with the
     pure-Python reference (:func:`...operators.bpe.bpe_train_py`) on
     word counts DuckDB extracts from the oracle corpus, encode every
-    distinct token, and inline the (token, subwords, n_subwords)
-    mapping as VALUES literals — the IVF-codebook pattern. The merge
-    lists agree only while the distributed trainer's argmax/tie-break/
-    fold semantics agree with the reference, so the hash gates the
-    TRAINER, not just the encoder."""
+    distinct token, and inline two VALUES lists — the IVF-codebook
+    pattern. The merge lists agree only while the distributed
+    trainer's argmax/tie-break/fold semantics agree with the
+    reference, so the hash gates the TRAINER, not just the encoder.
+
+    Returns ``(vocab_values, ids_values)``:
+
+    - ``vocab_values``: (token, detail = space-joined subwords,
+      n_subwords) for the kind='bpe' branch;
+    - ``ids_values``: (token, detail = space-joined subword IDS,
+      n_oov, n_occurrences) for the kind='bpe_ids' branch (round 10 —
+      the oracle twin of the round-9 spark-side part). The id table
+      is built INLINE here — sorted base alphabet (+ end-of-word)
+      first, then one id per merge product in learned order, unknown
+      symbols → −1 — deliberately NOT via
+      :func:`...operators.bpe.bpe_vocab_ids`, so the id-assignment
+      convention is pinned cross-implementation rather than the gate
+      sharing the code it checks."""
     import duckdb
 
     from sales_analytics_etl_sql_powerbi_spark.operators.bpe import (
@@ -1588,21 +1601,41 @@ def _bpe_vocab_values() -> str:
             syms = out
         return syms
 
+    # independent inline id-table build (same convention as
+    # bpe_vocab_ids, re-derived from scratch): sorted fixed alphabet
+    # plus the end-of-word marker get ids 0..k−1, merge products get
+    # the next id in learned order unless already present
+    ids: dict[str, int] = {}
+    for s in sorted(set(_BPE_ID_ALPHABET) | {_EOW}):
+        ids[s] = len(ids)
+    for a, b in merges:
+        if a + b not in ids:
+            ids[a + b] = len(ids)
+
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    return ", ".join(
+    vocab_values = ", ".join(
         f"('{q(t)}', '{q(' '.join(encode(t)))}', {len(encode(t))})"
         for t in sorted(wc)
     )
+    ids_rows = []
+    for t in sorted(wc):
+        id_seq = [ids.get(s, -1) for s in encode(t)]
+        n_oov = sum(1 for i in id_seq if i == -1)
+        detail = " ".join(str(i) for i in id_seq)
+        ids_rows.append(f"('{q(t)}', '{q(detail)}', {n_oov}, {wc[t]})")
+    return vocab_values, ", ".join(ids_rows)
 
 
 def _text_retrieval_sql() -> str:
     """Twin of q_text_retrieval: the proven retrieval twins
     (vocab_topk_sql / tfidf_terms_sql / bm25_search_sql /
-    unigram_logprob_sql) plus the Python-trained BPE vocab,
-    discriminated into one frame; transcendental scores as
-    round(·1e6) integers on both sides."""
+    unigram_logprob_sql) plus the Python-trained BPE vocab and its
+    independently-derived subword-id assignment, discriminated into
+    one frame; transcendental scores as round(·1e6) integers on both
+    sides."""
+    bpe_vocab_values, bpe_ids_values = _bpe_oracle_values()
     return f"""
 SELECT 'vocab' AS kind, token, cast(NULL AS BIGINT) AS doc_id,
        cast(NULL AS BIGINT) AS tf, cast(NULL AS BIGINT) AS df,
@@ -1624,7 +1657,7 @@ FROM ({text.unigram_logprob_sql()}) l
 UNION ALL
 SELECT 'bpe', bv.token, NULL, bv.n_sub, NULL, oc.n_occurrences,
        NULL, NULL, NULL, bv.detail
-FROM (VALUES {_bpe_vocab_values()}) bv(token, detail, n_sub)
+FROM (VALUES {bpe_vocab_values}) bv(token, detail, n_sub)
 JOIN (
   SELECT token, count(1) AS n_occurrences FROM (
     SELECT unnest(string_split_regex(trim(text), ' +')) AS token
@@ -1632,6 +1665,10 @@ JOIN (
   WHERE token IS NOT NULL AND length(token) > 0
   GROUP BY token
 ) oc USING (token)
+UNION ALL
+SELECT 'bpe_ids', bi.token, NULL, bi.n_oov, NULL, bi.n_occurrences,
+       NULL, NULL, NULL, bi.detail
+FROM (VALUES {bpe_ids_values}) bi(token, detail, n_oov, n_occurrences)
 """
 
 

@@ -1,5 +1,7 @@
 """Dim upsert / enrich / backfill semantics (SURVEY J3-J5)."""
 
+import pytest
+
 from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
     backfill_from_staging,
     enrich_coalesce,
@@ -176,7 +178,6 @@ def test_scd2_strict_rejects_late_arriving_change(spark):
     the default lax mode keeps the documented garbage-in contract."""
     import datetime as dt
 
-    import pytest
 
     from sales_analytics_etl_sql_powerbi_spark.operators.dims import scd2_apply
 
@@ -443,7 +444,6 @@ def test_entity_match_auto_salt_output_identical(spark):
     # salt columns must not leak into the output schema
     cols = entity_match_pairs(dim, max_cell_size=50).columns
     assert cols == ["key_a", "key_b", "name_a", "name_b", "distance"]
-    import pytest
 
     with pytest.raises(ValueError):
         entity_match_pairs(dim, max_cell_size=0)
@@ -455,7 +455,6 @@ def test_entity_match_auto_regime_detection(spark):
     broadcastable side → UNSALTED plan (salting measured 2–4× worse
     there); broadcasting disabled/oversized → SALTED plan — with
     identical output either way."""
-    import pytest
     from pyspark.sql import functions as F
 
     from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
