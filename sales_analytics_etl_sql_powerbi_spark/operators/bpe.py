@@ -294,25 +294,75 @@ def bpe_encode_ids(
     merges: list[tuple[str, str]],
     alphabet: list[str] | None = None,
     checkpoint_every: int = 8,
+    max_map_literal: int = 4096,
 ) -> DataFrame:
     """:func:`bpe_encode` + id assignment: (doc_id, token, subword_ids
     array<int>, n_oov). Unknown symbols (characters absent from every
     merge — the model never saw them) map to −1 and are counted in
     ``n_oov`` so a pipeline can route them to a byte-fallback pass
     instead of silently training on a sentinel.
+
+    TWO PHYSICAL PATHS, same result (unit-pinned parity): an id table
+    of at most ``max_map_literal`` entries is embedded as a
+    ``create_map`` literal — zero extra joins, the lookup rides the
+    encode projection. Beyond that a literal bloats every serialized
+    plan fragment (a 100k-id byte-level model would ship ~200k
+    expression nodes with EVERY task), so the table becomes a
+    broadcast-joined DataFrame instead: symbols are pos-exploded on
+    the DISTINCT-token table (vocab-sized, never the corpus),
+    broadcast-joined to the id table, re-assembled in position order,
+    and stamped onto the corpus-sized encode output by the same key
+    equi-join :func:`bpe_encode` already uses. The crossover default
+    mirrors ``bpe_train_local``'s guard philosophy: literal while the
+    plan stays small, distributed lookup once it wouldn't.
     """
     vocab_ids = bpe_vocab_ids(merges, alphabet=alphabet)
-    mapping = F.create_map(
-        *[F.lit(x) for kv in vocab_ids.items() for x in kv]
-    )
     enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every)
-    ids = F.transform(
-        "subwords",
-        lambda s: F.coalesce(mapping[s], F.lit(-1)).cast("int"),
+    if len(vocab_ids) <= max_map_literal:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in vocab_ids.items() for x in kv]
+        )
+        ids = F.transform(
+            "subwords",
+            lambda s: F.coalesce(mapping[s], F.lit(-1)).cast("int"),
+        )
+        return enc.select(
+            "doc_id",
+            "token",
+            ids.alias("subword_ids"),
+            F.size(F.filter(ids, lambda i: i == -1)).cast("int").alias("n_oov"),
+        )
+    spark = docs.sparkSession
+    id_table = spark.createDataFrame(
+        list(vocab_ids.items()), "__sym string, __id int"
     )
-    return enc.select(
+    # vocab-granularity mapping: subwords are a pure function of the
+    # token, so one row per distinct token carries the whole id work
+    per_token = (
+        enc.select("token", "subwords")
+        .distinct()
+        .select("token", F.posexplode("subwords").alias("__pos", "__sym"))
+        .join(F.broadcast(id_table), "__sym", "left")
+        .groupBy("token")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos"),
+                            F.coalesce("__id", F.lit(-1)).alias("__id"),
+                        )
+                    )
+                ),
+                lambda s: s["__id"].cast("int"),
+            ).alias("subword_ids")
+        )
+    )
+    return enc.join(per_token, "token").select(
         "doc_id",
         "token",
-        ids.alias("subword_ids"),
-        F.size(F.filter(ids, lambda i: i == -1)).cast("int").alias("n_oov"),
+        "subword_ids",
+        F.size(F.filter("subword_ids", lambda i: i == -1))
+        .cast("int")
+        .alias("n_oov"),
     )

@@ -133,3 +133,41 @@ def test_bpe_encode_ids_roundtrip_and_oov(spark):
     }
     assert oov_rows["zq"].n_oov >= 2
     assert oov_rows["low"].n_oov == 0
+
+
+def test_bpe_encode_ids_join_path_parity_and_plan(spark):
+    """The broadcast-join id path (big-table regime, forced via
+    max_map_literal=0) returns EXACTLY the literal-map path's rows,
+    and its plan broadcasts the id table — no corpus-sized exchange
+    for the lookup, no create_map literal bloating the plan."""
+    docs = _docs(spark)
+    merges = bpe.bpe_train(docs, n_merges=10)
+    lit_rows = sorted(
+        (r.doc_id, r.token, tuple(r.subword_ids), r.n_oov)
+        for r in bpe.bpe_encode_ids(docs, merges).collect()
+    )
+    joined = bpe.bpe_encode_ids(docs, merges, max_map_literal=0)
+    join_rows = sorted(
+        (r.doc_id, r.token, tuple(r.subword_ids), r.n_oov)
+        for r in joined.collect()
+    )
+    assert join_rows == lit_rows
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # id table broadcast, never shuffled
+    assert "map_from" not in plan and "CartesianProduct" not in plan
+    # fixed-alphabet OOV parity across both paths
+    oov_docs = spark.createDataFrame(
+        [(9, "zq low")], "doc_id long, text string"
+    )
+    alpha = list("low")
+    a = {
+        r.token: (tuple(r.subword_ids), r.n_oov)
+        for r in bpe.bpe_encode_ids(oov_docs, merges, alphabet=alpha).collect()
+    }
+    b = {
+        r.token: (tuple(r.subword_ids), r.n_oov)
+        for r in bpe.bpe_encode_ids(
+            oov_docs, merges, alphabet=alpha, max_map_literal=0
+        ).collect()
+    }
+    assert a == b
