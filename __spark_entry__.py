@@ -705,8 +705,41 @@ def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return exact.unionByName(meta).unionByName(hq)
 
 
+#: packing budget for the chunk_documents gate — NOT a multiple of the
+#: ~50-token average doc, so examples routinely start and end mid-
+#: document and the boundary-split arithmetic is exercised
+_PACK_BUDGET = 96
+
+
 def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
-    return text.chunk_documents(_docs(spark, sf), chunk_size=32, overlap=8)
+    """Chunking AND sequence packing (round 10), one discriminated
+    frame: kind='chunk' is the sliding token-window chunker;
+    kind='pack' is concat-then-chunk packing into fixed-budget
+    training examples, whose exclusive prefix sum runs as the
+    two-level distributed scan (operators/packing.py) — the oracle
+    twin recomputes the same arithmetic over a plain single-window
+    cumsum, so the hash gates the distributed scan's exactness."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import packing
+
+    docs = _docs(spark, sf)
+    null_l = F.lit(None).cast("long")
+    chunks = text.chunk_documents(docs, chunk_size=32, overlap=8).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("piece_id"),
+        null_l.alias("pos_in_example"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.col("chunk_text").alias("piece_text"),
+    )
+    packs = packing.pack_sequences(docs, budget=_PACK_BUDGET).select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        F.col("example_id").alias("piece_id"),
+        "pos_in_example",
+        F.col("n_seg_tokens").alias("n_tokens"),
+        F.col("seg_text").alias("piece_text"),
+    )
+    return chunks.unionByName(packs)
 
 
 #: BM25 query over the synthetic corpus vocabulary — three mid-
@@ -1628,6 +1661,28 @@ def _bpe_oracle_values() -> tuple[str, str]:
     return vocab_values, ", ".join(ids_rows)
 
 
+def _chunk_documents_sql() -> str:
+    """Twin of q_chunk_documents: sliding chunker + sequence packing,
+    discriminated; the packing side uses a plain single-window cumsum
+    (oracle scale) against the Spark side's distributed two-level
+    prefix scan."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.packing import (
+        pack_sequences_sql,
+    )
+
+    return f"""
+SELECT 'chunk' AS kind, doc_id,
+       cast(chunk_id AS BIGINT) AS piece_id,
+       cast(NULL AS BIGINT) AS pos_in_example,
+       n_chunk_tokens AS n_tokens,
+       chunk_text AS piece_text
+FROM ({text.chunk_documents_sql(chunk_size=32, overlap=8)}) c
+UNION ALL
+SELECT 'pack', doc_id, example_id, pos_in_example, n_seg_tokens, seg_text
+FROM ({pack_sequences_sql(_PACK_BUDGET)}) p
+"""
+
+
 def _text_retrieval_sql() -> str:
     """Twin of q_text_retrieval: the proven retrieval twins
     (vocab_topk_sql / tfidf_terms_sql / bm25_search_sql /
@@ -1939,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text.text_stats_sql(),
         "doc_profile": text.doc_profile_sql(),
         "doc_length_quantiles": _doc_length_quantiles_sql(),
-        "chunk_documents": text.chunk_documents_sql(chunk_size=32, overlap=8),
+        "chunk_documents": _chunk_documents_sql(),
         "text_retrieval": _text_retrieval_sql(),
         "scrub_pii": text.scrub_pii_sql(
             source=(

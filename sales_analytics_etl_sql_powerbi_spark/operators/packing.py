@@ -1,0 +1,198 @@
+"""Sequence packing for pre-training shards (round 10,
+beyond-reference).
+
+The step between chunking/tokenization and the trainer: concatenate
+the token stream in a deterministic corpus order and cut it into
+fixed-``budget`` examples (GPT-style "concat then chunk" packing — no
+padding waste, document boundaries fall where they fall). Each
+document maps to the half-open token span ``[offset, offset + n)`` of
+the virtual concatenated stream, where ``offset`` is the sum of token
+counts of all documents before it; the span is then split at every
+``budget`` boundary into per-example segments.
+
+THE SCALE PROBLEM is the prefix sum: the obvious
+``sum().over(Window.orderBy("doc_id"))`` has an EMPTY partition spec,
+so Spark plans a single-partition sort — one task owns the whole
+corpus, the classic 100×-scale killer. This module computes the same
+exclusive prefix sum as a two-level distributed scan instead:
+
+1. bucket each row by a DATA-DERIVED contiguous key range —
+   ``(key − min) DIV width`` from one min/max aggregate (a
+   column-pruned scan the parquet footer stats usually answer);
+2. WITHIN each bucket, a window partitioned by the bucket id computes
+   the local prefix sum — all buckets in parallel;
+3. per-bucket totals (one row per bucket — driver-tiny) get their own
+   exclusive prefix sum, and a broadcast join adds each bucket's base
+   offset back.
+
+The bucket id MUST be a pure function of the data, never of the
+runtime: the first cut of this module bucketed by
+``repartitionByRange`` + ``spark_partition_id()``, and under AQE the
+two consumers of the bucketed frame (the window branch and the
+totals aggregate) can read the range shuffle with DIFFERENT partition
+coalescing, so the same row reported different pids to each branch —
+offsets silently drifted by a few boundary crossings per run
+(reproduced: 4 collect() runs, 4 different rowcounts; pinned by the
+determinism test). Equal-width integer buckets are immune: the id is
+computed from the row's own key, so every branch, retry, and replan
+agrees. Skewed key distributions make buckets uneven — that degrades
+parallelism, never correctness (offsets are bucket-independent) —
+and doc ids from a sequence are near-uniform, the common case.
+Token spans use integral arithmetic (``DIV``, never float division)
+so offsets stay exact past 2^53.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+__all__ = ["global_prefix_sum", "pack_sequences", "pack_sequences_sql"]
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "offset",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` in ``order_col`` order,
+    without a single-partition global window (module docstring). The
+    order key must be a unique INTEGRAL column (it is both the
+    tie-break-free sort key and the bucketing domain). Adds
+    ``out_col``; preserves all input columns.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one column-pruned min/max pass pins the bucket width as a plan
+    # literal — deterministic however the stages replan (see module
+    # docstring for why spark_partition_id() is NOT usable here)
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    width = max((int(hi) - int(lo)) // num_buckets + 1, 1)
+    bucketed = df.withColumn(
+        "__bkt", F.expr(f"({order_col} - {int(lo)}) DIV {width}")
+    )
+    local_w = Window.partitionBy("__bkt").orderBy(order_col)
+    bucketed = bucketed.withColumn(
+        "__local_off",
+        F.sum(weight_col).over(local_w) - F.col(weight_col),
+    )
+    # one row per bucket; the exclusive scan over THIS frame is the
+    # only single-partition window, and it is bucket-count-sized
+    totals = bucketed.groupBy("__bkt").agg(F.sum(weight_col).alias("__btot"))
+    tot_w = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
+    )
+    return (
+        bucketed.join(F.broadcast(totals), "__bkt")
+        .withColumn(
+            out_col, (F.col("__boff") + F.col("__local_off")).cast("long")
+        )
+        .drop("__bkt", "__local_off", "__boff")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 128,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Pack the corpus token stream into fixed-``budget`` training
+    examples: (doc_id, example_id, pos_in_example, n_seg_tokens,
+    seg_text) — one row per (document, example) SEGMENT, so a long
+    document spans several rows and a short one shares its example
+    with neighbours. Deterministic in ``doc_id`` order.
+
+    Reassembly invariants (unit-pinned): concatenating a document's
+    segments in example order restores its token sequence; every
+    example except the last carries exactly ``budget`` tokens with
+    segments abutting at ``pos_in_example``; example count is
+    ``ceil(total_tokens / budget)``.
+
+    One tokenize, the two-level prefix scan above, then a per-row
+    explode of the ≤ ``1 + n/budget`` examples a document touches —
+    no corpus-sized sort, no data-sized collect.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    d = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", tokens_expr("text").alias("__tok"))
+        .withColumn("__n", F.size("__tok").cast("long"))
+        .where(F.col("__n") > 0)
+    )
+    d = global_prefix_sum(
+        d, "doc_id", "__n", out_col="__off", num_buckets=num_buckets
+    )
+    b = F.lit(budget).cast("long")
+    first_ex = F.expr(f"__off DIV {budget}")
+    last_ex = F.expr(f"(__off + __n - 1) DIV {budget}")
+    seg = d.select(
+        "doc_id",
+        "__tok",
+        "__n",
+        "__off",
+        F.explode(F.sequence(first_ex, last_ex)).alias("example_id"),
+    )
+    seg_start = F.greatest(seg.example_id * b - F.col("__off"), F.lit(0).cast("long"))
+    seg_end = F.least((seg.example_id + 1) * b - F.col("__off"), F.col("__n"))
+    return seg.select(
+        "doc_id",
+        F.col("example_id").cast("long").alias("example_id"),
+        F.greatest(F.col("__off") - seg.example_id * b, F.lit(0).cast("long"))
+        .cast("long")
+        .alias("pos_in_example"),
+        (seg_end - seg_start).cast("long").alias("n_seg_tokens"),
+        F.array_join(
+            F.slice(
+                "__tok",
+                (seg_start + 1).cast("int"),
+                (seg_end - seg_start).cast("int"),
+            ),
+            " ",
+        ).alias("seg_text"),
+    )
+
+
+def pack_sequences_sql(budget: int = 128, source: str = "documents") -> str:
+    """DuckDB twin: the SAME packing arithmetic over a plain
+    single-window prefix sum (fine at oracle scale — the distributed
+    scan is exactly what this twin cross-checks)."""
+    return f"""
+SELECT doc_id,
+       cast(example_id AS BIGINT) AS example_id,
+       cast(greatest(__off - example_id * {budget}, 0) AS BIGINT) AS pos_in_example,
+       cast(least((example_id + 1) * {budget} - __off, __n)
+            - greatest(example_id * {budget} - __off, 0) AS BIGINT) AS n_seg_tokens,
+       array_to_string(
+         __tok[greatest(example_id * {budget} - __off, 0) + 1 :
+               least((example_id + 1) * {budget} - __off, __n)],
+         ' ') AS seg_text
+FROM (
+  SELECT doc_id, __tok, __n, __off,
+         unnest(generate_series(__off // {budget},
+                                (__off + __n - 1) // {budget})) AS example_id
+  FROM (
+    SELECT doc_id, __tok, __n,
+           cast(coalesce(sum(__n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS __off
+    FROM (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
+             len(string_split_regex(trim(text), ' +')) AS __n
+      FROM {source} WHERE text IS NOT NULL
+    ) t WHERE __n > 0
+  ) o
+) e
+"""

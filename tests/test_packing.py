@@ -1,0 +1,116 @@
+"""Sequence packing / distributed prefix sum (round 10)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sales_analytics_etl_sql_powerbi_spark.operators import packing
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "f g"),
+        (3, "h i j k l m n o p q"),
+        (5, "r"),
+        (8, "s t u v w x y z aa bb cc dd"),
+        (13, "ee ff gg"),
+        (21, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_global_prefix_sum_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(i * 7 % 101, (i % 5) + 1) for i in range(101)], "k long, w long"
+    )
+    got = {
+        r.k: r.offset
+        for r in packing.global_prefix_sum(df, "k", "w", num_buckets=7).collect()
+    }
+    rows = sorted((r.k, r.w) for r in df.collect())
+    acc = 0
+    for k, w in rows:
+        assert got[k] == acc
+        acc += w
+    # empty frame: no rows, schema carries the offset column
+    empty = spark.createDataFrame([], "k long, w long")
+    out = packing.global_prefix_sum(empty, "k", "w")
+    assert out.count() == 0 and "offset" in out.columns
+
+
+def test_pack_sequences_reassembly_invariants(spark):
+    B = 7
+    segs = packing.pack_sequences(_docs(spark), budget=B).collect()
+    toks = {
+        r.doc_id: r.text.split()
+        for r in _docs(spark).where(F.col("text").isNotNull()).collect()
+    }
+    total = sum(len(t) for t in toks.values())
+    # per-document reassembly in example order restores the token seq
+    by_doc = {}
+    for s in segs:
+        by_doc.setdefault(s.doc_id, []).append(s)
+    assert set(by_doc) == set(toks)
+    for doc_id, ss in by_doc.items():
+        ss.sort(key=lambda s: s.example_id)
+        joined = " ".join(s.seg_text for s in ss).split()
+        assert joined == toks[doc_id]
+        assert all(s.n_seg_tokens == len(s.seg_text.split()) for s in ss)
+    # every example except the last is exactly full, segments abut
+    by_ex = {}
+    for s in segs:
+        by_ex.setdefault(s.example_id, []).append(s)
+    assert set(by_ex) == set(range(math.ceil(total / B)))
+    last = max(by_ex)
+    for ex, ss in by_ex.items():
+        ss.sort(key=lambda s: s.pos_in_example)
+        assert ss[0].pos_in_example == 0
+        for a, b in zip(ss, ss[1:]):
+            assert a.pos_in_example + a.n_seg_tokens == b.pos_in_example
+        n = sum(s.n_seg_tokens for s in ss)
+        assert n == B if ex != last else n <= B
+
+
+def test_pack_sequences_deterministic_across_replans(spark):
+    """Regression pin for the spark_partition_id() bucketing bug: with
+    runtime-derived bucket ids, AQE could hand the window branch and
+    the totals branch DIFFERENT partition numberings for the same row,
+    drifting offsets between collect() runs (observed: 4 runs, 4
+    rowcounts at sf0.1). Data-derived buckets must produce identical
+    rows every run."""
+    docs = spark.range(400).select(
+        (F.col("id") * 3).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 13) + 1),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    runs = [
+        sorted(
+            (r.doc_id, r.example_id, r.pos_in_example, r.n_seg_tokens, r.seg_text)
+            for r in packing.pack_sequences(docs, budget=17).collect()
+        )
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_pack_sequences_plan_has_no_global_data_window(spark):
+    """The corpus-sized window must be partitioned by the bucket id;
+    the only empty-partition-spec window is over the bucket-count-
+    sized totals frame. The bucket totals reach the row side as a
+    broadcast join."""
+    plan = (
+        packing.pack_sequences(_docs(spark), budget=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__bkt" in plan  # data-derived bucket, not spark_partition_id
+    assert "spark_partition_id" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
