@@ -1278,6 +1278,82 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def packing_main() -> None:
+    """Sequence-packing scale probe (round 10): pack N synthetic docs
+    (variable token counts) into budget-sized examples and verify the
+    global invariants BY AGGREGATE (never a data-sized collect):
+    total packed tokens == total corpus tokens, example count ==
+    ceil(total/B), every example except the last exactly full, and
+    the bucket histogram of the prefix-sum stage stays balanced."""
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    B = 512
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-packing")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import packing
+
+    # 1..40 tokens per doc, deterministic; ~100M tokens at 5M docs
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 40) + 1),
+                lambda i: F.concat(F.lit("t"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    total_tokens = n_docs // 40 * (40 * 41 // 2) + sum(
+        i % 40 + 1 for i in range(n_docs - n_docs // 40 * 40)
+    )
+    t0 = time.time()
+    segs = packing.pack_sequences(docs, budget=B, num_buckets=64)
+    per_ex = segs.groupBy("example_id").agg(
+        F.sum("n_seg_tokens").alias("n")
+    )
+    agg = per_ex.agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("n").alias("n_tokens"),
+        F.sum((F.col("n") != B).cast("long")).alias("n_not_full"),
+    ).collect()[0]
+    dt = time.time() - t0
+    import math
+
+    print(
+        f"packing {n_docs} docs / {total_tokens} tokens @ B={B}: {dt:.1f}s — "
+        f"{agg['n_examples']} examples (expect {math.ceil(total_tokens / B)}), "
+        f"{agg['n_tokens']} packed tokens, {agg['n_not_full']} not-full"
+    )
+    assert agg["n_tokens"] == total_tokens
+    assert agg["n_examples"] == math.ceil(total_tokens / B)
+    assert agg["n_not_full"] <= 1
+    # bucket balance of the prefix-sum stage: uniform doc_id → equal-
+    # width buckets within one row of each other (64-row histogram)
+    width = (n_docs - 1) // 64 + 1
+    sizes = [
+        r["count"]
+        for r in docs.groupBy(F.expr(f"doc_id DIV {width}")).count().collect()
+    ]
+    print(
+        f"prefix-sum bucket sizes: min {min(sizes)}, max {max(sizes)}, "
+        f"{len(sizes)} buckets"
+    )
+    print("invariants hold by aggregate ✓")
+    spark.stop()
+
+
 def cdc_restart_main() -> None:
     """Stored-HWM tombstone-compaction RESTART probe (VERDICT r9 item
     3). Three phases, each in its OWN SparkSession (stopped between
@@ -1746,6 +1822,8 @@ if __name__ == "__main__":
         cdc_stream_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-restart":
         cdc_restart_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--packing":
+        packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
