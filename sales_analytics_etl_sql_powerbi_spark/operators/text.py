@@ -23,6 +23,8 @@ __all__ = [
     "doc_fingerprint",
     "doc_profile",
     "doc_profile_sql",
+    "repetition_signals",
+    "REPETITION_SIGNALS_SQL",
     "decontaminate",
     "decontaminate_sql",
     "chunk_documents",
@@ -298,6 +300,137 @@ FROM documents
 """
 
 
+def _top_bigram_expr(tok_col: str) -> Column:
+    """struct(top string, n long): the most frequent adjacent bigram
+    and its count — ties break to the lexicographically smallest.
+    Computed IN-ROW: sort the bigram list, then one run-length fold
+    over the sorted array (the per-row mode without a hashmap); a
+    strict ``>`` keeps the first — therefore smallest — maximal run.
+    Docs with <2 tokens yield (NULL, 0)."""
+    return F.expr(
+        f"""
+        aggregate(
+          array_sort(CASE WHEN size({tok_col}) >= 2 THEN
+            transform(sequence(1, size({tok_col}) - 1),
+                      i -> concat(element_at({tok_col}, i), ' ',
+                                  element_at({tok_col}, i + 1)))
+            ELSE array() END),
+          named_struct('prev', cast(null as string), 'run', 0L,
+                       'best_n', 0L, 'best', cast(null as string)),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END,
+            'best_n', CASE WHEN (CASE WHEN x <=> acc.prev
+                                 THEN acc.run + 1 ELSE 1L END) > acc.best_n
+                      THEN (CASE WHEN x <=> acc.prev
+                            THEN acc.run + 1 ELSE 1L END)
+                      ELSE acc.best_n END,
+            'best', CASE WHEN (CASE WHEN x <=> acc.prev
+                               THEN acc.run + 1 ELSE 1L END) > acc.best_n
+                    THEN x ELSE acc.best END),
+          acc -> named_struct('top', acc.best, 'n', acc.best_n))
+        """
+    )
+
+
+def _max_run_expr(tok_col: str) -> Column:
+    """Longest run of CONSECUTIVE equal tokens (long; 0 for an empty
+    list) — one fold over the unsorted in-row token list."""
+    return F.expr(
+        f"""
+        aggregate(
+          {tok_col},
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (acc, x) -> named_struct(
+            'prev', x,
+            'run', CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END,
+            'best', greatest(acc.best,
+                             CASE WHEN x <=> acc.prev
+                             THEN acc.run + 1 ELSE 1L END)),
+          acc -> acc.best)
+        """
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """The two Gopher-style repetition signals :func:`text_stats`'s
+    ratio family can't express with distinct-counts alone: the MOST
+    FREQUENT adjacent bigram (occupancy of a single repeated phrase —
+    boilerplate and listicle pages score high even when every line is
+    distinct) and the longest CONSECUTIVE equal-token run (stutter —
+    ``buy buy buy buy``). Both are in-row folds over the token list:
+    one embarrassingly-parallel scan, no explode, no shuffle — the
+    per-row mode comes from a run-length pass over the SORTED bigram
+    list rather than a hashmap. The oracle twin takes the opposite
+    route (explode + group-by + window rank), so the gate checks the
+    convention, not shared code.
+
+    Columns: doc_id, n_bigrams, top_bigram (NULL when <2 tokens),
+    top_bigram_n, max_token_run.
+    """
+    d = docs.where(F.col("text").isNotNull()).withColumn(
+        "__tok", tokens_expr("text")
+    )
+    top = _top_bigram_expr("__tok")
+    return d.select(
+        "doc_id",
+        F.greatest(F.size("__tok") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        top["top"].alias("top_bigram"),
+        top["n"].cast("long").alias("top_bigram_n"),
+        _max_run_expr("__tok").cast("long").alias("max_token_run"),
+    )
+
+
+#: DuckDB twin of repetition_signals — deliberately the OTHER route:
+#: unnest to rows, group-by counts, window rank for the mode,
+#: gaps-and-islands (position − per-token row_number) for the run
+REPETITION_SIGNALS_SQL = """
+SELECT t.doc_id,
+       cast(greatest(t.n - 1, 0) AS BIGINT) AS n_bigrams,
+       tb.bigram AS top_bigram,
+       cast(coalesce(tb.c, 0) AS BIGINT) AS top_bigram_n,
+       cast(coalesce(mr.max_run, 0) AS BIGINT) AS max_token_run
+FROM (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
+         len(string_split_regex(trim(text), ' +')) AS n
+  FROM documents WHERE text IS NOT NULL
+) t
+LEFT JOIN (
+  SELECT doc_id, bigram, c FROM (
+    SELECT doc_id, bigram, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, bigram ASC) AS rn
+    FROM (
+      SELECT doc_id, bigram, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, n),
+                      i -> __tok[i] || ' ' || __tok[i + 1])) AS bigram
+        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
+                     len(string_split_regex(trim(text), ' +')) AS n
+              FROM documents WHERE text IS NOT NULL) b
+        WHERE n >= 2) g
+      GROUP BY doc_id, bigram) cnt) rk
+  WHERE rn = 1
+) tb ON t.doc_id = tb.doc_id
+LEFT JOIN (
+  SELECT doc_id, max(run_len) AS max_run FROM (
+    SELECT doc_id, tok, grp, count(*) AS run_len FROM (
+      SELECT doc_id, tok, i
+             - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp,
+             i
+      FROM (
+        SELECT doc_id, i, __tok[i] AS tok FROM (
+          SELECT doc_id, __tok,
+                 unnest(generate_series(1, len(__tok))) AS i
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text), ' +') AS __tok
+                FROM documents WHERE text IS NOT NULL) p0) p1) p2) p3
+    GROUP BY doc_id, tok, grp) runs
+  GROUP BY doc_id
+) mr ON t.doc_id = mr.doc_id
+"""
+
+
 def text_stats_sql(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str:
     return TEXT_STATS_SQL.format(stop=", ".join(f"'{w}'" for w in stopwords))
 
@@ -372,6 +505,10 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
         ),
         F.md5(F.col("text")).alias("exact_hash"),
         packed.alias("simhash"),
+        # repetition signals (round 10) — same fused-fold discipline
+        _top_bigram_expr("__tok")["top"].alias("top_bigram"),
+        _top_bigram_expr("__tok")["n"].cast("long").alias("top_bigram_n"),
+        _max_run_expr("__tok").cast("long").alias("max_token_run"),
     )
 
 
@@ -384,11 +521,12 @@ def doc_profile_sql(markers: dict[str, tuple[str, ...]] | None = None) -> str:
     return f"""
 SELECT t.doc_id, l.labeled_lang, t.n_bpe_tokens, t.n_ws_tokens,
        l.predicted_lang, l.marker_hits, f.fingerprint, f.exact_hash,
-       s.simhash
+       s.simhash, r.top_bigram, r.top_bigram_n, r.max_token_run
 FROM ({TOKEN_COUNT_SQL}) t
 JOIN ({lang_id_sql(markers)}) l ON t.doc_id = l.doc_id
 JOIN ({DOC_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 JOIN ({simhash_sql()}) s ON t.doc_id = s.doc_id
+JOIN ({REPETITION_SIGNALS_SQL}) r ON t.doc_id = r.doc_id
 """
 
 

@@ -529,3 +529,48 @@ def test_unigram_logprob_plan_no_window_no_cartesian(spark):
         T.unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_repetition_signals_conventions(spark):
+    """Pins the mode convention (ties → lexicographically smallest
+    bigram), the consecutive-run semantics, and the <2-token edge —
+    against a DuckDB twin that takes the explode/group-by/window
+    route instead of the in-row sorted-run fold."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),  # 'a b' ×3 beats 'b a' ×2
+            (2, "x x x x y"),      # run of 4; 'x x' ×3
+            (3, "solo"),           # no bigrams → (NULL, 0), run 1
+            (4, ""),               # single empty token
+            (6, "b a b a a b"),    # 'b a'×2 and 'a b'×2 tie → 'a b'
+            (7, "t t s s t t"),    # tie 's s'? 's s'×1,'t t'×2 → 't t'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.repetition_signals(docs).collect()}
+    assert (rows[1].top_bigram, rows[1].top_bigram_n) == ("a b", 3)
+    assert rows[1].max_token_run == 1
+    assert (rows[2].top_bigram, rows[2].top_bigram_n) == ("x x", 3)
+    assert rows[2].max_token_run == 4
+    assert (rows[3].top_bigram, rows[3].top_bigram_n) == (None, 0)
+    assert rows[3].max_token_run == 1 and rows[3].n_bigrams == 0
+    assert rows[4].n_bigrams == 0
+    assert (rows[6].top_bigram, rows[6].top_bigram_n) == ("a b", 2)
+    assert (rows[7].top_bigram, rows[7].top_bigram_n) == ("t t", 2)
+    # tie case: two bigrams at the same max count → smallest wins
+    tie = spark.createDataFrame([(9, "z y z x z y z x")], "doc_id long, text string")
+    r9 = T.repetition_signals(tie).collect()[0]
+    # 'z y'×2, 'y z'×1... recompute: bigrams z y, y z, z x, x z, z y, y z, z x
+    # → 'z y'×2,'y z'×2,'z x'×2,'x z'×1 → lexicographically smallest of the
+    # three maxima is 'x z'? no: maxima are {z y, y z, z x} → 'y z'
+    assert (r9.top_bigram, r9.top_bigram_n) == ("y z", 2)
+    con = duckdb.connect()
+    con.register("docs_py", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_py")
+    orows = sorted(tuple(t) for t in con.execute(T.REPETITION_SIGNALS_SQL).fetchall())
+    srows = sorted(tuple(r) for r in T.repetition_signals(docs).collect())
+    assert srows == orows
