@@ -505,10 +505,28 @@ def doc_profile(docs: DataFrame, markers: dict[str, tuple[str, ...]] | None = No
         ),
         F.md5(F.col("text")).alias("exact_hash"),
         packed.alias("simhash"),
-        # repetition signals (round 10) — same fused-fold discipline
-        _top_bigram_expr("__tok")["top"].alias("top_bigram"),
-        _top_bigram_expr("__tok")["n"].cast("long").alias("top_bigram_n"),
+        # repetition signals (round 10) — same fused-fold discipline;
+        # the struct is projected ONCE and expanded so the bigram fold
+        # runs a single time per row
+        _top_bigram_expr("__tok").alias("__bg"),
         _max_run_expr("__tok").cast("long").alias("max_token_run"),
+    ).select(
+        "*",
+        F.col("__bg")["top"].alias("top_bigram"),
+        F.col("__bg")["n"].cast("long").alias("top_bigram_n"),
+    ).drop("__bg").select(
+        "doc_id",
+        "labeled_lang",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        "predicted_lang",
+        "marker_hits",
+        "fingerprint",
+        "exact_hash",
+        "simhash",
+        "top_bigram",
+        "top_bigram_n",
+        "max_token_run",
     )
 
 
