@@ -114,3 +114,19 @@ def test_pack_sequences_plan_has_no_global_data_window(spark):
     assert "spark_partition_id" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_prefix_sum_skewed_keys_still_exact(spark):
+    """Equal-width buckets under a pathologically skewed key
+    distribution (99% of keys in one bucket's range): parallelism
+    degrades, exactness must not — offsets are bucket-independent."""
+    rows = [(i, i % 3 + 1) for i in range(99)] + [(10_000_000, 5), (20_000_000, 7)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r.k: r.offset
+        for r in packing.global_prefix_sum(df, "k", "w", num_buckets=16).collect()
+    }
+    acc = 0
+    for k, w in sorted(rows):
+        assert got[k] == acc
+        acc += w
