@@ -294,7 +294,7 @@ def bpe_encode_ids(
     merges: list[tuple[str, str]],
     alphabet: list[str] | None = None,
     checkpoint_every: int = 8,
-    max_map_literal: int = 4096,
+    max_map_literal: int = 1024,
 ) -> DataFrame:
     """:func:`bpe_encode` + id assignment: (doc_id, token, subword_ids
     array<int>, n_oov). Unknown symbols (characters absent from every
@@ -312,9 +312,13 @@ def bpe_encode_ids(
     the DISTINCT-token table (vocab-sized, never the corpus),
     broadcast-joined to the id table, re-assembled in position order,
     and stamped onto the corpus-sized encode output by the same key
-    equi-join :func:`bpe_encode` already uses. The crossover default
-    mirrors ``bpe_train_local``'s guard philosophy: literal while the
-    plan stays small, distributed lookup once it wouldn't.
+    equi-join :func:`bpe_encode` already uses. MEASURED crossover
+    (scripts/stress.py --bpe-ids, 20k docs, fixed 8-merge chain,
+    alphabet-driven table size): the join path is flat ~1.5s at every
+    size; the literal matches it at ~1k ids, is 2× at 2k, 6× at 8k,
+    and effectively hangs by 64k (create_map lookup is a linear scan
+    of the literal per symbol, on top of the plan-size blowup) — hence
+    the 1024 default.
     """
     vocab_ids = bpe_vocab_ids(merges, alphabet=alphabet)
     enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every)

@@ -1278,6 +1278,69 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def bpe_ids_main() -> None:
+    """BPE id-table crossover probe (round 10): at what table size does
+    the create_map literal lose to the broadcast-join path? Synthetic
+    merge lists (the id-table size is alphabet + merges) over a fixed
+    200k-token corpus; per size, time end-to-end encode+ids on both
+    paths and report the analysis-plus-execution wall clock. The
+    literal's cost is in PLANNING (expression-tree size ships with
+    every task); the join's is a constant small broadcast."""
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-bpe-ids")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") * 13 + i) % 500).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    # a FIXED 8-merge chain (merge application is O(n_merges) and
+    # identical on both paths); the id-table size is varied through
+    # the explicit alphabet — the byte-level-model shape, where the
+    # base symbol set, not the merge count, dominates the table
+    merges = [(f"w{i}", f"w{i+1}") for i in range(8)]
+    for n_ids in (500, 1_000, 2_000, 8_000, 16_000, 64_000):
+        alphabet = [f"sym{i}" for i in range(n_ids)]
+        for label, cap in (("join", 0), ("literal", 10**9)):
+            if label == "literal" and n_ids > 8_000:
+                # measured: the literal is 6× slower at 8k and
+                # effectively hangs by 64k (linear-scan lookup ×
+                # plan-size blowup) — skipping keeps the probe bounded
+                print(f"id-table ~{n_ids}: literal path SKIPPED (hangs)")
+                continue
+            t0 = time.time()
+            out = bpe.bpe_encode_ids(
+                docs, merges, alphabet=alphabet, max_map_literal=cap
+            )
+            n = out.count()
+            print(
+                f"id-table ~{n_ids}: {label} path {time.time()-t0:.1f}s "
+                f"({n} rows)"
+            )
+
+
 def packing_main() -> None:
     """Sequence-packing scale probe (round 10): pack N synthetic docs
     (variable token counts) into budget-sized examples and verify the
@@ -1824,6 +1887,8 @@ if __name__ == "__main__":
         cdc_restart_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--packing":
         packing_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
+        bpe_ids_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
