@@ -1027,6 +1027,13 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_topk(_docs(spark, sf))
 
 
+#: random-projection output dim for the cosine_topk gate: 32-from-64
+#: (measured shortlist recall at sf0.01: exact-top10 ⊂ rp-top-100 at
+#: 0.66, ⊂ rp-top-500 at 1.0 — the synthetic corpus is near-random,
+#: the JL worst case; see PLAN_AUDIT round 10)
+_RP_DIM = 32
+
+
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine baseline + its int8-quantized twin (round
     7) in one discriminated frame: kind='exact' is the float (micro-
@@ -1041,7 +1048,14 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     int8 = similarity.int8_cosine_topk(emb).select(
         F.lit("int8").alias("kind"), "query_id", "vec_id", "cosine", "rn"
     )
-    return exact.unionByName(int8)
+    # kind='rp' (round 10): sign-random-projection shortlist scorer —
+    # exact long-integer projection (same md5 plane family as LSH), so
+    # the hash pins the projection itself; the oracle re-derives the
+    # planes and projects independently
+    rp = similarity.rp_cosine_topk(emb, out_dim=_RP_DIM).select(
+        F.lit("rp").alias("kind"), "query_id", "vec_id", "cosine", "rn"
+    )
+    return exact.unionByName(int8).unionByName(rp)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2032,6 +2046,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'int8', query_id, vec_id, cosine, rn
             FROM ({similarity.int8_cosine_topk_sql()}) i
+            UNION ALL
+            SELECT 'rp', query_id, vec_id, cosine, rn
+            FROM ({similarity.rp_cosine_topk_sql(out_dim=_RP_DIM)}) p
         """,
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(sf_dir=_oracle_sf_dir()),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(sf_dir=_oracle_sf_dir()),

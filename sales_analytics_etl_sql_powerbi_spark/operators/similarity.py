@@ -26,6 +26,9 @@ __all__ = [
     "quantized",
     "quantize_int8",
     "int8_cosine_topk",
+    "rp_project",
+    "rp_cosine_topk",
+    "rp_cosine_topk_sql",
     "int8_cosine_topk_sql",
     "cosine_topk",
     "cosine_topk_sql",
@@ -926,6 +929,108 @@ scored AS (
          round(cast({dot} AS DOUBLE)
                / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
   FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+def rp_project(emb: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003):
+    each output coordinate is the dot product of the micro-unit
+    quantized vector with a deterministic ±1 hyperplane — EXACT long
+    integers end to end, so the projection itself is hash-checkable
+    cross-engine (no float accumulation order to drift). The planes
+    are the same md5-derived family :func:`hyperplanes` feeds LSH —
+    LSH keeps only the SIGN of these dots; this keeps the values,
+    which is why a 16-dim projection separates what 16 LSH bits can
+    only bucket.
+
+    (vec_id, rp array<long>): one scan-side projection, O(dim ·
+    out_dim) per row, no shuffle — the cheap first stage of a
+    project→shortlist→exact-rerank pipeline at 100 TB (per-row work
+    drops by dim/out_dim for every downstream pairwise score).
+    Cosine is approximately preserved in expectation; measured
+    recall@10 vs brute force is the --rp probe's output, and the
+    shortlist multiplier is the recall knob.
+    """
+    planes = hyperplanes(out_dim)
+    q = quantized(emb)
+    # unrolled per output coordinate (same Spark 4.1 self-join lambda
+    # bind rationale as lsh_buckets); out_dim is small by construction
+    coords = []
+    for plane in planes:
+        plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
+        coords.append(F.expr(_DOT.format(a="__q", b=plane_lit)))
+    return q.select("vec_id", F.array(*coords).alias("rp"))
+
+
+def rp_cosine_topk(
+    emb: DataFrame, out_dim: int = 16, n_queries: int = 5, topk: int = 10
+) -> DataFrame:
+    """:func:`cosine_topk` in the projected space: same query
+    broadcast, same 9-dp rounding and tie-break, but every pairwise
+    dot is ``out_dim`` wide instead of ``dim`` — the brute-force scan
+    you can actually afford as a shortlist stage. Output shape matches
+    cosine_topk (query_id, vec_id, cosine, rn); the cosine is the
+    PROJECTED-space value (an estimate of the true cosine — rerank
+    survivors with the exact scorer when the application needs truth).
+    """
+    p = rp_project(emb, out_dim).withColumn(
+        "__pn", F.sqrt(_dot("rp", "rp").cast("double"))
+    ).where(F.col("__pn") > 0)
+    queries = p.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("rp").alias("__qq"),
+        F.col("__pn").alias("__qn"),
+    )
+    joined = F.broadcast(queries).crossJoin(p).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot("__qq", "rp").cast("double") / (F.col("__qn") * F.col("__pn")), 9
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+def rp_cosine_topk_sql(
+    out_dim: int = 16, n_queries: int = 5, topk: int = 10, dim: int = _DIM
+) -> str:
+    """DuckDB twin of :func:`rp_cosine_topk`: the plane literals are
+    regenerated from the same md5 family and the projection re-derived
+    as list folds — integer-exact, so only the final cosine rounds."""
+    proj_cols = []
+    for j, plane in enumerate(hyperplanes(out_dim)):
+        lits = ", ".join(str(v) for v in plane)
+        proj_cols.append(
+            "list_sum(list_transform(range(1, {n} + 1), "
+            "i -> __q[i] * ([{lits}])[i]))".format(n=dim, lits=lits)
+        )
+    rp = "[" + ", ".join(proj_cols) + "]"
+    dot = _DOT_DUCK.format(a="q.rp", b="c.rp", n=out_dim)
+    nq = _DOT_DUCK.format(a="q.rp", b="q.rp", n=out_dim)
+    nc = _DOT_DUCK.format(a="c.rp", b="c.rp", n=out_dim)
+    return f"""
+WITH qz AS (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings),
+pz AS (SELECT vec_id, {rp} AS rp FROM qz),
+pn AS (SELECT vec_id, rp FROM pz
+       WHERE list_sum(list_transform(rp, x -> x * x)) > 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM pn q JOIN pn c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {n_queries}
 )
 SELECT query_id, vec_id, cosine, rn FROM (

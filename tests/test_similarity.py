@@ -337,3 +337,48 @@ def test_int8_cosine_topk_close_to_exact_and_twin_parity(spark, sf_dir):
     assert [(r.query_id, r.vec_id, r.cosine, r.rn) for r in got] == [
         tuple(w) for w in want
     ]
+
+
+def test_rp_project_exact_integer_projection(spark):
+    """The sign projection is EXACT long arithmetic: Spark's per-row
+    fold must equal a pure-Python dot of the micro-unit quantized
+    vector with the same md5-derived ±1 planes."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    vecs = [
+        (0, [0.1 * (i % 7) - 0.3 for i in range(64)]),
+        (1, [0.01 * i for i in range(64)]),
+        (2, [(-1) ** i * 0.5 for i in range(64)]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out_dim = 8
+    planes = S.hyperplanes(out_dim)
+    got = {r.vec_id: list(r.rp) for r in S.rp_project(emb, out_dim).collect()}
+    for vid, v in vecs:
+        q = [round(x * 1_000_000) for x in v]
+        expect = [sum(a * b for a, b in zip(q, plane)) for plane in planes]
+        assert got[vid] == expect
+
+
+def test_rp_cosine_topk_shortlist_contains_rerank_targets(spark):
+    """The project→shortlist→rerank contract on a structured corpus:
+    planted near-duplicate pairs (tight cosine neighbors) must appear
+    in a modest RP shortlist even at 4× compression — the structured
+    case where JL shines (the near-random synthetic corpus is its
+    worst case; measured there in PLAN_AUDIT)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    rows = []
+    for i in range(40):
+        v = [((i * 31 + j * 7) % 23 - 11) / 11.0 for j in range(64)]
+        rows.append((i, v))
+    # plant: vec 100+i is vec i with tiny noise → exact top-1 neighbor
+    for i in range(5):
+        v = [x + 0.01 * ((i + j) % 3 - 1) for j, x in enumerate(rows[i][1])]
+        rows.append((100 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    short = {}
+    for r in S.rp_cosine_topk(emb, out_dim=16, n_queries=5, topk=8).collect():
+        short.setdefault(r.query_id, set()).add(r.vec_id)
+    for i in range(5):
+        assert 100 + i in short[i]  # the planted near-dup survives projection
