@@ -429,3 +429,36 @@ def test_scd2_apply_matches_python_reference(spark, batches):
         for r in dim.collect()
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_prefix_sum_property(spark, rows, num_buckets):
+    """For ANY unique-key weighted list and ANY bucket count, the
+    two-level distributed scan equals the sequential exclusive prefix
+    sum — including negative keys, zero weights, and single-bucket
+    degeneracy."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import packing
+
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {
+        r.k: r.offset
+        for r in packing.global_prefix_sum(
+            df, "k", "w", num_buckets=num_buckets
+        ).collect()
+    }
+    acc = 0
+    for k, w in sorted(rows):
+        assert got[k] == acc
+        acc += w
