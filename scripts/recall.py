@@ -169,8 +169,58 @@ def minhash_main() -> None:
         )
 
 
+
+
+def rp_main() -> None:
+    """Random-projection SHORTLIST recall (round 10): for each
+    (out_dim, shortlist multiplier), the fraction of brute-force
+    top-k neighbors present in the RP top-(k*mult) shortlist - the
+    number that sizes the rerank budget of a project->shortlist->
+    exact-rerank pipeline. NOTE the synthetic embeddings are
+    near-uniform random (cosines tightly clustered), the JL WORST
+    case; structured corpora separate far better (planted-near-dup
+    unit test).
+
+    Usage: python scripts/recall.py --rp [sf_dir] [n_queries] [topk]
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    topk = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+    from sales_analytics_etl_sql_powerbi_spark.session import get_spark
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    print(f"corpus={n} n_queries={n_queries} topk={topk} (exact dim 64)")
+    t0 = time.perf_counter()
+    truth = topk_sets(
+        similarity.cosine_topk(emb, n_queries=n_queries, topk=topk).collect()
+    )
+    t_exact = time.perf_counter() - t0
+    print(f"brute-force baseline: {t_exact:.1f}s")
+    for out_dim in (8, 16, 32):
+        for mult in (1, 5, 20):
+            t0 = time.perf_counter()
+            short = topk_sets(
+                similarity.rp_cosine_topk(
+                    emb, out_dim=out_dim, n_queries=n_queries, topk=topk * mult
+                ).collect()
+            )
+            dt = time.perf_counter() - t0
+            print(
+                f"out_dim={out_dim} shortlist={topk * mult}: "
+                f"recall@{topk}={recall(truth, short):.3f} ({dt:.1f}s)"
+            )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--minhash":
         minhash_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rp":
+        rp_main()
     else:
         main()
