@@ -13,7 +13,11 @@ Parity rules baked in (learned the hard way, keep them):
   always ``floor()`` first — both sides do;
 - integer sums stay integral (exact in both engines); ratios are
   computed double/double from exact integer sums (bit-identical);
-- decimals are cast explicitly to the same precision/scale.
+- decimals are cast explicitly to the same precision/scale;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT (int128) — cast back to
+  BIGINT before integer division, ``generate_series``, or any
+  function overloaded only for BIGINT (bit the packing twin's
+  window cumsum, round 10).
 """
 
 from __future__ import annotations
