@@ -1085,7 +1085,8 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     and the resampled bytes end to end; the DuckDB twin recomputes
     every byte analytically from the generator formula, proving the
     decoder read the real payload."""
-    wp = multimodal.attach_binary_payload(_docs(spark, sf), media="ppm")
+    docs = _docs(spark, sf)
+    wp = multimodal.attach_binary_payload(docs, media="ppm")
     feats = multimodal.extract_features(wp, codec="ppm").select(
         "doc_id",
         "n_bytes",
@@ -1102,7 +1103,23 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.col("checksum").alias("resized_checksum"),
         F.hex("payload").alias("payload_hex"),
     )
-    return feats.join(rez, "doc_id", "left")
+    # audio leg (round 10): every doc also carries a VALID RIFF/WAVE
+    # mono-PCM16 clip; features come from the real chunk-walking
+    # parser (rate read from the FILE), integer-exact, and the oracle
+    # recomputes them analytically from the clip formula
+    wav = multimodal.extract_audio_features(
+        multimodal.attach_binary_payload(docs, media="wav")
+    ).select(
+        "doc_id",
+        F.col("n_bytes").alias("wav_bytes"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "sum_abs",
+        "max_abs",
+        "zero_crossings",
+    )
+    return feats.join(rez, "doc_id", "left").join(wav, "doc_id", "left")
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -2059,9 +2076,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.n_bytes, m.first_byte, m.byte_checksum,
                    m.width AS src_width, m.height AS src_height,
                    r.n_bytes AS resized_bytes, r.width, r.height,
-                   r.checksum AS resized_checksum, r.payload_hex
+                   r.checksum AS resized_checksum, r.payload_hex,
+                   w.n_bytes AS wav_bytes, w.sample_rate, w.n_samples,
+                   w.duration_ms, w.sum_abs, w.max_abs, w.zero_crossings
             FROM ({multimodal.PPM_FEATURES_SQL}) m
             LEFT JOIN ({multimodal.PPM_RESIZE_SQL}) r USING (doc_id)
+            LEFT JOIN ({multimodal.WAV_FEATURES_SQL}) w USING (doc_id)
         """,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
         "events_asof": _asof_sql(),

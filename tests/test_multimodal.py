@@ -168,3 +168,57 @@ def test_sample_frames_expands_rows(spark):
         (0, 64), (2, 64), (4, 44),
     ]
     assert all(r.frame_checksum == (ord("a") * r.n_frame_bytes) % 1_000_003 for r in rows)
+
+
+def test_wav_payload_roundtrip_and_parser_contract(spark):
+    """The generated RIFF payload parses back to the formula samples;
+    the parser rejects malformed envelopes rather than misparsing
+    (same contract as decode_ppm) and walks unknown chunks."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(3, "x"), (7, "y")], "doc_id long, text string")
+    rows = {r.doc_id: bytes(r.payload) for r in
+            M.attach_binary_payload(docs, media="wav").collect()}
+    for d, p in rows.items():
+        rate, ch, s = M.decode_wav(p)
+        n = 32 + d % 64
+        assert (rate, ch, len(s)) == (8000, 1, n)
+        assert s == [(d * 37 + i * 11) % 4096 - 2048 for i in range(n)]
+        assert len(p) == 44 + 2 * n
+    import pytest
+
+    p = rows[3]
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        M.decode_wav(b"JUNK" + p[4:])
+    with pytest.raises(ValueError, match="disagrees"):
+        M.decode_wav(p + b"\x00")  # envelope size no longer matches
+    with pytest.raises(ValueError, match="mono PCM16"):
+        # stereo declared in fmt: flip the channel count field
+        bad = bytearray(p)
+        bad[22] = 2
+        M.decode_wav(bytes(bad))
+    # an extra well-formed chunk BEFORE data must be skipped, not fatal:
+    # rebuild with a 4-byte "junk" chunk inserted after fmt
+    hdr, data = p[:36], p[36:]
+    extra = b"junk" + (4).to_bytes(4, "little") + b"abcd"
+    patched = bytearray(hdr + extra + data)
+    patched[4:8] = (len(patched) - 8).to_bytes(4, "little")
+    rate, ch, s2 = M.decode_wav(bytes(patched))
+    assert s2 == [(3 * 37 + i * 11) % 4096 - 2048 for i in range(32 + 3 % 64)]
+
+
+def test_wav_audio_features_values(spark):
+    """Integer-exact features from a hand-checkable tiny clip."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(0, "z")], "doc_id long, text string")
+    wp = M.attach_binary_payload(docs, media="wav")
+    r = M.extract_audio_features(wp).collect()[0]
+    s = [(0 * 37 + i * 11) % 4096 - 2048 for i in range(32)]
+    assert r.n_samples == 32 and r.sample_rate == 8000
+    assert r.duration_ms == 32 * 1000 // 8000
+    assert r.sum_abs == sum(abs(x) for x in s)
+    assert r.max_abs == max(abs(x) for x in s)
+    assert r.zero_crossings == sum(
+        1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)
+    )
