@@ -358,6 +358,12 @@ def test_rp_project_exact_integer_projection(spark):
         q = [round(x * 1_000_000) for x in v]
         expect = [sum(a * b for a, b in zip(q, plane)) for plane in planes]
         assert got[vid] == expect
+    # the pure-JVM fold witness returns the identical table
+    fold = {
+        r.vec_id: list(r.rp)
+        for r in S.rp_project(emb, out_dim, impl="fold").collect()
+    }
+    assert fold == got
 
 
 def test_rp_cosine_topk_shortlist_contains_rerank_targets(spark):
