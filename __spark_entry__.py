@@ -731,7 +731,8 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chunk_tokens").alias("n_tokens"),
         F.col("chunk_text").alias("piece_text"),
     )
-    packs = packing.pack_sequences(docs, budget=_PACK_BUDGET).select(
+    segs = packing.pack_sequences(docs, budget=_PACK_BUDGET)
+    packs = segs.select(
         F.lit("pack").alias("kind"),
         "doc_id",
         F.col("example_id").alias("piece_id"),
@@ -739,7 +740,18 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_seg_tokens").alias("n_tokens"),
         F.col("seg_text").alias("piece_text"),
     )
-    return chunks.unionByName(packs)
+    # kind='example' (round 10): the assembled training examples —
+    # pos_in_example carries n_docs here (the discriminated-union
+    # column-reuse convention; the oracle aliases identically)
+    examples = packing.assemble_examples(segs).select(
+        F.lit("example").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("example_id").alias("piece_id"),
+        F.col("n_docs").alias("pos_in_example"),
+        "n_tokens",
+        F.col("text").alias("piece_text"),
+    )
+    return chunks.unionByName(packs).unionByName(examples)
 
 
 #: BM25 query over the synthetic corpus vocabulary — three mid-
@@ -1701,6 +1713,10 @@ def _chunk_documents_sql() -> str:
         pack_sequences_sql,
     )
 
+    from sales_analytics_etl_sql_powerbi_spark.operators.packing import (
+        assemble_examples_sql,
+    )
+
     return f"""
 SELECT 'chunk' AS kind, doc_id,
        cast(chunk_id AS BIGINT) AS piece_id,
@@ -1711,6 +1727,9 @@ FROM ({text.chunk_documents_sql(chunk_size=32, overlap=8)}) c
 UNION ALL
 SELECT 'pack', doc_id, example_id, pos_in_example, n_seg_tokens, seg_text
 FROM ({pack_sequences_sql(_PACK_BUDGET)}) p
+UNION ALL
+SELECT 'example', cast(NULL AS BIGINT), example_id, n_docs, n_tokens, text
+FROM ({assemble_examples_sql(_PACK_BUDGET)}) e
 """
 
 

@@ -49,7 +49,13 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-__all__ = ["global_prefix_sum", "pack_sequences", "pack_sequences_sql"]
+__all__ = [
+    "global_prefix_sum",
+    "pack_sequences",
+    "pack_sequences_sql",
+    "assemble_examples",
+    "assemble_examples_sql",
+]
 
 
 def global_prefix_sum(
@@ -230,4 +236,43 @@ FROM (
     ) t WHERE __n > 0
   ) o
 ) e
+"""
+
+
+def assemble_examples(segs: DataFrame) -> DataFrame:
+    """Final assembly: collapse :func:`pack_sequences` segments into
+    one row per training example — (example_id, n_tokens, n_docs,
+    text) — the frame :func:`..sampling.training_shards` shuffles and
+    the shard writer materializes. One groupBy(example_id) shuffle
+    whose groups are bounded by construction (an example holds ≤
+    budget tokens, so ≤ budget segments); segment order is restored
+    from ``pos_in_example`` inside the row (array_sort on the struct,
+    position first), never by a global sort.
+    """
+    return segs.groupBy("example_id").agg(
+        F.sum("n_seg_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos_in_example"), F.col("seg_text"))
+                    )
+                ),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def assemble_examples_sql(budget: int = 128, source: str = "documents") -> str:
+    """DuckDB twin: ordered string_agg over the packing twin."""
+    return f"""
+SELECT example_id,
+       cast(sum(n_seg_tokens) AS BIGINT) AS n_tokens,
+       cast(count(*) AS BIGINT) AS n_docs,
+       string_agg(seg_text, ' ' ORDER BY pos_in_example) AS text
+FROM ({pack_sequences_sql(budget, source)}) p
+GROUP BY example_id
 """

@@ -130,3 +130,24 @@ def test_global_prefix_sum_skewed_keys_still_exact(spark):
     for k, w in sorted(rows):
         assert got[k] == acc
         acc += w
+
+
+def test_assemble_examples_roundtrip(spark):
+    """Assembled examples restore the full corpus token stream in
+    offset order; every example except the last is exactly full."""
+    docs = _docs(spark)
+    B = 7
+    segs = packing.pack_sequences(docs, budget=B)
+    ex = {r.example_id: r for r in packing.assemble_examples(segs).collect()}
+    toks = {
+        r.doc_id: r.text.split()
+        for r in docs.where(F.col("text").isNotNull()).collect()
+    }
+    stream = [t for d in sorted(toks) for t in toks[d]]
+    rebuilt = [t for e in sorted(ex) for t in ex[e].text.split()]
+    assert rebuilt == stream
+    last = max(ex)
+    for e, r in ex.items():
+        assert r.n_tokens == len(r.text.split())
+        assert r.n_tokens == B if e != last else r.n_tokens <= B
+        assert r.n_docs >= 1
