@@ -151,3 +151,48 @@ def test_assemble_examples_roundtrip(spark):
         assert r.n_tokens == len(r.text.split())
         assert r.n_tokens == B if e != last else r.n_tokens <= B
         assert r.n_docs >= 1
+
+
+def test_pack_assemble_shard_export_composition(spark, tmp_path):
+    """The full pre-training export chain: pack → assemble → shard
+    write. Examples spread across shards by content hash, every
+    example lands exactly once, and a rerun writes byte-identical
+    shards (the writer's determinism contract holding on PACKED
+    output, not just raw docs)."""
+    import hashlib
+    import os
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = spark.range(60).select(
+        (F.col("id") * 2).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 9) + 1),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    examples = packing.assemble_examples(packing.pack_sequences(docs, budget=11))
+
+    def digest(root):
+        out = {}
+        for d in sorted(x for x in os.listdir(root) if x.startswith("shard=")):
+            full = os.path.join(root, d)
+            files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            assert len(files) == 1  # one file per shard
+            out[d] = hashlib.md5(
+                open(os.path.join(full, files[0]), "rb").read()
+            ).hexdigest()
+        return out
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(examples, p1, n_shards=4, key="example_id")
+    write_training_shards(examples, p2, n_shards=4, key="example_id")
+    assert digest(p1) == digest(p2)  # byte-reproducible
+    back = spark.read.parquet(p1 + "/shard=*")
+    assert back.count() == examples.count()
+    assert back.select("example_id").distinct().count() == examples.count()
