@@ -939,13 +939,21 @@ _MIX_QUOTAS = {"en": 100, "fr": 1000, "zh": 50}
 _WEIGHT_EXPR = "(doc_id % 7 + 1)"
 
 
+#: per-language TOKEN budgets for the in_token_budget gate (round 10):
+#: en/fr bite at BOTH SFs (budget < group total), de is a shortfall
+#: (keeps everything, visibly), es/zh are absent (all-false)
+_TOKEN_QUOTAS = {"en": 30_000, "fr": 9_000, "de": 1_000_000_000}
+
+
 def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
-    """All five deterministic samplers as flag columns on every doc:
+    """All six deterministic samplers as flag columns on every doc:
     train/val/test split, Bernoulli keep at 25%, the ≤20-per-lang
     hash-order quota, the per-language target-count mix (quota-hit,
-    shortfall, and absent-language cases all exercised), and the
-    Efraimidis–Spirakis weighted top-100 (weight = doc_id%7+1) —
-    content-addressed md5, no rand()."""
+    shortfall, and absent-language cases all exercised), the
+    Efraimidis–Spirakis weighted top-100 (weight = doc_id%7+1), and
+    the per-language TOKEN-budget mix (n_chars as the token weight;
+    bucketed per-group prefix sum — round 10) — content-addressed
+    md5, no rand()."""
     from sales_analytics_etl_sql_powerbi_spark.operators import sampling
 
     d = _docs(spark, sf).withColumn(
@@ -960,6 +968,8 @@ def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
         mix_quotas=_MIX_QUOTAS,
         weighted_n=100,
         weight_col="__w",
+        token_quotas=_TOKEN_QUOTAS,
+        token_weight_col="n_chars",
     ).select(
         "doc_id",
         "lang",
@@ -968,6 +978,7 @@ def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
         "in_group_quota",
         "in_mix",
         "in_weighted",
+        "in_token_budget",
     )
 
 
@@ -1419,10 +1430,11 @@ def _sampling_profile_sql() -> str:
     inner = sampling.sampling_profile_sql(
         "documents", "doc_id", "lang", rate=0.25, n_per_group=20,
         mix_quotas=_MIX_QUOTAS, weighted_n=100, weight_expr=_WEIGHT_EXPR,
+        token_quotas=_TOKEN_QUOTAS, token_weight_expr="n_chars",
     )
     return (
         "SELECT doc_id, lang, split, in_sample, in_group_quota, in_mix, "
-        f"in_weighted FROM ({inner}) p"
+        f"in_weighted, in_token_budget FROM ({inner}) p"
     )
 
 

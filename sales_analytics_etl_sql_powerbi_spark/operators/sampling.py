@@ -26,6 +26,8 @@ __all__ = [
     "split_assign",
     "sample_per_group",
     "stratified_mix",
+    "token_budget_mix",
+    "token_budget_mix_sql",
     "sampling_profile",
     "training_shards",
     "weighted_sample",
@@ -175,6 +177,8 @@ def sampling_profile(
     mix_quotas: dict[str, int] | None = None,
     weighted_n: int | None = None,
     weight_col: str | None = None,
+    token_quotas: dict[str, int] | None = None,
+    token_weight_col: str | None = None,
 ) -> DataFrame:
     """All the sampling assignments as FLAG COLUMNS on every row:
     ``split`` (train/val/test), ``in_sample`` (Bernoulli at ``rate``),
@@ -192,7 +196,10 @@ def sampling_profile(
     ``in_weighted`` — membership in :func:`weighted_sample`'s top-n,
     flagged via a broadcast semi-join against the (n-row-bounded)
     winner set rather than a global rank window, so the corpus never
-    globally sorts.
+    globally sorts. ``token_quotas`` (+ ``token_weight_col``) adds
+    ``in_token_budget`` — :func:`token_budget_mix` membership
+    (per-group TOKEN budgets over the bucketed per-group prefix sum,
+    salt "tok").
     """
     threshold = int(rate * _BUCKETS)
     d = split_assign(df, key, weights).withColumn(
@@ -227,6 +234,12 @@ def sampling_profile(
             .withColumn("in_weighted", F.col("__wk").isNotNull())
             .drop("__wk")
         )
+    if token_quotas is not None:
+        if token_weight_col is None:
+            raise ValueError("token_quotas requires token_weight_col")
+        d = token_budget_mix(
+            d, group, token_quotas, token_weight_col, key=key
+        )
     return d
 
 
@@ -240,6 +253,8 @@ def sampling_profile_sql(
     mix_quotas: dict[str, int] | None = None,
     weighted_n: int | None = None,
     weight_expr: str | None = None,
+    token_quotas: dict[str, int] | None = None,
+    token_weight_expr: str | None = None,
 ) -> str:
     threshold = int(rate * _BUCKETS)
     inner = split_assign_sql(source, key_expr, weights)
@@ -269,7 +284,7 @@ def sampling_profile_sql(
         mix_rn = f""",
          row_number() OVER (
            PARTITION BY {group} ORDER BY {b_mix} ASC, {key_expr} ASC) AS __mrn"""
-    return f"""
+    base = f"""
 SELECT * EXCLUDE (__rn{", __mrn" if mix_quotas is not None else ""}),
        __rn <= {n_per_group} AS in_group_quota{mix_select}{weighted_select}
 FROM (
@@ -279,6 +294,13 @@ FROM (
   FROM ({inner}) s
 ) r
 """
+    if token_quotas is not None:
+        if token_weight_expr is None:
+            raise ValueError("token_quotas requires token_weight_expr")
+        return token_budget_mix_sql(
+            f"({base})", group, token_quotas, token_weight_expr, key_expr
+        )
+    return base
 
 
 def training_shards(
@@ -350,6 +372,103 @@ def stratified_mix(
         .where(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group: str,
+    quotas: dict[str, int],
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "tok",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Per-group TOKEN-budget selection — the actual pre-training
+    mixture primitive (":200M tokens of lang=en, 50M of lang=fr"),
+    where :func:`stratified_mix` counts DOCUMENTS. Adds
+    ``in_token_budget``: true for the hash-order prefix of each group
+    whose inclusive running ``weight_col`` sum stays ≤ the group's
+    quota (the straddling document and everything after it are out —
+    prefix semantics, so the kept set never overshoots). Groups
+    absent from ``quotas`` are all-false; shortfall groups keep
+    everything, visibly.
+
+    Scale: a per-group running sum is the same single-partition trap
+    as the packing prefix sum, ONE PARTITION PER GROUP — fatal when a
+    corpus is 80% one language. Same cure as
+    :func:`..packing.global_prefix_sum`: the hash itself is the
+    bucketing domain (uniform in [0, 1e6) by construction — no
+    min/max pass needed), so each group splits into ``num_buckets``
+    hash ranges scanned in parallel, bucket totals (groups ×
+    num_buckets rows — driver-tiny) get a per-group exclusive scan,
+    and a broadcast join stitches the global inclusive sum back.
+    Deterministic: buckets derive from the data (never
+    ``spark_partition_id``), order is (hash, key).
+    """
+    h = hash_bucket(key, salt)
+    width = (_BUCKETS - 1) // num_buckets + 1
+    d = df.withColumn("__h", h).withColumn(
+        "__bkt", F.expr(f"__h DIV {width}")
+    )
+    local_w = Window.partitionBy(group, "__bkt").orderBy("__h", key)
+    d = d.withColumn(
+        "__cum", F.sum(F.col(weight_col).cast("long")).over(local_w)
+    )
+    totals = d.groupBy(group, "__bkt").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__btot")
+    )
+    tot_w = (
+        Window.partitionBy(group)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = totals.select(
+        group,
+        "__bkt",
+        F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
+    )
+    quota = F.coalesce(
+        *[
+            F.when(F.col(group) == g, F.lit(int(n)))
+            for g, n in quotas.items()
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        d.join(F.broadcast(totals), [group, "__bkt"])
+        .withColumn("in_token_budget", (F.col("__boff") + F.col("__cum")) <= quota)
+        .drop("__h", "__bkt", "__cum", "__boff")
+    )
+
+
+def token_budget_mix_sql(
+    source: str,
+    group: str,
+    quotas: dict[str, int],
+    weight_expr: str,
+    key_expr: str = "doc_id",
+    salt: str = "tok",
+) -> str:
+    """DuckDB twin: plain per-group window running sum in the same
+    (hash, key) order — the single-window shape the distributed
+    version deliberately avoids (fine at oracle scale; the hash gates
+    the bucketed scan's exactness)."""
+    b = _bucket_duck(key_expr, salt)
+    cases = " ".join(
+        "WHEN {} = '{}' THEN {}".format(group, str(g).replace("'", "''"), int(n))
+        for g, n in quotas.items()
+    )
+    return f"""
+SELECT * EXCLUDE (__tcum),
+       __tcum <= (CASE {cases} ELSE 0 END) AS in_token_budget
+FROM (
+  SELECT *, cast(sum(cast({weight_expr} AS BIGINT)) OVER (
+           PARTITION BY {group} ORDER BY {b} ASC, {key_expr} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS __tcum
+  FROM ({source}) tb
+) t
+"""
 
 
 def weighted_sample(

@@ -308,3 +308,47 @@ def test_weighted_sample_excludes_nan_weights(spark):
         ).fetchall()
     }
     assert want == {1, 3}
+
+
+def test_token_budget_mix_prefix_semantics(spark):
+    """Per-group token budgets: kept set is the hash-order prefix
+    whose inclusive sum fits; the straddling row and everything after
+    are out (never overshoots); shortfall groups keep everything;
+    groups absent from the quota map are all-false. Verified against
+    a sequential Python reference over the same hash order, across
+    bucket counts (bucketed scan exactness)."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], (i * 7) % 15 + 1) for i in range(90)],
+        "doc_id long, lang string, w long",
+    )
+    quotas = {"a": 100, "b": 10_000}  # a bites, b shortfall, c absent
+    hashed = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", S.hash_bucket("doc_id", "tok").alias("h")
+        ).collect()
+    }
+    rows = sorted(
+        ((r.lang, hashed[r.doc_id], r.doc_id), r.w)
+        for r in df.collect()
+    )
+    expect = {}
+    cum: dict = {}
+    for (lang, _h, doc_id), w in rows:
+        cum[lang] = cum.get(lang, 0) + w
+        expect[doc_id] = cum[lang] <= quotas.get(lang, 0)
+    for nb in (1, 4, 64):
+        got = {
+            r.doc_id: r.in_token_budget
+            for r in S.token_budget_mix(
+                df, "lang", quotas, "w", num_buckets=nb
+            ).collect()
+        }
+        assert got == expect
+    # no group keeps anything from 'c'; 'b' keeps everything
+    assert not any(v for d, v in got.items() if d % 3 == 2)
+    assert all(v for d, v in got.items() if d % 3 == 1)
