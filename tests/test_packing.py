@@ -196,3 +196,34 @@ def test_pack_assemble_shard_export_composition(spark, tmp_path):
     back = spark.read.parquet(p1 + "/shard=*")
     assert back.count() == examples.count()
     assert back.select("example_id").distinct().count() == examples.count()
+
+
+def test_pack_sequences_incremental_equals_full_repack(spark):
+    """Two-increment packing ≡ packing the whole corpus at once: the
+    stored token total is the only state; the boundary example is
+    continued, ids never shift."""
+    all_docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 11) + 1),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    B = 13
+    full = sorted(tuple(r) for r in packing.pack_sequences(all_docs, budget=B).collect())
+    old = all_docs.where("doc_id < 17")
+    new = all_docs.where("doc_id >= 17")
+    base = old.selectExpr(
+        "sum(size(split(trim(text), ' +'))) AS t"
+    ).collect()[0]["t"]
+    part1 = packing.pack_sequences(old, budget=B).collect()
+    part2 = packing.pack_sequences_incremental(new, int(base), budget=B).collect()
+    two = sorted(tuple(r) for r in part1 + part2)
+    assert two == full
+    # the boundary example is shared between increments
+    ex1 = {r.example_id for r in part1}
+    ex2 = {r.example_id for r in part2}
+    assert max(ex1) in ex2 or base % B == 0
