@@ -925,7 +925,12 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
-def keep_canonical(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
+def keep_canonical(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    prefer_col: str | None = None,
+) -> DataFrame:
     """Near-dup dedup END STATE: the corpus with one doc per cluster.
 
     The composition a pipeline actually materializes —
@@ -933,9 +938,32 @@ def keep_canonical(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataF
     cluster id IS the minimum member id, so the keeper needs no extra
     ranking pass; singletons keep themselves). One semi-join back to
     the full rows.
+
+    ``prefer_col`` switches to QUALITY-AWARE keeper selection
+    (round 10): per cluster, keep the member with the highest value
+    of that column (ties → lowest doc_id) — what a curation pipeline
+    actually wants ("of these five near-identical pages, keep the
+    one the quality gate scored best"), at the cost of one rank
+    window partitioned by cluster id (clusters are near-dup-sized,
+    never corpus-sized groups).
     """
     clusters = neardup_clusters(docs, k, threshold)
-    keepers = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    if prefer_col is None:
+        keepers = clusters.where(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        scored = clusters.join(
+            docs.select("doc_id", prefer_col), "doc_id"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc(prefer_col), F.asc("doc_id")
+        )
+        keepers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("doc_id")
+        )
     return docs.join(keepers, "doc_id", "left_semi")
 
 

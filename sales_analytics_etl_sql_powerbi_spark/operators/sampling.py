@@ -384,7 +384,7 @@ def token_budget_mix(
     num_buckets: int = 64,
 ) -> DataFrame:
     """Per-group TOKEN-budget selection — the actual pre-training
-    mixture primitive (":200M tokens of lang=en, 50M of lang=fr"),
+    mixture primitive ("200M tokens of lang=en, 50M of lang=fr"),
     where :func:`stratified_mix` counts DOCUMENTS. Adds
     ``in_token_budget``: true for the hash-order prefix of each group
     whose inclusive running ``weight_col`` sum stays ≤ the group's

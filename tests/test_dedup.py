@@ -338,6 +338,20 @@ def test_keep_canonical_drops_near_dups_keeps_min(spark):
     # 0,1,2 cluster together (near/exact dups) -> keep 0; 3 and 4 are
     # below-threshold to each other -> both singletons, both kept
     assert kept == {0, 3, 4}
+    # quality-aware keeper (round 10): score picks doc 2 out of the
+    # cluster instead of min-id; ties still break to lowest doc_id
+    from pyspark.sql import functions as F
+
+    scored = docs.withColumn(
+        "quality", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+    )
+    kept_q = {
+        r.doc_id
+        for r in dedup.keep_canonical(
+            scored, threshold=0.5, prefer_col="quality"
+        ).collect()
+    }
+    assert kept_q == {2, 3, 4}
 
 
 def test_banding_collision_probability_is_monotone_in_rows():
