@@ -1278,6 +1278,73 @@ def cdc_main() -> None:
     print("plan: batch-side window only (checkpointed), key equi-joins ✓")
 
 
+def tokmix_main() -> None:
+    """Token-budget mixture probe (round 10): 10M rows, one group
+    holding 80% of the corpus — the regime where a per-group running
+    sum serializes onto one partition. Compares token_budget_mix's
+    bucketed scan against the naive single-window-per-group shape on
+    the same data, asserts identical flags, and reports both times."""
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-tokmix")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as S
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, F.lit("en"))
+        .when(F.col("id") % 10 == 8, F.lit("de"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+        ((F.col("id") * 13) % 700 + 50).alias("w"),
+    ).localCheckpoint(eager=True)
+    quotas = {"en": n * 30, "de": n * 4, "fr": 10**15}  # bite, bite, shortfall
+
+    t0 = time.time()
+    fast = S.token_budget_mix(df, "lang", quotas, "w")
+    fast_agg = fast.groupBy("lang", "in_token_budget").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("w").alias("t")
+    ).collect()
+    t_fast = time.time() - t0
+    print(f"bucketed per-group scan: {t_fast:.1f}s")
+
+    t0 = time.time()
+    wq = Window.partitionBy("lang").orderBy(
+        S.hash_bucket("doc_id", "tok").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quota = F.coalesce(
+        *[F.when(F.col("lang") == g, F.lit(int(q))) for g, q in quotas.items()],
+        F.lit(0),
+    ).cast("long")
+    naive = df.withColumn(
+        "in_token_budget", F.sum(F.col("w").cast("long")).over(wq) <= quota
+    )
+    naive_agg = naive.groupBy("lang", "in_token_budget").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("w").alias("t")
+    ).collect()
+    t_naive = time.time() - t0
+    print(f"naive one-partition-per-group window: {t_naive:.1f}s "
+          f"({t_naive / t_fast:.1f}x)")
+    assert sorted(map(tuple, fast_agg)) == sorted(map(tuple, naive_agg))
+    for r in sorted(fast_agg, key=lambda r: (r['lang'], bool(r['in_token_budget']))):
+        print(f"  {r['lang']} in_budget={r['in_token_budget']}: "
+              f"{r['c']} rows, {r['t']} tokens")
+    print("flags identical across shapes ✓")
+    spark.stop()
+
+
 def bpe_ids_main() -> None:
     """BPE id-table crossover probe (round 10): at what table size does
     the create_map literal lose to the broadcast-join path? Synthetic
@@ -1889,6 +1956,8 @@ if __name__ == "__main__":
         packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
         bpe_ids_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--tokmix":
+        tokmix_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
