@@ -978,12 +978,14 @@ def rp_project(
 def _rp_expr(planes: list[list[int]], impl: str):
     if impl == "fold":
         # unrolled per output coordinate (same Spark 4.1 self-join
-        # lambda bind rationale as lsh_buckets)
+        # lambda bind rationale as lsh_buckets); NULL embedding →
+        # NULL projection (not an array of NULL coordinates), the
+        # convention both impls share
         coords = []
         for plane in planes:
             plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
             coords.append(F.expr(_DOT.format(a="__q", b=plane_lit)))
-        return F.array(*coords)
+        return F.when(F.col("__q").isNotNull(), F.array(*coords))
     if impl != "arrow":
         raise ValueError(f"unknown impl {impl!r} (arrow | fold)")
     import numpy as np
@@ -994,11 +996,16 @@ def _rp_expr(planes: list[list[int]], impl: str):
     def _proj(qcol):
         if qcol.empty:
             return pd.Series([], dtype=object)
-        block = np.vstack(
-            [np.asarray(a, dtype=np.int64) for a in qcol]
-        )  # rows × dim
-        out = block @ mat  # exact int64
-        return pd.Series(list(out.tolist()))
+        # NULL embeddings project to NULL, matching the fold path
+        # (whose aggregate over a NULL array is NULL) — parity-pinned
+        mask = [a is not None for a in qcol]
+        out: list = [None] * len(mask)
+        rows = [np.asarray(a, dtype=np.int64) for a in qcol if a is not None]
+        if rows:
+            proj_rows = (np.vstack(rows) @ mat).tolist()  # exact int64
+            it = iter(proj_rows)
+            out = [next(it) if m else None for m in mask]
+        return pd.Series(out)
 
     proj = F.pandas_udf(_proj, "array<long>")
     return proj(F.col("__q"))

@@ -364,6 +364,13 @@ def test_rp_project_exact_integer_projection(spark):
         for r in S.rp_project(emb, out_dim, impl="fold").collect()
     }
     assert fold == got
+    # NULL embedding -> NULL projection, both impls (convention pin)
+    withnull = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"
+    )
+    for impl in ("arrow", "fold"):
+        r = S.rp_project(withnull, out_dim, impl=impl).collect()[0]
+        assert r.rp is None
 
 
 def test_rp_cosine_topk_shortlist_contains_rerank_targets(spark):
