@@ -434,9 +434,17 @@ def token_budget_mix(
         ],
         F.lit(0),
     ).cast("long")
+    # LEFT join + false-coalesce: a NULL-group row has no totals match
+    # (NULL never equi-joins) — it must survive with the flag false,
+    # not vanish from the profile
     return (
-        d.join(F.broadcast(totals), [group, "__bkt"])
-        .withColumn("in_token_budget", (F.col("__boff") + F.col("__cum")) <= quota)
+        d.join(F.broadcast(totals), [group, "__bkt"], "left")
+        .withColumn(
+            "in_token_budget",
+            F.coalesce(
+                (F.col("__boff") + F.col("__cum")) <= quota, F.lit(False)
+            ),
+        )
         .drop("__h", "__bkt", "__cum", "__boff")
     )
 

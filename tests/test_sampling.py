@@ -352,3 +352,10 @@ def test_token_budget_mix_prefix_semantics(spark):
     # no group keeps anything from 'c'; 'b' keeps everything
     assert not any(v for d, v in got.items() if d % 3 == 2)
     assert all(v for d, v in got.items() if d % 3 == 1)
+    # NULL-group rows survive with the flag false (never dropped)
+    withnull = df.union(
+        spark.createDataFrame([(999, None, 5)], df.schema)
+    )
+    out = S.token_budget_mix(withnull, "lang", quotas, "w").collect()
+    assert len(out) == 91
+    assert [r.in_token_budget for r in out if r.doc_id == 999] == [False]
