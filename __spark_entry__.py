@@ -1722,11 +1722,8 @@ def _chunk_documents_sql() -> str:
     (oracle scale) against the Spark side's distributed two-level
     prefix scan."""
     from sales_analytics_etl_sql_powerbi_spark.operators.packing import (
-        pack_sequences_sql,
-    )
-
-    from sales_analytics_etl_sql_powerbi_spark.operators.packing import (
         assemble_examples_sql,
+        pack_sequences_sql,
     )
 
     return f"""

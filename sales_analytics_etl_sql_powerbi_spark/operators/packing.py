@@ -51,12 +51,64 @@ from .text import tokens_expr
 
 __all__ = [
     "global_prefix_sum",
+    "bucketed_exclusive_scan",
     "pack_sequences",
     "pack_sequences_incremental",
     "pack_sequences_sql",
     "assemble_examples",
     "assemble_examples_sql",
 ]
+
+
+def bucketed_exclusive_scan(
+    bucketed: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    partition_cols: list[str] | None = None,
+    out_col: str = "offset",
+) -> DataFrame:
+    """The shared two-level-scan CORE (also the engine under
+    ``sampling.token_budget_mix``'s per-group variant): given a frame
+    carrying an integral ``__bkt`` column whose values ascend with the
+    order domain (within each partition group), add ``out_col`` = the
+    EXCLUSIVE prefix sum of ``weight_col`` in (partition, order)
+    order. Per-(partition, bucket) windows run in parallel; bucket
+    totals (groups × buckets rows — driver-tiny) get their own
+    exclusive scan; a broadcast LEFT join stitches the base offsets
+    back (left: a NULL partition key never equi-joins — such rows
+    keep their local cumsum with base 0 rather than vanishing).
+    Callers own the bucket construction — that is where the
+    determinism discipline lives (data-derived, never
+    ``spark_partition_id``; module docstring).
+    """
+    parts = list(partition_cols or [])
+    local_w = Window.partitionBy(*parts, "__bkt").orderBy(*order_cols)
+    b = bucketed.withColumn(
+        "__local_off",
+        F.sum(weight_col).over(local_w) - F.col(weight_col),
+    )
+    totals = b.groupBy(*parts, "__bkt").agg(
+        F.sum(weight_col).alias("__btot")
+    )
+    tot_w = (
+        Window.partitionBy(*parts)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = totals.select(
+        *parts,
+        "__bkt",
+        F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
+    )
+    return (
+        b.join(F.broadcast(totals), [*parts, "__bkt"], "left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__boff"), F.lit(0)) + F.col("__local_off"))
+            .cast("long"),
+        )
+        .drop("__local_off", "__boff")
+    )
 
 
 def global_prefix_sum(
@@ -90,39 +142,31 @@ def global_prefix_sum(
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if materialize_input:
         df = df.localCheckpoint(eager=True)
-    # one column-pruned min/max pass pins the bucket width as a plan
-    # literal — deterministic however the stages replan (see module
-    # docstring for why spark_partition_id() is NOT usable here)
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    # one column-pruned pass pins the bucket width as a plan literal —
+    # deterministic however the stages replan (see module docstring
+    # for why spark_partition_id() is NOT usable here) — and enforces
+    # the non-NULL key contract in the same job (a NULL key would
+    # otherwise bucket to NULL and silently distort the scan)
+    lo, hi, n_rows, n_keys = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count(F.lit(1)),
+        F.count(order_col),
+    ).first()
+    if n_keys != n_rows:
+        raise ValueError(
+            f"order_col {order_col!r} has {n_rows - n_keys} NULLs — the "
+            "prefix-sum order key must be unique and non-NULL"
+        )
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))
     width = max((int(hi) - int(lo)) // num_buckets + 1, 1)
     bucketed = df.withColumn(
         "__bkt", F.expr(f"({order_col} - {int(lo)}) DIV {width}")
     )
-    local_w = Window.partitionBy("__bkt").orderBy(order_col)
-    bucketed = bucketed.withColumn(
-        "__local_off",
-        F.sum(weight_col).over(local_w) - F.col(weight_col),
-    )
-    # one row per bucket; the exclusive scan over THIS frame is the
-    # only single-partition window, and it is bucket-count-sized
-    totals = bucketed.groupBy("__bkt").agg(F.sum(weight_col).alias("__btot"))
-    tot_w = (
-        Window.orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    totals = totals.select(
-        "__bkt",
-        F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
-    )
-    return (
-        bucketed.join(F.broadcast(totals), "__bkt")
-        .withColumn(
-            out_col, (F.col("__boff") + F.col("__local_off")).cast("long")
-        )
-        .drop("__bkt", "__local_off", "__boff")
-    )
+    return bucketed_exclusive_scan(
+        bucketed, [order_col], weight_col, out_col=out_col
+    ).drop("__bkt")
 
 
 def pack_sequences(

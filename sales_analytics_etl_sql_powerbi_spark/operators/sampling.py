@@ -405,27 +405,16 @@ def token_budget_mix(
     Deterministic: buckets derive from the data (never
     ``spark_partition_id``), order is (hash, key).
     """
-    h = hash_bucket(key, salt)
+    from .packing import bucketed_exclusive_scan
+
     width = (_BUCKETS - 1) // num_buckets + 1
-    d = df.withColumn("__h", h).withColumn(
-        "__bkt", F.expr(f"__h DIV {width}")
+    d = (
+        df.withColumn("__h", hash_bucket(key, salt))
+        .withColumn("__bkt", F.expr(f"__h DIV {width}"))
+        .withColumn("__w", F.col(weight_col).cast("long"))
     )
-    local_w = Window.partitionBy(group, "__bkt").orderBy("__h", key)
-    d = d.withColumn(
-        "__cum", F.sum(F.col(weight_col).cast("long")).over(local_w)
-    )
-    totals = d.groupBy(group, "__bkt").agg(
-        F.sum(F.col(weight_col).cast("long")).alias("__btot")
-    )
-    tot_w = (
-        Window.partitionBy(group)
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    totals = totals.select(
-        group,
-        "__bkt",
-        F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
+    d = bucketed_exclusive_scan(
+        d, ["__h", key], "__w", partition_cols=[group], out_col="__toff"
     )
     quota = F.coalesce(
         *[
@@ -434,19 +423,13 @@ def token_budget_mix(
         ],
         F.lit(0),
     ).cast("long")
-    # LEFT join + false-coalesce: a NULL-group row has no totals match
-    # (NULL never equi-joins) — it must survive with the flag false,
-    # not vanish from the profile
-    return (
-        d.join(F.broadcast(totals), [group, "__bkt"], "left")
-        .withColumn(
-            "in_token_budget",
-            F.coalesce(
-                (F.col("__boff") + F.col("__cum")) <= quota, F.lit(False)
-            ),
-        )
-        .drop("__h", "__bkt", "__cum", "__boff")
-    )
+    # inclusive running sum = exclusive offset + own weight; NULL-group
+    # rows survive the scan (left-join core) and fall to the ELSE-0
+    # quota, matching the oracle twin's window behavior
+    return d.withColumn(
+        "in_token_budget",
+        F.coalesce((F.col("__toff") + F.col("__w")) <= quota, F.lit(False)),
+    ).drop("__h", "__bkt", "__w", "__toff")
 
 
 def token_budget_mix_sql(

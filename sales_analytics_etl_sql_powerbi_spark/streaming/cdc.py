@@ -341,7 +341,12 @@ def apply_cdc_batch(
         .withColumn("__cdc_deleted", F.col(op_col) == "D") \
         .withColumn(op_col, F.lit("U"))
     merged = cdc_apply(snap, as_upserts, key, seq_col=seq_col, op_col=op_col)
-    hwm: int | None = None
+    # the stored mark is carried forward by EVERY batch — a batch
+    # applied without tombstone_window must not orphan it (a later
+    # windowed batch would fall back to its own max and silently
+    # regress the threshold; the monotonicity guarantee is
+    # per-table, not per-call)
+    hwm: int | None = _read_hwm(table_path, cur_v, spark)
     if tombstone_window is not None:
         if tombstone_window < 0:
             raise ValueError("tombstone_window must be >= 0")
@@ -356,8 +361,7 @@ def apply_cdc_batch(
         # while the source honours its window). Restart-probed:
         # scripts/stress.py --cdc-restart.
         batch_hwm = changes.agg(F.max(F.col(seq_col).cast("long"))).collect()[0][0]
-        stored_hwm = _read_hwm(table_path, cur_v, spark)
-        marks = [m for m in (batch_hwm, stored_hwm) if m is not None]
+        marks = [m for m in (batch_hwm, hwm) if m is not None]
         hwm = max(marks) if marks else None
         if hwm is not None:
             threshold = hwm - tombstone_window

@@ -1406,6 +1406,7 @@ def bpe_ids_main() -> None:
                 f"id-table ~{n_ids}: {label} path {time.time()-t0:.1f}s "
                 f"({n} rows)"
             )
+    spark.stop()
 
 
 def packing_main() -> None:

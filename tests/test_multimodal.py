@@ -197,6 +197,11 @@ def test_wav_payload_roundtrip_and_parser_contract(spark):
         bad = bytearray(p)
         bad[22] = 2
         M.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="sample rate"):
+        # rate=0 declared in fmt must reject, not divide-by-zero later
+        bad = bytearray(p)
+        bad[24:28] = (0).to_bytes(4, "little")
+        M.decode_wav(bytes(bad))
     # an extra well-formed chunk BEFORE data must be skipped, not fatal:
     # rebuild with a 4-byte "junk" chunk inserted after fmt
     hdr, data = p[:36], p[36:]

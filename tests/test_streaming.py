@@ -529,6 +529,15 @@ def test_cdc_tombstone_hwm_monotone_across_restart(spark, tmp_path):
     assert internal.where("k = 1").count() == 0  # compacted
     got = {r.k: r.v for r in cdc.read_snapshot(spark, table).collect()}
     assert got == {2: "b2", 3: "c2", 4: "d"}
+    # mixed usage: a batch applied WITHOUT tombstone_window must carry
+    # the stored mark forward — a later windowed late batch would
+    # otherwise fall back to its own max and regress the threshold
+    nowin = spark.createDataFrame([(5, "e", "I", 60)], CDC_SCHEMA)
+    cdc.apply_cdc_batch(spark, table, nowin, "k")  # no window arg
+    assert cdc._read_hwm(table, 4) == 145  # carried, not dropped
+    late2 = spark.createDataFrame([(6, "f", "I", 10)], CDC_SCHEMA)
+    cdc.apply_cdc_batch(spark, table, late2, "k", tombstone_window=window)
+    assert cdc._read_hwm(table, 5) == 145  # still monotone
 
 
 def test_stream_static_dim_enrichment(spark, tmp_path):
