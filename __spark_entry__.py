@@ -1142,7 +1142,25 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         "max_abs",
         "zero_crossings",
     )
-    return feats.join(rez, "doc_id", "left").join(wav, "doc_id", "left")
+    # png leg (round 10): the SAME formula image, but through a real
+    # COMPRESSED codec — encode_png (zlib deflate + CRC chunks) then
+    # decode_png (CRC-verified chunk walk, inflate, full scanline
+    # unfiltering); gated features are decode outputs only (file size
+    # is zlib-dependent, deliberately ungated)
+    png = multimodal.extract_png_features(
+        multimodal.attach_png_payload(docs)
+    ).select(
+        "doc_id",
+        F.col("width").alias("png_width"),
+        F.col("height").alias("png_height"),
+        F.col("n_pixel_bytes").alias("png_pixel_bytes"),
+        F.col("pixel_checksum").alias("png_checksum"),
+    )
+    return (
+        feats.join(rez, "doc_id", "left")
+        .join(wav, "doc_id", "left")
+        .join(png, "doc_id", "left")
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
@@ -2106,10 +2124,14 @@ def oracle_sql() -> dict[str, str]:
                    r.n_bytes AS resized_bytes, r.width, r.height,
                    r.checksum AS resized_checksum, r.payload_hex,
                    w.n_bytes AS wav_bytes, w.sample_rate, w.n_samples,
-                   w.duration_ms, w.sum_abs, w.max_abs, w.zero_crossings
+                   w.duration_ms, w.sum_abs, w.max_abs, w.zero_crossings,
+                   g.width AS png_width, g.height AS png_height,
+                   g.n_pixel_bytes AS png_pixel_bytes,
+                   g.pixel_checksum AS png_checksum
             FROM ({multimodal.PPM_FEATURES_SQL}) m
             LEFT JOIN ({multimodal.PPM_RESIZE_SQL}) r USING (doc_id)
             LEFT JOIN ({multimodal.WAV_FEATURES_SQL}) w USING (doc_id)
+            LEFT JOIN ({multimodal.PNG_FEATURES_SQL}) g USING (doc_id)
         """,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
         "events_asof": _asof_sql(),

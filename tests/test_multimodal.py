@@ -227,3 +227,100 @@ def test_wav_audio_features_values(spark):
     assert r.zero_crossings == sum(
         1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)
     )
+
+
+def test_png_codec_roundtrip_filters_and_crc(spark):
+    """The stdlib PNG pair: encode→decode restores the pixel grid; the
+    decoder unfilters ALL five scanline filter types from a hand-
+    assembled conforming payload; corrupted CRC and unsupported IHDR
+    shapes are rejected."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    w, h = 5, 6
+    px = bytes((i * 37 + 11) % 256 for i in range(3 * w * h))
+    p = M.encode_png(w, h, px)
+    assert M.decode_png(p) == (w, h, px)
+
+    # conforming payload with a DIFFERENT filter per row (0..4, 0)
+    stride = 3 * w
+
+    def filt(ftype, row, prev):
+        out = bytearray()
+        for x, v in enumerate(row):
+            a = row[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(stride)
+    for y in range(h):
+        row = px[y * stride : (y + 1) * stride]
+        raw += bytes([y % 5]) + filt(y % 5, row, prev)
+        prev = row
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    p2 = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(p2) == (w, h, px)
+
+    bad = bytearray(p)
+    bad[20] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(bad))
+    gray = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        M.decode_png(gray)
+
+
+def test_png_spark_features_match_formula(spark):
+    """End-to-end through mapInPandas: generated PNGs decode back to
+    the shared formula image's dimensions and pixel checksum."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(3, "x"), (8, "y")], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in M.extract_png_features(M.attach_png_payload(docs)).collect()
+    }
+    for d in (3, 8):
+        w, h = 4 + d % 5, 3 + d % 4
+        px = [(d * 31 + i * 7) % 256 for i in range(3 * w * h)]
+        r = rows[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_pixel_bytes == len(px)
+        assert r.pixel_checksum == sum(px) % 1_000_003
