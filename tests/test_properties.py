@@ -462,3 +462,56 @@ def test_global_prefix_sum_property(spark, rows, num_buckets):
     for k, w in sorted(rows):
         assert got[k] == acc
         acc += w
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=400),
+        max_size=2,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_token_budget_mix_property(spark, rows, quotas, num_buckets):
+    """For ANY keyed weighted groups (including NULL groups and zero
+    weights), ANY quota map, and ANY bucket count: the flag equals the
+    sequential per-group hash-order prefix decision, and no row is
+    ever dropped."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as S
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    hashed = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", S.hash_bucket("doc_id", "tok").alias("h")
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.in_token_budget
+        for r in S.token_budget_mix(
+            df, "lang", quotas, "w", num_buckets=num_buckets
+        ).collect()
+    }
+    assert len(got) == len(rows)  # nothing dropped, NULL groups included
+    cum: dict = {}
+    for doc_id, lang, w in sorted(
+        rows, key=lambda t: (t[1] is None, t[1] or "", hashed[t[0]], t[0])
+    ):
+        cum[lang] = cum.get(lang, 0) + w
+        want = cum[lang] <= quotas.get(lang, 0) if lang is not None else False
+        # NULL group: flag false unless its cumsum fits the ELSE-0
+        # quota (only possible with all-zero weights)
+        if lang is None:
+            want = cum[lang] <= 0
+        assert got[doc_id] == want, (doc_id, lang, w, quotas)
