@@ -229,15 +229,14 @@ def test_wav_audio_features_values(spark):
     )
 
 
-def test_png_codec_roundtrip_filters_and_crc(spark):
-    """The stdlib PNG pair: encode→decode restores the pixel grid; the
-    decoder unfilters ALL five scanline filter types from a hand-
-    assembled conforming payload; corrupted CRC and unsupported IHDR
-    shapes are rejected."""
+def test_png_codec_roundtrip_filters_and_crc():
+    """The stdlib PNG pair (pure Python — no Spark session needed):
+    encode→decode restores the pixel grid; the decoder unfilters ALL
+    five scanline filter types from a hand-assembled conforming
+    payload; corrupted CRC, unsupported IHDR shapes, truncation, and
+    corrupt deflate streams are rejected."""
     import struct
     import zlib
-
-    import pytest
 
     from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
 
@@ -305,6 +304,26 @@ def test_png_codec_roundtrip_filters_and_crc(spark):
     )
     with pytest.raises(ValueError, match="truecolor"):
         M.decode_png(gray)
+    with pytest.raises(ValueError, match="IEND"):
+        M.decode_png(p[:-5])  # storage truncation into the IEND chunk
+    garbage = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"not deflate data")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="deflate"):
+        M.decode_png(garbage)
+    # decompression bomb: 1 MB of zeros from a ~1 KB IDAT is rejected
+    # without materializing the expansion
+    bomb = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="disagrees"):
+        M.decode_png(bomb)
 
 
 def test_png_spark_features_match_formula(spark):

@@ -509,9 +509,7 @@ def test_token_budget_mix_property(spark, rows, quotas, num_buckets):
         rows, key=lambda t: (t[1] is None, t[1] or "", hashed[t[0]], t[0])
     ):
         cum[lang] = cum.get(lang, 0) + w
-        want = cum[lang] <= quotas.get(lang, 0) if lang is not None else False
-        # NULL group: flag false unless its cumsum fits the ELSE-0
-        # quota (only possible with all-zero weights)
-        if lang is None:
-            want = cum[lang] <= 0
+        # NULL group falls to the ELSE-0 quota (fits only while its
+        # cumulative weight is still zero)
+        want = cum[lang] <= (quotas.get(lang, 0) if lang is not None else 0)
         assert got[doc_id] == want, (doc_id, lang, w, quotas)
