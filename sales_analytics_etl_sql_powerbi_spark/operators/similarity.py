@@ -29,6 +29,8 @@ __all__ = [
     "rp_project",
     "rp_cosine_topk",
     "rp_cosine_topk_sql",
+    "shortlisted_cosine_topk",
+    "shortlisted_cosine_topk_sql",
     "int8_cosine_topk_sql",
     "cosine_topk",
     "cosine_topk_sql",
@@ -175,6 +177,103 @@ SELECT query_id, vec_id, cosine, rn FROM (
   SELECT *, cast(row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
   FROM scored
+) r WHERE rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+def shortlisted_cosine_topk(
+    emb: DataFrame,
+    out_dim: int = 16,
+    multiplier: int = 5,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> DataFrame:
+    """Two-stage similarity search: RP SHORTLIST → EXACT rerank — the
+    composition a 100-TB search actually runs, as one operator.
+
+    Stage 1 shortlists ``multiplier × topk`` candidates per query in
+    the ``out_dim``-wide projected space (:func:`rp_cosine_topk`:
+    per-candidate work drops by dim/out_dim, and the projected index
+    is out_dim longs/row). Stage 2 rescores ONLY the survivors with
+    the full-width exact cosine and re-ranks, so the returned
+    ``cosine`` is the TRUE value, not the projected estimate — the
+    output is exactly :func:`cosine_topk` restricted to the shortlist.
+
+    Scale shape: the shortlist is ``n_queries × multiplier × topk``
+    rows (KB, not data-sized), so the rerank is a broadcast equi-join
+    against the corpus — the only full scans are the projection and
+    the survivor lookup; nothing pairwise ever touches full-width
+    vectors outside the shortlist. ``multiplier`` is the recall knob:
+    measured end-to-end recall vs brute force at multiplier ∈
+    {2, 5, 10} is the ``--rerank`` probe's output (scripts/recall.py).
+
+    Determinism: both stages round scores to 9 dp and tie-break on
+    vec_id, so the shortlist SET and the final ranking are identical
+    cross-engine — the driver hash pins the whole pipeline.
+    """
+    if multiplier < 1:
+        raise ValueError(f"multiplier must be >= 1, got {multiplier}")
+    shortlist = rp_cosine_topk(
+        emb, out_dim=out_dim, n_queries=n_queries, topk=multiplier * topk
+    ).select("query_id", "vec_id")
+    q = quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
+    )
+    # survivors only: broadcast the (tiny) shortlist into the corpus
+    # scan — an equi-join on vec_id, so candidate pruning happens at
+    # the scan, not after a pairwise explosion
+    cand = F.broadcast(shortlist).join(q, "vec_id")
+    cos = F.round(
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
+        9,
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id", "vec_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )
+
+
+def shortlisted_cosine_topk_sql(
+    out_dim: int = 16,
+    multiplier: int = 5,
+    n_queries: int = 5,
+    topk: int = 10,
+    dim: int = _DIM,
+) -> str:
+    """DuckDB twin of :func:`shortlisted_cosine_topk`: the shortlist
+    CTE is the rp twin at ``multiplier × topk``, the rerank re-joins
+    the quantized corpus on vec_id — both stages integer-exact until
+    the final 9-dp rounding, same as the Spark side."""
+    shortlist = rp_cosine_topk_sql(
+        out_dim=out_dim, n_queries=n_queries, topk=multiplier * topk, dim=dim
+    )
+    dot = _DOT_DUCK.format(a="q.__q", b="c.__q", n=dim)
+    nq = _DOT_DUCK.format(a="q.__q", b="q.__q", n=dim)
+    nc = _DOT_DUCK.format(a="c.__q", b="c.__q", n=dim)
+    return f"""
+WITH sl AS (SELECT query_id, vec_id FROM ({shortlist}) s),
+qz2 AS (SELECT vec_id, {_Q_DUCK} AS __q FROM embeddings),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         round(cast({dot} AS DOUBLE)
+               / (sqrt(cast({nq} AS DOUBLE)) * sqrt(cast({nc} AS DOUBLE))), 9) AS cosine
+  FROM sl s
+  JOIN qz2 c ON c.vec_id = s.vec_id
+  JOIN qz2 q ON q.vec_id = s.query_id
+)
+SELECT query_id, vec_id, cosine, rn FROM (
+  SELECT *, cast(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rn
+  FROM rescored
 ) r WHERE rn <= {topk}
 ORDER BY query_id, rn
 """

@@ -217,10 +217,60 @@ def rp_main() -> None:
             )
 
 
+def rerank_main() -> None:
+    """END-TO-END recall of the composed two-stage operator (round 11):
+    shortlisted_cosine_topk (RP shortlist → exact rerank) vs brute
+    force, at multiplier ∈ {2, 5, 10}. Differs from --rp in that the
+    measured set is the FINAL top-k after exact rescoring — the number
+    a user of the one-call operator actually gets. Same caveat: the
+    synthetic corpus is near-uniform random, JL's worst case.
+
+    Usage: python scripts/recall.py --rerank [sf_dir] [n_queries] [topk]
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    topk = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+    from sales_analytics_etl_sql_powerbi_spark.session import get_spark
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    print(f"corpus={n} n_queries={n_queries} topk={topk} (exact dim 64)")
+    t0 = time.perf_counter()
+    truth = topk_sets(
+        similarity.cosine_topk(emb, n_queries=n_queries, topk=topk).collect()
+    )
+    t_exact = time.perf_counter() - t0
+    print(f"brute-force baseline: {t_exact:.1f}s")
+    for out_dim in (16, 32):
+        for mult in (2, 5, 10):
+            t0 = time.perf_counter()
+            got = topk_sets(
+                similarity.shortlisted_cosine_topk(
+                    emb,
+                    out_dim=out_dim,
+                    multiplier=mult,
+                    n_queries=n_queries,
+                    topk=topk,
+                ).collect()
+            )
+            dt = time.perf_counter() - t0
+            print(
+                f"out_dim={out_dim} mult={mult}: "
+                f"end-to-end recall@{topk}={recall(truth, got):.3f} ({dt:.1f}s)"
+            )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--minhash":
         minhash_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--rp":
         rp_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rerank":
+        rerank_main()
     else:
         main()

@@ -395,3 +395,64 @@ def test_rp_cosine_topk_shortlist_contains_rerank_targets(spark):
         short.setdefault(r.query_id, set()).add(r.vec_id)
     for i in range(5):
         assert 100 + i in short[i]  # the planted near-dup survives projection
+
+
+def test_shortlisted_cosine_topk_full_shortlist_equals_brute(spark):
+    """When multiplier×topk covers the whole corpus the shortlist is
+    total, so the two-stage rerank must reproduce brute-force
+    cosine_topk EXACTLY (scores are the true full-width cosines)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    df, _ = emb_frame(spark, n=30)
+    brute = [
+        (r.query_id, r.rn, r.vec_id, r.cosine)
+        for r in S.cosine_topk(df, n_queries=3, topk=5).collect()
+    ]
+    two_stage = [
+        (r.query_id, r.rn, r.vec_id, r.cosine)
+        for r in S.shortlisted_cosine_topk(
+            df, out_dim=16, multiplier=10, n_queries=3, topk=5
+        ).collect()
+    ]
+    assert two_stage == brute  # 10×5 ≥ 30 candidates → total shortlist
+
+
+def test_shortlisted_cosine_topk_scores_are_exact_cosines(spark):
+    """At a modest multiplier the returned cosine must be the TRUE
+    full-width value for every surviving pair (not the projected
+    estimate), and survivors must be a subset of the RP shortlist."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    df, _ = emb_frame(spark, n=40)
+    exact_by_pair = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in S.cosine_topk(df, n_queries=2, topk=39).collect()
+    }
+    short = {
+        (r.query_id, r.vec_id)
+        for r in S.rp_cosine_topk(df, out_dim=16, n_queries=2, topk=10).collect()
+    }
+    out = S.shortlisted_cosine_topk(
+        df, out_dim=16, multiplier=2, n_queries=2, topk=5
+    ).collect()
+    assert len(out) == 2 * 5
+    for r in out:
+        assert (r.query_id, r.vec_id) in short
+        assert r.cosine == exact_by_pair[(r.query_id, r.vec_id)]
+    # ranks dense from 1, descending true-cosine order per query
+    for qid in (0, 1):
+        seq = [r for r in out if r.query_id == qid]
+        assert [r.rn for r in seq] == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in seq]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_shortlisted_cosine_topk_rejects_bad_multiplier(spark):
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    df, _ = emb_frame(spark, n=5)
+    try:
+        S.shortlisted_cosine_topk(df, multiplier=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
