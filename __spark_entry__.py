@@ -1056,6 +1056,11 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 #: the JL worst case; see PLAN_AUDIT round 10)
 _RP_DIM = 32
 
+#: shortlist multiplier for the rerank gate: 5×topk survivors per
+#: query (end-to-end recall vs brute at mult ∈ {2,5,10} is the
+#: --rerank probe's output; 5 is the measured knee on this corpus)
+_RERANK_MULT = 5
+
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine baseline + its int8-quantized twin (round
@@ -1078,7 +1083,14 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     rp = similarity.rp_cosine_topk(emb, out_dim=_RP_DIM).select(
         F.lit("rp").alias("kind"), "query_id", "vec_id", "cosine", "rn"
     )
-    return exact.unionByName(int8).unionByName(rp)
+    # kind='rerank' (round 11): the composed two-stage pipeline — RP
+    # shortlist (multiplier×topk survivors) then EXACT full-width
+    # rerank; the hash pins shortlist membership AND the true cosines,
+    # so the gate covers the composition a 100-TB search actually runs
+    rerank = similarity.shortlisted_cosine_topk(
+        emb, out_dim=_RP_DIM, multiplier=_RERANK_MULT
+    ).select(F.lit("rerank").alias("kind"), "query_id", "vec_id", "cosine", "rn")
+    return exact.unionByName(int8).unionByName(rp).unionByName(rerank)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1156,10 +1168,29 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_pixel_bytes").alias("png_pixel_bytes"),
         F.col("pixel_checksum").alias("png_checksum"),
     )
+    # jpeg leg (round 11): a real ENTROPY-CODED codec — encode_jpeg
+    # (baseline JFIF markers + canonical Huffman scan with byte
+    # stuffing) then decode_jpeg (marker walk, DHT-driven Huffman
+    # decode, DC reconstruction, dequantization); gated features are
+    # the integer-exact prefix — the float IDCT never runs, so
+    # nothing float reaches the hash
+    jpg = multimodal.extract_jpeg_features(
+        multimodal.attach_jpeg_payload(docs)
+    ).select(
+        "doc_id",
+        F.col("width").alias("jpeg_width"),
+        F.col("height").alias("jpeg_height"),
+        F.col("n_components").alias("jpeg_components"),
+        F.col("n_blocks").alias("jpeg_blocks"),
+        F.col("dc_sum").alias("jpeg_dc_sum"),
+        F.col("ac_sum").alias("jpeg_ac_sum"),
+        F.col("ac_nonzero").alias("jpeg_ac_nonzero"),
+    )
     return (
         feats.join(rez, "doc_id", "left")
         .join(wav, "doc_id", "left")
         .join(png, "doc_id", "left")
+        .join(jpg, "doc_id", "left")
     )
 
 
@@ -2112,6 +2143,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'rp', query_id, vec_id, cosine, rn
             FROM ({similarity.rp_cosine_topk_sql(out_dim=_RP_DIM)}) p
+            UNION ALL
+            SELECT 'rerank', query_id, vec_id, cosine, rn
+            FROM ({similarity.shortlisted_cosine_topk_sql(
+                out_dim=_RP_DIM, multiplier=_RERANK_MULT)}) k
         """,
         "ann_lsh_topk": similarity.ann_lsh_topk_sql(sf_dir=_oracle_sf_dir()),
         "ann_ivf_topk": similarity.ann_ivf_topk_sql(sf_dir=_oracle_sf_dir()),
@@ -2127,11 +2162,17 @@ def oracle_sql() -> dict[str, str]:
                    w.duration_ms, w.sum_abs, w.max_abs, w.zero_crossings,
                    g.width AS png_width, g.height AS png_height,
                    g.n_pixel_bytes AS png_pixel_bytes,
-                   g.pixel_checksum AS png_checksum
+                   g.pixel_checksum AS png_checksum,
+                   j.width AS jpeg_width, j.height AS jpeg_height,
+                   j.n_components AS jpeg_components,
+                   j.n_blocks AS jpeg_blocks, j.dc_sum AS jpeg_dc_sum,
+                   j.ac_sum AS jpeg_ac_sum,
+                   j.ac_nonzero AS jpeg_ac_nonzero
             FROM ({multimodal.PPM_FEATURES_SQL}) m
             LEFT JOIN ({multimodal.PPM_RESIZE_SQL}) r USING (doc_id)
             LEFT JOIN ({multimodal.WAV_FEATURES_SQL}) w USING (doc_id)
             LEFT JOIN ({multimodal.PNG_FEATURES_SQL}) g USING (doc_id)
+            LEFT JOIN ({multimodal.JPEG_FEATURES_SQL}) j USING (doc_id)
         """,
         "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
         "events_asof": _asof_sql(),
