@@ -343,3 +343,112 @@ def test_png_spark_features_match_formula(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_pixel_bytes == len(px)
         assert r.pixel_checksum == sum(px) % 1_000_003
+
+
+def test_jpeg_codec_roundtrip_and_reject_contract():
+    """encode_jpeg → decode_jpeg round trip: the decoder's
+    dequantized blocks must equal the supplied quantized blocks times
+    the DQT table, for many docs (exercising 1-6 block layouts, DC
+    diffs of both signs, all three AC run lengths, and pure-EOB
+    blocks). Plus the strict reject contract: truncated scan, bad
+    marker, non-EOI terminator, progressive SOF, undefined tables."""
+    import struct
+
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    for d in list(range(24)) + [601, 44421]:
+        w, h, blocks = M._jpeg_formula_blocks(d)
+        payload = M.encode_jpeg(w, h, blocks)
+        W, H, nf, deq = M.decode_jpeg(payload)
+        assert (W, H, nf) == (w, h, 1)
+        for orig, got in zip(blocks, deq):
+            assert got == [v * q for v, q in zip(orig, M._JPEG_QZ)]
+
+    w, h, blocks = M._jpeg_formula_blocks(5)
+    p = M.encode_jpeg(w, h, blocks)
+    with pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg(b"\x00\x01" + p)
+    with pytest.raises(ValueError, match="scan"):
+        M.decode_jpeg(p[:-6])  # truncated inside entropy data
+    with pytest.raises(ValueError, match="non-EOI"):
+        M.decode_jpeg(p[:-2] + b"\xff\xd0")
+    bad = bytearray(p)
+    bad[p.find(b"\xff\xc0") + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg(bytes(bad))
+    # corrupt one entropy byte: JPEG carries no CRC, so a corrupted
+    # scan may REJECT (bad code / truncation / overflow) or ALIAS to
+    # a valid decode — but it can never silently reproduce the
+    # original coefficients (the flipped bits sit inside the first
+    # DC code)
+    sos = p.find(b"\xff\xda")
+    _, _, _, clean = M.decode_jpeg(p)
+    for flip in (0x5A, 0x81, 0x0F):
+        bad2 = bytearray(p)
+        bad2[sos + 10] ^= flip
+        try:
+            _, _, _, got = M.decode_jpeg(bytes(bad2))
+            assert got != clean, "corruption decoded to identical blocks"
+        except ValueError:
+            pass
+    # a scan referencing an undefined Huffman table must reject:
+    # rebuild the file without its DHT segment
+    dht_at = p.find(b"\xff\xc4")
+    (dht_len,) = struct.unpack(">H", p[dht_at + 2 : dht_at + 4])
+    no_dht = p[:dht_at] + p[dht_at + 2 + dht_len :]
+    with pytest.raises(ValueError, match="Huffman table"):
+        M.decode_jpeg(no_dht)
+
+
+def test_jpeg_encoder_is_spec_shaped():
+    """Marker-level sanity a third-party baseline decoder relies on:
+    SOI first, EOI last, JFIF APP0 present, DQT carries the Annex-K
+    table, SOF0 declares 8-bit grayscale with the right dims, and
+    every 0xFF inside the entropy scan is stuffed."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    w, h, blocks = M._jpeg_formula_blocks(7)
+    p = M.encode_jpeg(w, h, blocks)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in p
+    dqt = p.find(b"\xff\xdb")
+    assert list(p[dqt + 5 : dqt + 5 + 64]) == M._JPEG_QZ
+    sof = p.find(b"\xff\xc0")
+    prec, H, W, nf = p[sof + 4], p[sof + 5] * 256 + p[sof + 6], p[sof + 7] * 256 + p[sof + 8], p[sof + 9]
+    assert (prec, H, W, nf) == (8, h, w, 1)
+    sos = p.find(b"\xff\xda")
+    scan = p[sos + 10 : -2]
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, "unstuffed 0xFF inside scan"
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_spark_features_match_formula(spark):
+    """End-to-end through mapInPandas: generated JPEGs decode back to
+    the analytic feature values (the oracle twin's arithmetic)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(2, "x"), (11, "y")], "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in M.extract_jpeg_features(M.attach_jpeg_payload(docs)).collect()
+    }
+    for d in (2, 11):
+        bw, bh = 1 + d % 3, 1 + d % 2
+        nb = bw * bh
+        dc_sum = sum(((d * 7 + b * 13) % 64 - 32) * M._JPEG_QZ[0] for b in range(nb))
+        ac_sum = sum(
+            ((d * 3 + b) % 7 - 3) * M._JPEG_QZ[1 + (d + b) % 3] for b in range(nb)
+        )
+        ac_nz = sum(1 for b in range(nb) if (d * 3 + b) % 7 - 3 != 0)
+        r = rows[d]
+        assert (r.width, r.height, r.n_components) == (8 * bw, 8 * bh, 1)
+        assert (r.n_blocks, r.dc_sum, r.ac_sum, r.ac_nonzero) == (
+            nb, dc_sum, ac_sum, ac_nz,
+        )
