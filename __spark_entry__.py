@@ -1195,9 +1195,39 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    return multimodal.sample_frames(
-        multimodal.attach_binary_payload(_docs(spark, sf))
+    """Frame extraction, two container legs in one frame: kind='bytes'
+    is the fixed-stride fake-container sampler; kind='y4m' (round 11)
+    is the REAL YUV4MPEG2 path — every doc carries a valid multi-frame
+    C420 stream (JVM-generated), frames come from the real header
+    parse + FRAME walk, and frame_hex puts every decoded byte under
+    the driver hash (the oracle recomputes the bytes analytically from
+    the clip formula, never touching the container)."""
+    docs = _docs(spark, sf)
+    base = multimodal.sample_frames(
+        multimodal.attach_binary_payload(docs)
+    ).select(
+        F.lit("bytes").alias("kind"),
+        "doc_id",
+        "frame_id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "n_frame_bytes",
+        "frame_checksum",
+        "frame_hex",
     )
+    y4m = multimodal.extract_y4m_frames(
+        multimodal.attach_binary_payload(docs, media="y4m")
+    ).select(
+        F.lit("y4m").alias("kind"),
+        "doc_id",
+        "frame_id",
+        "width",
+        "height",
+        "n_frame_bytes",
+        "frame_checksum",
+        "frame_hex",
+    )
+    return base.unionByName(y4m)
 
 
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
@@ -2174,7 +2204,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ({multimodal.PNG_FEATURES_SQL}) g USING (doc_id)
             LEFT JOIN ({multimodal.JPEG_FEATURES_SQL}) j USING (doc_id)
         """,
-        "multimodal_frames": multimodal.SAMPLE_FRAMES_SQL,
+        "multimodal_frames": f"""
+            SELECT 'bytes' AS kind, doc_id, frame_id,
+                   cast(NULL AS INT) AS width, cast(NULL AS INT) AS height,
+                   n_frame_bytes, frame_checksum, frame_hex
+            FROM ({multimodal.SAMPLE_FRAMES_SQL}) s
+            UNION ALL
+            SELECT 'y4m', doc_id, frame_id, width, height,
+                   n_frame_bytes, frame_checksum, frame_hex
+            FROM ({multimodal.Y4M_FRAMES_SQL}) y
+        """,
         "events_asof": _asof_sql(),
         "events_windows": _events_windows_sql(),
         "events_interval_join": _INTERVAL_JOIN_SQL,

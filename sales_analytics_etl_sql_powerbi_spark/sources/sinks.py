@@ -446,3 +446,177 @@ def _parquet_bytes(spark, path: str) -> int:
 
 def _parquet_file_count(spark, path: str) -> int:
     return sum(1 for _ in _hadoop_parquet_files(spark, path))
+
+
+# ---------------------------------------------------------------------------
+# Packed-shard export (round 11): pack_sequences → parquet shards with
+# APPEND-ONLY incremental growth. Unlike write_training_shards (content-
+# hash sharding — the right layout for one-shot randomized exports, but
+# every append touches every shard), packed shards are keyed by the
+# SEQUENTIAL example_id, so corpus growth only ever rewrites the one
+# boundary shard and writes new ones — the incremental-export layout.
+# ---------------------------------------------------------------------------
+
+_PACK_META = "_PACK_META"
+
+
+def _pack_meta_path(path: str) -> str:
+    return os.path.join(path, _PACK_META)
+
+
+def read_pack_meta(path: str) -> dict:
+    """The export's stored continuation state (the packing analog of
+    streaming/cdc.py's _HWM sidecar): total_tokens is what
+    pack_sequences_incremental needs as its base, budget and
+    examples_per_shard pin the layout so a mismatched append fails
+    loudly instead of silently splitting at different boundaries."""
+    import json
+
+    with open(_pack_meta_path(path), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_pack_meta(path: str, meta: dict) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(_pack_meta_path(path), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def _write_example_shards(examples: DataFrame, path: str, eps: int) -> None:
+    """One parquet file per shard dir, rows ordered by example_id —
+    byte-reproducible, and with DYNAMIC partition overwrite only the
+    shard dirs present in ``examples`` are replaced (the no-rewrite
+    property the incremental path depends on).
+
+    Every column is normalized to NULLABLE first: a from-scratch frame
+    carries not-null groupBy keys (parquet then omits definition
+    levels) while the incremental path unions read-back parquet
+    (all-nullable) — same rows, different file bytes. Pinning
+    nullability pins the encoding, which is what makes
+    incremental ≡ from-scratch BYTE-identical, not just row-identical.
+    """
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in examples.schema.fields]
+    )
+    # union with an empty all-nullable relation: output nullability is
+    # the OR of the sides, and unlike a when(true, c) wrapper or
+    # DataFrame.to(), Catalyst cannot fold it back to not-null
+    spark = examples.sparkSession
+    out = (
+        spark.createDataFrame([], nullable)
+        .unionByName(examples)
+        .withColumn("shard", F.expr(f"example_id DIV {int(eps)}").cast("int"))
+    )
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "example_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def write_packed_shards(
+    examples: DataFrame, path: str, examples_per_shard: int, budget: int
+) -> dict:
+    """From-scratch export of :func:`..operators.packing.assemble_examples`
+    output: shard ``example_id DIV examples_per_shard``, one file per
+    shard dir, plus the ``_PACK_META`` continuation sidecar. Returns
+    the stored meta. ``budget`` is recorded (not applied) — appends
+    must pack with the same budget or the boundary arithmetic breaks.
+    """
+    if examples_per_shard < 1:
+        raise ValueError("examples_per_shard must be >= 1")
+    total = examples.agg(F.sum("n_tokens")).first()[0] or 0
+    _write_example_shards(examples, path, examples_per_shard)
+    meta = {
+        "total_tokens": int(total),
+        "budget": int(budget),
+        "examples_per_shard": int(examples_per_shard),
+    }
+    _write_pack_meta(path, meta)
+    return meta
+
+
+def write_packed_shards_incremental(
+    new_examples: DataFrame, path: str, budget: int
+) -> dict:
+    """Append-only growth: merge the (possibly partial) boundary
+    example with its stored half, rewrite ONLY the boundary shard and
+    the new ones, advance the sidecar. ``new_examples`` must come from
+    ``assemble_examples(pack_sequences_incremental(new_docs,
+    meta["total_tokens"], budget))`` — its first example id is the
+    stored boundary, its boundary row carries only the NEW tokens.
+
+    Untouched shards are genuinely untouched (dynamic partition
+    overwrite replaces only the shard dirs present in the frame) and
+    the result is byte-identical to a from-scratch export of the full
+    corpus — both properties are unit-pinned. The boundary-shard
+    read-back is one shard file (≤ examples_per_shard rows), not a
+    corpus scan; everything else is the same one-shuffle write as the
+    from-scratch path.
+    """
+    spark = new_examples.sparkSession
+    meta = read_pack_meta(path)
+    if int(meta["budget"]) != int(budget):
+        raise ValueError(
+            f"budget {budget} != stored {meta['budget']} — appends must "
+            "pack with the export's original budget"
+        )
+    eps = int(meta["examples_per_shard"])
+    base_total = int(meta["total_tokens"])
+    new_total = base_total + int(
+        new_examples.agg(F.sum("n_tokens")).first()[0] or 0
+    )
+    boundary_ex = base_total // budget
+    shard_b = boundary_ex // eps
+    merged = new_examples
+    shard_dir = os.path.join(path, f"shard={shard_b}")
+    if os.path.isdir(shard_dir):
+        old = spark.read.parquet(shard_dir).select(
+            "example_id", "n_tokens", "n_docs", "text"
+        )
+        if base_total % budget:
+            # the stored boundary row and the incoming partial row are
+            # two halves of ONE example whose segments abut — fuse
+            # text in STREAM order (old half first), sum the counts.
+            # collect_list arrival order is not deterministic, so the
+            # halves are tagged and array_sort'ed — the same
+            # struct-sort discipline assemble_examples uses
+            both = (
+                old.where(F.col("example_id") == boundary_ex)
+                .withColumn("__half", F.lit(0))
+                .unionByName(
+                    merged.where(F.col("example_id") == boundary_ex)
+                    .withColumn("__half", F.lit(1))
+                )
+            )
+            fused = both.groupBy("example_id").agg(
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("__half"), F.col("text")))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            merged = (
+                old.where(F.col("example_id") != boundary_ex)
+                .unionByName(fused)
+                .unionByName(merged.where(F.col("example_id") != boundary_ex))
+            )
+        else:
+            merged = old.unionByName(merged)
+    _write_example_shards(merged, path, eps)
+    meta = dict(meta, total_tokens=new_total)
+    _write_pack_meta(path, meta)
+    return meta

@@ -452,3 +452,79 @@ def test_jpeg_spark_features_match_formula(spark):
         assert (r.n_blocks, r.dc_sum, r.ac_sum, r.ac_nonzero) == (
             nb, dc_sum, ac_sum, ac_nz,
         )
+
+
+def test_y4m_decoder_parses_and_rejects():
+    """Pure-Python contract for decode_y4m: a hand-built conforming
+    stream (with extra header tags and per-FRAME params) parses to
+    the right dims/rate/frames; malformed streams reject."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    w, h, nf = 6, 4, 3
+    fsz = w * h * 3 // 2
+    frames = [bytes((f * 29 + i * 5) % 256 for i in range(fsz)) for f in range(nf)]
+    head = f"YUV4MPEG2 W{w} H{h} F30000:1001 Ip A1:1 C420jpeg XCOMMENT\n".encode()
+    body = b"".join(
+        (b"FRAME\n" if f % 2 == 0 else b"FRAME Xtag\n") + frames[f]
+        for f in range(nf)
+    )
+    W, H, fps, cs, got = M.decode_y4m(head + body)
+    assert (W, H, fps, cs) == (w, h, (30000, 1001), "420jpeg")
+    assert got == frames
+    # C tag absent -> the spec's 420 default
+    W, H, _, cs, got = M.decode_y4m(
+        f"YUV4MPEG2 W{w} H{h}\n".encode() + b"FRAME\n" + frames[0]
+    )
+    assert cs == "420jpeg" and got == [frames[0]]
+    # mono and 444 frame sizes
+    W, H, _, cs, got = M.decode_y4m(
+        b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(8)
+    )
+    assert cs == "mono" and len(got[0]) == 8
+    W, H, _, cs, got = M.decode_y4m(
+        b"YUV4MPEG2 W3 H1 C444\nFRAME\n" + bytes(9)
+    )
+    assert cs == "444" and len(got[0]) == 9  # odd dims fine outside 420
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        M.decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="W/H"):
+        M.decode_y4m(b"YUV4MPEG2 F25:1\nFRAME\n")
+    with pytest.raises(ValueError, match="odd dimensions"):
+        M.decode_y4m(b"YUV4MPEG2 W5 H4\n")
+    with pytest.raises(ValueError, match="unsupported colorspace"):
+        M.decode_y4m(b"YUV4MPEG2 W4 H4 C422\n")
+    with pytest.raises(ValueError, match="truncated frame"):
+        M.decode_y4m(head + body[:-1])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        M.decode_y4m(head + body + b"junk")
+    with pytest.raises(ValueError, match="unterminated FRAME"):
+        M.decode_y4m(head + b"FRAME Xno-newline")
+
+
+def test_y4m_spark_generator_decodes_to_formula(spark):
+    """End-to-end: the JVM-generated YUV4MPEG2 payload is a valid
+    stream whose decoded frames match the shared formula — and the
+    extractor's rows carry the analytic checksums/hex."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(4, "a"), (9, "b")], "doc_id long, text string")
+    wp = M.attach_binary_payload(docs, media="y4m")
+    payloads = {r.doc_id: bytes(r.payload) for r in wp.collect()}
+    rows = {}
+    for r in M.extract_y4m_frames(wp).collect():
+        rows[(r.doc_id, r.frame_id)] = r
+    for d in (4, 9):
+        w, h, nf = 4 + 2 * (d % 3), 4 + 2 * (d % 2), 2 + d % 3
+        fsz = w * h * 3 // 2
+        W, H, fps, cs, frames = M.decode_y4m(payloads[d])
+        assert (W, H, fps, cs, len(frames)) == (w, h, (25, 1), "420jpeg", nf)
+        for f in range(nf):
+            expect = bytes((d * 17 + f * 29 + i * 5) % 256 for i in range(fsz))
+            assert frames[f] == expect
+            r = rows[(d, f)]
+            assert (r.width, r.height, r.n_frame_bytes) == (w, h, fsz)
+            assert r.frame_checksum == sum(expect) % 1_000_003
+            assert r.frame_hex == expect.hex().upper()
