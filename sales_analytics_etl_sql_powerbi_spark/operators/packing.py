@@ -74,9 +74,17 @@ def bucketed_exclusive_scan(
     EXCLUSIVE prefix sum of ``weight_col`` in (partition, order)
     order. Per-(partition, bucket) windows run in parallel; bucket
     totals (groups × buckets rows — driver-tiny) get their own
-    exclusive scan; a broadcast LEFT join stitches the base offsets
-    back (left: a NULL partition key never equi-joins — such rows
-    keep their local cumsum with base 0 rather than vanishing).
+    exclusive scan; a NULL-SAFE broadcast join (``<=>`` on every
+    stitch key) adds the base offsets back. Null-safety matters:
+    ``Window.partitionBy`` treats NULL as a real partition group, so
+    NULL-group rows DO have a local cumsum and per-bucket totals — a
+    plain equi-join would never match their NULL partition key and
+    silently zero their cross-bucket base (the round-11 bug: a
+    zero-weight NULL-group row in a later bucket was flagged in-budget
+    when the accumulated earlier-bucket weight said out; pinned by
+    ``tests/test_packing.py::test_scan_null_group_cross_bucket``).
+    ``<=>`` keys still plan as BroadcastHashJoin (Spark hashes
+    null-safe keys via coalesce), so the stitch stays shuffle-free.
     Callers own the bucket construction — that is where the
     determinism discipline lives (data-derived, never
     ``spark_partition_id``; module docstring).
@@ -100,8 +108,15 @@ def bucketed_exclusive_scan(
         "__bkt",
         F.coalesce(F.sum("__btot").over(tot_w), F.lit(0)).alias("__boff"),
     )
+    lhs, rhs = b.alias("__scan_l"), totals.alias("__scan_r")
+    cond = F.col("__scan_l.__bkt").eqNullSafe(F.col("__scan_r.__bkt"))
+    for c in parts:
+        cond = cond & F.col(f"__scan_l.{c}").eqNullSafe(
+            F.col(f"__scan_r.{c}")
+        )
     return (
-        b.join(F.broadcast(totals), [*parts, "__bkt"], "left")
+        lhs.join(F.broadcast(rhs), cond, "left")
+        .select("__scan_l.*", F.col("__scan_r.__boff").alias("__boff"))
         .withColumn(
             out_col,
             (F.coalesce(F.col("__boff"), F.lit(0)) + F.col("__local_off"))

@@ -424,8 +424,9 @@ def token_budget_mix(
         F.lit(0),
     ).cast("long")
     # inclusive running sum = exclusive offset + own weight; NULL-group
-    # rows survive the scan (left-join core) and fall to the ELSE-0
-    # quota, matching the oracle twin's window behavior
+    # rows accumulate across buckets like any other group (the scan's
+    # stitch join is null-safe) and fall to the ELSE-0 quota, matching
+    # the oracle twin's PARTITION BY window, which also groups NULLs
     return d.withColumn(
         "in_token_budget",
         F.coalesce((F.col("__toff") + F.col("__w")) <= quota, F.lit(False)),

@@ -357,3 +357,58 @@ def test_packed_shard_export_exact_boundary_and_budget_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="budget"):
         sinks.write_packed_shards_incremental(ex2, path, budget + 1)
+
+
+def test_scan_null_group_cross_bucket(spark):
+    """Round-11 regression (VERDICT r11 item 1): the bucket-offset
+    stitch join must be NULL-SAFE on the partition columns. With a
+    plain equi-join, a NULL-group row in a later bucket never matched
+    its bucket-total row, so its cross-bucket base silently became 0 —
+    the minimal hypothesis counterexample was a zero-weight NULL-group
+    row whose earlier-bucket sibling carried weight 1 (flagged
+    in-budget when the sequential reference says out). Pin the exact
+    shape, plus a multi-bucket NULL-group offset check."""
+    rows = [(0, None, 1), (1, None, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    # force the two rows into different buckets via explicit __bkt
+    b = df.withColumn("__bkt", (F.col("doc_id") % 2).cast("int"))
+    got = {
+        r.doc_id: r.off
+        for r in packing.bucketed_exclusive_scan(
+            b, ["doc_id"], "w", partition_cols=["lang"], out_col="off"
+        ).collect()
+    }
+    # exclusive prefix sums in doc_id order within the NULL group
+    assert got == {0: 0, 1: 1}
+
+    # and through the public operator: zero-weight NULL-lang doc after
+    # 1 token of NULL-lang weight must be OUT (quota for NULL is 0)
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as S
+
+    out = {
+        r.doc_id: r.in_token_budget
+        for r in S.token_budget_mix(
+            df, "lang", {"a": 5}, "w", num_buckets=2
+        ).collect()
+    }
+    assert out[0] is False and out[1] is False
+
+    # NULL group spanning several buckets alongside real groups
+    rows2 = [
+        (i, None if i % 2 == 0 else "en", 1 if i < 8 else 0)
+        for i in range(12)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string, w long")
+    b2 = df2.withColumn("__bkt", F.expr("doc_id DIV 4").cast("int"))
+    got2 = {
+        r.doc_id: r.off
+        for r in packing.bucketed_exclusive_scan(
+            b2, ["doc_id"], "w", partition_cols=["lang"], out_col="off"
+        ).collect()
+    }
+    seq: dict = {}
+    want2 = {}
+    for doc_id, lang, w in sorted(rows2):
+        want2[doc_id] = seq.get(lang, 0)
+        seq[lang] = seq.get(lang, 0) + w
+    assert got2 == want2
