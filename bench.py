@@ -128,7 +128,15 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     argv = sys.argv[1:]
     if "--repeat" in argv:
-        repeat = int(argv[argv.index("--repeat") + 1])
+        i = argv.index("--repeat")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: bench.py [--repeat N]  (N >= 1)")
+        try:
+            repeat = int(argv[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"usage: bench.py [--repeat N] — got {argv[i + 1]!r}"
+            ) from None
     if repeat < 1:
         raise SystemExit("--repeat must be >= 1")
     try:
@@ -192,8 +200,32 @@ def main() -> None:
         "cpus": int(cpus),
         "repeat": repeat,
     }
+    # Raw per-pass readings go to a SIDECAR, never the summary line:
+    # the driver captures a bounded stdout tail and parses the last
+    # line as JSON — round 11's inline "readings" pushed that line
+    # past the window and broke the parse (BENCH_r11.json parsed:
+    # null). The sidecar also records min-of-pass-totals alongside
+    # the headline sum-of-per-query-minima, since the two protocols
+    # are not interchangeable (ADVICE r11).
     if repeat > 1:
-        out["readings"] = readings
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_readings.json")
+        with open(sidecar, "w") as f:
+            json.dump(
+                {
+                    "repeat": repeat,
+                    "sf": sf,
+                    "readings": readings,
+                    "pass_totals": [
+                        round(sum(p.values()), 3) for p in passes
+                    ],
+                    "min_pass_total": round(
+                        min(sum(p.values()) for p in passes), 3
+                    ),
+                },
+                f,
+                indent=1,
+            )
     print(json.dumps(out))
     spark.stop()
 
