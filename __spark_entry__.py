@@ -1195,13 +1195,18 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame extraction, two container legs in one frame: kind='bytes'
-    is the fixed-stride fake-container sampler; kind='y4m' (round 11)
-    is the REAL YUV4MPEG2 path — every doc carries a valid multi-frame
-    C420 stream (JVM-generated), frames come from the real header
-    parse + FRAME walk, and frame_hex puts every decoded byte under
-    the driver hash (the oracle recomputes the bytes analytically from
-    the clip formula, never touching the container)."""
+    """Frame extraction, three container legs in one frame:
+    kind='bytes' is the fixed-stride fake-container sampler;
+    kind='y4m' (round 11) is the REAL YUV4MPEG2 path — every doc
+    carries a valid multi-frame C420 stream (JVM-generated), frames
+    come from the real header parse + FRAME walk, and frame_hex puts
+    every decoded byte under the driver hash; kind='mjpeg' (round 12)
+    is the REAL COMPRESSED-video path — every doc carries a valid
+    AVI/MJPEG container whose '00dc' chunks each hold a baseline JPEG,
+    frames come from the RIFF walk + per-frame canonical-Huffman
+    entropy decode, and frame_hex serializes every DEQUANTIZED
+    coefficient (the oracle recomputes all values analytically from
+    the formulas, never touching container or entropy bytes)."""
     docs = _docs(spark, sf)
     base = multimodal.sample_frames(
         multimodal.attach_binary_payload(docs)
@@ -1227,7 +1232,19 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         "frame_checksum",
         "frame_hex",
     )
-    return base.unionByName(y4m)
+    mjpeg = multimodal.extract_mjpeg_frames(
+        multimodal.attach_avi_payload(docs)
+    ).select(
+        F.lit("mjpeg").alias("kind"),
+        "doc_id",
+        "frame_id",
+        "width",
+        "height",
+        "n_frame_bytes",
+        "frame_checksum",
+        "frame_hex",
+    )
+    return base.unionByName(y4m).unionByName(mjpeg)
 
 
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
@@ -2213,6 +2230,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'y4m', doc_id, frame_id, width, height,
                    n_frame_bytes, frame_checksum, frame_hex
             FROM ({multimodal.Y4M_FRAMES_SQL}) y
+            UNION ALL
+            SELECT 'mjpeg', doc_id, frame_id, width, height,
+                   n_frame_bytes, frame_checksum, frame_hex
+            FROM ({multimodal.MJPEG_FRAMES_SQL}) m
         """,
         "events_asof": _asof_sql(),
         "events_windows": _events_windows_sql(),

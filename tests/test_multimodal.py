@@ -528,3 +528,129 @@ def test_y4m_spark_generator_decodes_to_formula(spark):
             assert (r.width, r.height, r.n_frame_bytes) == (w, h, fsz)
             assert r.frame_checksum == sum(expect) % 1_000_003
             assert r.frame_hex == expect.hex().upper()
+
+
+def test_avi_mjpeg_roundtrip_and_reject_contract():
+    """Round 12: the AVI/MJPEG container round-trips through the real
+    RIFF walk + per-frame entropy decode, and every malformed-input
+    class REJECTS rather than misparses."""
+    import struct
+
+    d = 7
+    frames = []
+    for f in range(2 + d % 3):
+        w, h, blocks = multimodal._mjpeg_formula_blocks(d, f)
+        frames.append(multimodal.encode_jpeg(w, h, blocks))
+    avi = multimodal.encode_avi_mjpeg(w, h, frames)
+
+    cw, ch, got = multimodal.decode_avi_mjpeg(avi)
+    assert (cw, ch) == (w, h) and len(got) == len(frames)
+    for f, fr in enumerate(got):
+        dw, dh, _nf, blks = multimodal.decode_jpeg(fr)
+        _, _, want = multimodal._mjpeg_formula_blocks(d, f)
+        assert blks == [
+            [v * q for v, q in zip(blk, multimodal._JPEG_QZ)] for blk in want
+        ]
+
+    # wrong magic / wrong form type
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        multimodal.decode_avi_mjpeg(b"LIST" + avi[4:])
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        multimodal.decode_avi_mjpeg(avi[:8] + b"WAVE" + avi[12:])
+    # RIFF size disagrees with payload length (truncation)
+    with pytest.raises(ValueError, match="size does not match"):
+        multimodal.decode_avi_mjpeg(avi[:-2])
+    # truncated INSIDE the movi list: shrink a frame chunk's body but
+    # keep the declared sizes — the chunk runs past its container
+    movi_at = avi.find(b"LIST", 12)
+    while avi[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = avi.find(b"LIST", movi_at + 1)
+    cut = avi[: movi_at + 40] + avi[movi_at + 44 :]
+    cut = cut[:4] + struct.pack("<I", len(cut) - 8) + cut[8:]
+    with pytest.raises(ValueError, match="runs past|truncated|FRAME|JPEG|frames"):
+        multimodal.decode_avi_mjpeg(cut)
+    # non-MJPG video handler
+    bad = avi.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError, match="not an MJPEG"):
+        multimodal.decode_avi_mjpeg(bad)
+    # non-video stream type
+    bad = avi.replace(b"vidsMJPG", b"audsMJPG")
+    with pytest.raises(ValueError, match="not video"):
+        multimodal.decode_avi_mjpeg(bad)
+    # frame-count mismatch: declare one more frame in avih
+    avih_at = avi.find(b"avih")
+    n_at = avih_at + 8 + 16  # dwTotalFrames is the 5th DWORD
+    (n_decl,) = struct.unpack("<I", avi[n_at : n_at + 4])
+    bad = avi[:n_at] + struct.pack("<I", n_decl + 1) + avi[n_at + 4 :]
+    with pytest.raises(ValueError, match="declares"):
+        multimodal.decode_avi_mjpeg(bad)
+    # movi chunk that is not a JPEG (SOI clobbered)
+    soi_at = avi.find(b"\xff\xd8", movi_at)
+    bad = avi[:soi_at] + b"\x00\x00" + avi[soi_at + 2 :]
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_avi_mjpeg(bad)
+    # foreign movi chunk fourcc
+    bad = avi.replace(b"00dc", b"01wb")
+    with pytest.raises(ValueError, match="unexpected movi chunk|stream"):
+        multimodal.decode_avi_mjpeg(bad)
+
+
+def test_jpeg_rejects_standalone_markers():
+    """ADVICE r11: standalone markers (TEM, RSTn, stray SOI/EOI)
+    carry no length field — the decoder must reject them instead of
+    misreading two payload bytes as a segment length."""
+    w, h, blocks = multimodal._jpeg_formula_blocks(3)
+    jp = multimodal.encode_jpeg(w, h, blocks)
+    for mk in (b"\x01", b"\xd0", b"\xd7", b"\xd8", b"\xd9"):
+        bad = jp[:2] + b"\xff" + mk + jp[2:]
+        with pytest.raises(ValueError, match="standalone|stray"):
+            multimodal.decode_jpeg(bad)
+
+
+def test_y4m_444alpha_sized_four_planes():
+    """ADVICE r11: C444alpha carries 4 planes — must match before the
+    '444' prefix or every frame is under-sized."""
+    w = h = 2
+    frame = bytes(range(4 * w * h))
+    payload = (
+        b"YUV4MPEG2 W2 H2 F25:1 C444alpha\n" + b"FRAME\n" + frame
+    )
+    dw, dh, _fps, cs, frames = multimodal.decode_y4m(payload)
+    assert (dw, dh, cs) == (2, 2, "444alpha")
+    assert frames == [frame]
+    # a 3-plane-sized frame under 444alpha must now be a clean reject
+    with pytest.raises(ValueError, match="truncated frame"):
+        multimodal.decode_y4m(
+            b"YUV4MPEG2 W2 H2 C444alpha\n" + b"FRAME\n" + frame[: 3 * w * h]
+        )
+
+
+def test_mjpeg_spark_frames_match_formula(spark):
+    """The distributed mjpeg leg: generate AVI payloads in
+    mapInPandas, decode through the real container+entropy path, and
+    pin every column against the pure-Python formula reference."""
+    import struct
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    rows = multimodal.extract_mjpeg_frames(
+        multimodal.attach_avi_payload(docs)
+    ).collect()
+    want = {}
+    for d in range(8):
+        for f in range(2 + d % 3):
+            w, h, blocks = multimodal._mjpeg_formula_blocks(d, f)
+            deq = [
+                [v * q for v, q in zip(blk, multimodal._JPEG_QZ)]
+                for blk in blocks
+            ]
+            buf = b"".join(struct.pack(">h", v) for blk in deq for v in blk)
+            want[(d, f)] = (
+                w, h, len(buf), sum(buf) % 1_000_003, buf.hex().upper()
+            )
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (
+            r.width, r.height, r.n_frame_bytes, r.frame_checksum, r.frame_hex
+        ) == want[(r.doc_id, r.frame_id)]
