@@ -1057,8 +1057,15 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
 _RP_DIM = 32
 
 #: shortlist multiplier for the rerank gate: 5×topk survivors per
-#: query (end-to-end recall vs brute at mult ∈ {2,5,10} is the
-#: --rerank probe's output; 5 is the measured knee on this corpus)
+#: query. 5 is a GATE choice (what the hash pins is two-stage
+#: exactness, not recall); there is NO knee — measured end-to-end
+#: recall@10 at out_dim=32 climbs roughly linearly in the multiplier
+#: (0.290/0.535/0.750 at mult 2/5/10 on 500 vectors; 0.245/0.395/
+#: 0.535 on 2000) and FALLS with corpus size at fixed multiplier.
+#: Iso-recall shortlist size grew ≈√n on this corpus (recall 0.535 at
+#: 50-of-500 and 100-of-2000) — see similarity.rerank_multiplier for
+#: the corpus-aware sizing rule and PLAN_AUDIT round 12 for the full
+#: probe table (scripts/recall.py --rerank).
 _RERANK_MULT = 5
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "rp_cosine_topk_sql",
     "shortlisted_cosine_topk",
     "shortlisted_cosine_topk_sql",
+    "rerank_multiplier",
     "int8_cosine_topk_sql",
     "cosine_topk",
     "cosine_topk_sql",
@@ -204,9 +205,11 @@ def shortlisted_cosine_topk(
     rows (KB, not data-sized), so the rerank is a broadcast equi-join
     against the corpus — the only full scans are the projection and
     the survivor lookup; nothing pairwise ever touches full-width
-    vectors outside the shortlist. ``multiplier`` is the recall knob:
-    measured end-to-end recall vs brute force at multiplier ∈
-    {2, 5, 10} is the ``--rerank`` probe's output (scripts/recall.py).
+    vectors outside the shortlist. ``multiplier`` is the recall knob,
+    and it is CORPUS-SIZE-dependent: at a fixed multiplier recall
+    falls as the corpus grows (measured: iso-recall shortlist ≈ √n at
+    out_dim=32) — size it with :func:`rerank_multiplier`, and verify
+    with ``scripts/recall.py --rerank`` on the actual corpus.
 
     Determinism: both stages round scores to 9 dp and tie-break on
     vec_id, so the shortlist SET and the final ranking are identical
@@ -277,6 +280,56 @@ SELECT query_id, vec_id, cosine, rn FROM (
 ) r WHERE rn <= {topk}
 ORDER BY query_id, rn
 """
+
+
+def rerank_multiplier(
+    corpus_n: int,
+    topk: int = 10,
+    target_recall: float = 0.75,
+    out_dim: int = 32,
+) -> int:
+    """Corpus-aware shortlist multiplier for
+    :func:`shortlisted_cosine_topk` — encodes the MEASURED scaling
+    law from ``scripts/recall.py --rerank`` so a grown corpus doesn't
+    silently lose recall at a fixed multiplier.
+
+    Measured on the synthetic near-uniform corpus (the documented JL
+    WORST case — real embedding corpora cluster, so these are
+    conservative), out_dim=32, recall@10 end-to-end vs brute force:
+
+    ========  ======  ======  ======  ======  ======
+    corpus n  mult 2  mult 5  mult 10 mult 20 mult 40
+    ========  ======  ======  ======  ======  ======
+    500       0.290   0.535   0.750   —       —
+    2000      0.245   0.395   0.535   0.720   0.815
+    ========  ======  ======  ======  ======  ======
+
+    Iso-recall shortlist size grows ≈√n here: recall 0.535 needs 50
+    of 500 but 100 of 2000; recall ~0.75 needs 100 of 500 and ~200 of
+    2000 (measured 0.720). So the rule is anchored at the measured
+    (n=500, mult=10) → 0.75 point and scaled by √(n/500), with a
+    linear recall adjustment around the anchor (recall responded
+    roughly linearly to multiplier in the measured range). At
+    out_dim=16 the measured growth was STEEPER than √n (~n^0.75) —
+    prefer widening out_dim over inflating the multiplier; the
+    exponent is extrapolated beyond the measured 500–2000 range, so
+    re-run the probe on the actual corpus before trusting a 100-TB
+    setting.
+    """
+    if corpus_n < 1 or topk < 1:
+        raise ValueError("corpus_n and topk must be >= 1")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    # anchor: (n=500, out_dim=32, mult=10) → recall 0.75
+    anchor_mult, anchor_recall, anchor_n = 10.0, 0.75, 500.0
+    exponent = 0.5 if out_dim >= 32 else 0.75
+    mult = (
+        anchor_mult
+        * (target_recall / anchor_recall)
+        * (max(corpus_n, 1) / anchor_n) ** exponent
+    )
+    # the shortlist can never usefully exceed the corpus itself
+    return max(1, min(int(mult + 0.999), max(1, corpus_n // topk)))
 
 
 def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:

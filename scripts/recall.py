@@ -226,10 +226,16 @@ def rerank_main() -> None:
     synthetic corpus is near-uniform random, JL's worst case.
 
     Usage: python scripts/recall.py --rerank [sf_dir] [n_queries] [topk]
+                                             [mult,mult,...]
     """
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     topk = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    mults = (
+        [int(m) for m in sys.argv[5].split(",")]
+        if len(sys.argv) > 5
+        else [2, 5, 10]
+    )
 
     from sales_analytics_etl_sql_powerbi_spark.operators import similarity
     from sales_analytics_etl_sql_powerbi_spark.session import get_spark
@@ -247,7 +253,7 @@ def rerank_main() -> None:
     t_exact = time.perf_counter() - t0
     print(f"brute-force baseline: {t_exact:.1f}s")
     for out_dim in (16, 32):
-        for mult in (2, 5, 10):
+        for mult in mults:
             t0 = time.perf_counter()
             got = topk_sets(
                 similarity.shortlisted_cosine_topk(

@@ -1,6 +1,7 @@
 """Similarity search: brute-force cosine top-k vs numpy; LSH recall."""
 
 import numpy as np
+import pytest
 
 from sales_analytics_etl_sql_powerbi_spark.operators import similarity
 
@@ -456,3 +457,25 @@ def test_shortlisted_cosine_topk_rejects_bad_multiplier(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_rerank_multiplier_guidance():
+    """The corpus-aware sizing rule reproduces its measured anchors,
+    scales ≈ sqrt(n) at out_dim>=32, and clamps to sane bounds."""
+    # anchor: 500 vectors, target 0.75 -> the measured mult=10
+    assert similarity.rerank_multiplier(500, topk=10, target_recall=0.75) == 10
+    # 4x corpus -> ~2x multiplier (sqrt scaling), measured 0.720 at 20
+    assert similarity.rerank_multiplier(2000, topk=10, target_recall=0.75) == 20
+    # lower target -> proportionally smaller shortlist
+    m_lo = similarity.rerank_multiplier(2000, topk=10, target_recall=0.5)
+    assert 1 <= m_lo < 20
+    # narrow projections need steeper growth
+    assert similarity.rerank_multiplier(
+        2000, topk=10, target_recall=0.75, out_dim=16
+    ) > similarity.rerank_multiplier(2000, topk=10, target_recall=0.75)
+    # shortlist never exceeds the corpus
+    assert similarity.rerank_multiplier(50, topk=10, target_recall=1.0) <= 5
+    with pytest.raises(ValueError):
+        similarity.rerank_multiplier(0)
+    with pytest.raises(ValueError):
+        similarity.rerank_multiplier(100, target_recall=1.5)
