@@ -1409,6 +1409,114 @@ def bpe_ids_main() -> None:
     spark.stop()
 
 
+def packing_incr_main() -> None:
+    """Incremental packing END-TO-END probe (round 12): compose
+    pack_sequences_incremental → assemble_examples →
+    write_packed_shards_incremental at multi-million-doc scale and
+    prove the append costs the BATCH, not the corpus: wall time vs a
+    from-scratch repack of the grown corpus, plus the shard-rewrite
+    count (must be the boundary shard + the new shards only).
+
+    Usage: python scripts/stress.py --packing-incr [base_docs] [batch_docs]
+    """
+    base_n = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    batch_n = int(sys.argv[3]) if len(sys.argv) > 3 else max(base_n // 100, 1)
+    budget, eps = 4096, 256
+
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-packing-incr")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import packing
+    from sales_analytics_etl_sql_powerbi_spark.sources import sinks
+
+    def docs(lo: int, hi: int):
+        # 4..10 tokens per doc, deterministic words
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), (F.col("id") % 7) + 3),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        ((F.col("id") * 13 + i * 7) % 997).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    def shard_files(path: str) -> dict[str, frozenset]:
+        return {
+            d: frozenset(os.listdir(d))
+            for d in glob.glob(os.path.join(path, "shard=*"))
+        }
+
+    root = tempfile.mkdtemp(prefix="packincr-")
+    try:
+        scratch = os.path.join(root, "base")
+        t0 = time.time()
+        ex = packing.assemble_examples(
+            packing.pack_sequences(docs(0, base_n), budget=budget)
+        )
+        meta = sinks.write_packed_shards(ex, scratch, eps, budget)
+        t_base = time.time() - t0
+        before = shard_files(scratch)
+        print(
+            f"from-scratch base: {base_n} docs, {meta['total_tokens']} "
+            f"tokens, {len(before)} shards, {t_base:.1f}s"
+        )
+
+        t0 = time.time()
+        ex2 = packing.assemble_examples(
+            packing.pack_sequences_incremental(
+                docs(base_n, base_n + batch_n), meta["total_tokens"], budget
+            )
+        )
+        meta2 = sinks.write_packed_shards_incremental(ex2, scratch, budget)
+        t_incr = time.time() - t0
+        after = shard_files(scratch)
+        rewritten = sorted(
+            d for d in after if before.get(d) != after[d]
+        )
+        untouched = sum(1 for d in before if before[d] == after.get(d))
+        print(
+            f"incremental append: {batch_n} docs -> "
+            f"{meta2['total_tokens'] - meta['total_tokens']} tokens, "
+            f"{t_incr:.1f}s; shards rewritten/added: {len(rewritten)} "
+            f"(boundary + new), untouched: {untouched}/{len(before)}"
+        )
+
+        t0 = time.time()
+        ex_full = packing.assemble_examples(
+            packing.pack_sequences(docs(0, base_n + batch_n), budget=budget)
+        )
+        sinks.write_packed_shards(
+            ex_full, os.path.join(root, "repack"), eps, budget
+        )
+        t_repack = time.time() - t0
+        print(
+            f"from-scratch repack of {base_n + batch_n} docs: {t_repack:.1f}s "
+            f"-> append is {t_repack / max(t_incr, 1e-9):.1f}x cheaper"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def packing_main() -> None:
     """Sequence-packing scale probe (round 10): pack N synthetic docs
     (variable token counts) into budget-sized examples and verify the
@@ -1955,6 +2063,8 @@ if __name__ == "__main__":
         cdc_restart_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--packing":
         packing_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--packing-incr":
+        packing_incr_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
         bpe_ids_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--tokmix":
