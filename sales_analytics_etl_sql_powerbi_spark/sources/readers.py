@@ -74,22 +74,22 @@ def read_excel(
     """S2 — Excel ingest shim (driver-side parse → createDataFrame).
 
     Mirrors ``pd.read_excel(path, sheet_name=SHEET, dtype=str)``
-    (reference etl/order_info_etl.py:178, sheet config :13). xlsx is a
-    zip container — not splittable — so a driver-side read is the honest
-    architecture; the parse is a pure-stdlib zip+XML reader
-    (:mod:`.xlsx`, no Excel engine needed) and every value arrives as a
-    raw string, like every other source. Legacy binary ``.xls`` has no
-    in-container parser and raises.
+    (reference etl/order_info_etl.py:178, sheet config :13 — the
+    reference accepts BOTH ``xls`` and ``xlsx``, :177). Neither
+    container is splittable, so a driver-side read is the honest
+    architecture; both parses are pure-stdlib — zip+XML for ``.xlsx``
+    (:mod:`.xlsx`) and CFB+BIFF8 for legacy binary ``.xls``
+    (:mod:`.xls`) — and every value arrives as a raw string, like
+    every other source.
     """
     if path.lower().endswith(".xls"):
-        raise NotImplementedError(
-            "Legacy binary .xls needs xlrd, which is not available in this "
-            "environment; re-export as .xlsx or CSV (read_csv_all_string "
-            "is the supported scale path)."
-        )
-    from .xlsx import read_xlsx_table
+        from .xls import read_xls_table
 
-    headers, rows = read_xlsx_table(path, sheet)
+        headers, rows = read_xls_table(path, sheet)
+    else:
+        from .xlsx import read_xlsx_table
+
+        headers, rows = read_xlsx_table(path, sheet)
     schema = T.StructType(
         [T.StructField(str(h), T.StringType(), True) for h in headers]
     )
@@ -128,18 +128,26 @@ def read_excel_distributed(
     ``input_file_name()`` contract.
 
     ``path`` accepts a directory or glob (anything ``binaryFile``
-    loads); non-xlsx files should be excluded via the glob (e.g.
-    ``dir/*.xlsx``).
+    loads); non-Excel files should be excluded via the glob (e.g.
+    ``dir/*.xlsx``). Each file dispatches on its own magic bytes —
+    zip ('PK') → xlsx parser, OLE2 compound file → the BIFF8 ``.xls``
+    parser — so mixed landing zones work.
     """
     import io
 
+    from .xls import read_xls_table
     from .xlsx import read_xlsx_table
+
+    def parse_workbook(content: bytes):
+        if content[:2] == b"PK":
+            return read_xlsx_table(io.BytesIO(content), sheet)
+        return read_xls_table(content, sheet)
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     first = files.orderBy("path").limit(1).collect()
     if not first:
         raise ValueError(f"No files matched {path!r}")
-    headers, _ = read_xlsx_table(io.BytesIO(first[0].content), sheet)
+    headers, _ = parse_workbook(bytes(first[0].content))
     names = [normalize_colname(h) for h in headers] if normalize_names else headers
     out_schema = T.StructType(
         [T.StructField("source_file", T.StringType(), False)]
@@ -152,7 +160,7 @@ def read_excel_distributed(
         for pdf in batches:
             frames = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                h, rows = read_xlsx_table(io.BytesIO(bytes(content)), sheet)
+                h, rows = parse_workbook(bytes(content))
                 file_names = [normalize_colname(c) for c in h] if normalize_names else h
                 unknown = set(file_names) - set(names)
                 if unknown:

@@ -1,0 +1,718 @@
+"""Minimal pure-stdlib legacy ``.xls`` (BIFF8) reader — the last
+reference-surface gap (reference etl/order_info_etl.py:177-178 accepts
+``ext in ("xls", "xlsx")`` through ``pd.read_excel(dtype=str)``; this
+container has no Excel engine, so the binary format is parsed
+directly, the same way :mod:`.xlsx` parses the zip+XML one).
+
+A ``.xls`` is TWO formats nested:
+
+1. an OLE2 **Compound File Binary** (CFB) container — a header-declared
+   sector size, a FAT (sector → next-sector chain map) bootstrapped
+   from the header DIFAT, a directory stream of 128-byte entries, and
+   a MINI-stream (a stream-of-small-streams addressed by its own
+   miniFAT) for streams under the 4096-byte cutoff;
+2. a **BIFF8** record stream named ``Workbook`` inside it — length-
+   prefixed records: workbook globals (BOF, BOUNDSHEET sheet registry,
+   the SST shared-string table with its CONTINUE-splitting rules),
+   then one substream per sheet (BOF … cell records … EOF).
+
+Scope honestly bounded to what the reference's exports contain —
+strings (SST/LABELSST and inline LABEL), numbers (NUMBER, RK, MULRK),
+booleans (BOOLERR), blanks, and cached formula results — surfaced as
+raw strings (dtype=str semantics, schema-on-write happens in the
+cleaning stack like every other source). Number rendering convention:
+RK-integers render with no decimal point (``"3"``), IEEE doubles
+render as ``str(float)`` (``"3.0"``, ``"3.5"``) — matching what the
+sibling xlsx writer emits for int vs float cells, so the same table
+round-trips identically through both formats (unit-pinned). Dates are
+the usual BIFF serial numbers and come out as their number strings
+(same documented divergence as the xlsx reader). Rejects rather than
+misparses: bad CFB magic, corrupt FAT chains, missing Workbook
+stream, non-BIFF8 versions, truncated records.
+
+A matching minimal writer is included for tests and fixtures — it
+emits real CFB (FAT, directory, miniFAT + mini-stream for small
+workbooks, regular chains past the 4096 cutoff) and real BIFF8
+(BOUNDSHEET offsets fixed up, SST split across CONTINUE records at
+string boundaries and, when unavoidable, mid-string with the
+re-emitted flags byte) so the reader's full path is exercisable
+in-container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["read_xls_table", "write_minimal_xls"]
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_NOSTREAM = 0xFFFFFFFF
+
+# BIFF8 record opcodes
+_BOF = 0x0809
+_EOF = 0x000A
+_BOUNDSHEET = 0x0085
+_SST = 0x00FC
+_CONTINUE = 0x003C
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_BOOLERR = 0x0205
+_FORMULA = 0x0006
+_STRING = 0x0207
+
+_MAX_RECORD = 8224  # max record DATA length (MS-XLS 2.1.4)
+
+
+# ---------------------------------------------------------------------------
+# CFB container
+# ---------------------------------------------------------------------------
+
+
+def _cfb_streams(data: bytes) -> dict[str, bytes]:
+    """Parse the compound file and return {stream_name: bytes}."""
+    if len(data) < 512 or data[:8] != _CFB_MAGIC:
+        raise ValueError("not an OLE2 compound file (bad .xls magic)")
+    (byte_order,) = struct.unpack("<H", data[28:30])
+    if byte_order != 0xFFFE:
+        raise ValueError("unsupported CFB byte order")
+    (ssz, mssz) = struct.unpack("<HH", data[30:34])
+    if not 7 <= ssz <= 12 or mssz >= ssz:
+        raise ValueError("implausible CFB sector shifts")
+    sec, mini = 1 << ssz, 1 << mssz
+    n_fat, first_dir = struct.unpack("<II", data[44:52])
+    (mini_cutoff,) = struct.unpack("<I", data[56:60])
+    first_minifat, _n_minifat, first_difat, n_difat = struct.unpack(
+        "<IIII", data[60:76]
+    )
+
+    def sector(i: int) -> bytes:
+        off = (i + 1) << ssz  # sector 0 starts right after the 512B header
+        if off + sec > len(data):
+            raise ValueError("sector reference past end of file")
+        return data[off : off + sec]
+
+    # DIFAT: 109 header entries + optional chained DIFAT sectors
+    difat = list(struct.unpack("<109I", data[76:512]))
+    s, hops = first_difat, 0
+    while s not in (_ENDOFCHAIN, _FREESECT) and hops < n_difat + 1:
+        block = struct.unpack(f"<{sec // 4}I", sector(s))
+        difat.extend(block[:-1])
+        s = block[-1]
+        hops += 1
+    fat: list[int] = []
+    for fs in difat:
+        if fs == _FREESECT:
+            continue
+        fat.extend(struct.unpack(f"<{sec // 4}I", sector(fs)))
+    if len([f for f in difat if f != _FREESECT]) < n_fat:
+        raise ValueError("DIFAT declares more FAT sectors than it lists")
+
+    def chain(start: int) -> bytes:
+        out, s, seen = bytearray(), start, 0
+        while s != _ENDOFCHAIN:
+            if s >= len(fat) or seen > len(fat):
+                raise ValueError("corrupt FAT chain")
+            out += sector(s)
+            s = fat[s]
+            seen += 1
+        return bytes(out)
+
+    # directory entries: 128 bytes each
+    dir_stream = chain(first_dir)
+    entries: list[tuple[str, int, int, int]] = []
+    for off in range(0, len(dir_stream) - 127, 128):
+        e = dir_stream[off : off + 128]
+        (name_len,) = struct.unpack("<H", e[64:66])
+        typ = e[66]
+        if typ == 0 or name_len < 2 or name_len > 64:
+            continue
+        name = e[: name_len - 2].decode("utf-16-le", "replace")
+        (start,) = struct.unpack("<I", e[116:120])
+        (size,) = struct.unpack("<Q", e[120:128])
+        entries.append((name, typ, start, size))
+
+    roots = [e for e in entries if e[1] == 5]
+    if not roots:
+        raise ValueError("compound file has no root directory entry")
+    _, _, root_start, root_size = roots[0]
+    ministream = chain(root_start)[:root_size] if root_size else b""
+    minifat: tuple[int, ...] = ()
+    if first_minifat != _ENDOFCHAIN and first_minifat != _FREESECT:
+        mf = chain(first_minifat)
+        minifat = struct.unpack(f"<{len(mf) // 4}I", mf[: len(mf) // 4 * 4])
+
+    def minichain(start: int, size: int) -> bytes:
+        out, s, seen = bytearray(), start, 0
+        while s != _ENDOFCHAIN:
+            if s >= len(minifat) or seen > len(minifat):
+                raise ValueError("corrupt miniFAT chain")
+            out += ministream[s * mini : (s + 1) * mini]
+            s = minifat[s]
+            seen += 1
+        return bytes(out)[:size]
+
+    streams: dict[str, bytes] = {}
+    for name, typ, start, size in entries:
+        if typ != 2:  # stream
+            continue
+        streams[name] = (
+            minichain(start, size) if size < mini_cutoff else chain(start)[:size]
+        )
+    return streams
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 record stream
+# ---------------------------------------------------------------------------
+
+
+def _records(stream: bytes, start: int = 0):
+    """Yield (opcode, payload, offset) until stream end / zero padding."""
+    i = start
+    n = len(stream)
+    while i + 4 <= n:
+        op, ln = struct.unpack("<HH", stream[i : i + 4])
+        if op == 0x0000 and ln == 0:
+            return  # zero-fill tail (padded streams)
+        if i + 4 + ln > n:
+            raise ValueError("truncated BIFF record")
+        yield op, stream[i + 4 : i + 4 + ln], i
+        i += 4 + ln
+
+
+class _ChunkCursor:
+    """Read cursor over an SST record + its CONTINUE payloads that
+    knows the ONE format quirk that matters: when character data is
+    split across a CONTINUE boundary, the continuation re-leads with a
+    fresh flags byte (the compression may change mid-string); headers
+    and rich/ext payloads continue raw."""
+
+    def __init__(self, chunks: list[bytes]) -> None:
+        self.chunks = chunks
+        self.ci = 0
+        self.off = 0
+
+    def _left(self) -> int:
+        return len(self.chunks[self.ci]) - self.off
+
+    def _advance(self) -> None:
+        while self.ci < len(self.chunks) and self._left() == 0:
+            self.ci += 1
+            self.off = 0
+        if self.ci >= len(self.chunks):
+            raise ValueError("SST ran past its CONTINUE records")
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n:
+            self._advance()
+            take = min(n, self._left())
+            c = self.chunks[self.ci]
+            out += c[self.off : self.off + take]
+            self.off += take
+            n -= take
+        return bytes(out)
+
+    def read_string(self) -> str:
+        """XLUnicodeRichExtendedString (MS-XLS 2.5.293)."""
+        (cch,) = struct.unpack("<H", self.read(2))
+        (grbit,) = struct.unpack("<B", self.read(1))
+        high = grbit & 0x01
+        n_runs = struct.unpack("<H", self.read(2))[0] if grbit & 0x08 else 0
+        cb_ext = struct.unpack("<I", self.read(4))[0] if grbit & 0x04 else 0
+        parts: list[str] = []
+        need = cch
+        chars_chunk = self.ci  # flags byte re-led on ANY later chunk
+        while need:
+            self._advance()
+            if chars_chunk is not None and self.ci != chars_chunk:
+                # character data crossed into a CONTINUE record: it
+                # re-leads with a fresh flags byte (the compression
+                # may change per continuation — MS-XLS 2.5.293/2.1.4)
+                (g2,) = struct.unpack("<B", self.read(1))
+                high = g2 & 0x01
+                self._advance()
+            chars_chunk = self.ci
+            width = 2 if high else 1
+            avail = self._left() // width
+            take = min(need, avail)
+            if take == 0:
+                # chunk holds less than one char (can't happen in
+                # conforming files — headers never split)
+                raise ValueError("SST string character split mid-char")
+            raw = self.read(take * width)
+            parts.append(
+                raw.decode("utf-16-le") if high else raw.decode("latin-1")
+            )
+            need -= take
+        self.read(4 * n_runs + cb_ext)  # rich runs + ext data (skipped)
+        return "".join(parts)
+
+    def exhausted(self) -> bool:
+        try:
+            self._advance()
+        except ValueError:
+            return True
+        return False
+
+
+def _parse_sst(chunks: list[bytes]) -> list[str]:
+    cur = _ChunkCursor(chunks)
+    _total, unique = struct.unpack("<II", cur.read(8))
+    return [cur.read_string() for _ in range(unique)]
+
+
+def _short_string(payload: bytes, off: int) -> str:
+    """ShortXLUnicodeString (8-bit length) — BOUNDSHEET names."""
+    cch = payload[off]
+    high = payload[off + 1] & 0x01
+    raw = payload[off + 2 : off + 2 + cch * (2 if high else 1)]
+    return raw.decode("utf-16-le") if high else raw.decode("latin-1")
+
+
+def _inline_string(payload: bytes, off: int) -> str:
+    """XLUnicodeString (16-bit length, no rich/ext) — LABEL/STRING."""
+    (cch,) = struct.unpack("<H", payload[off : off + 2])
+    high = payload[off + 2] & 0x01
+    raw = payload[off + 3 : off + 3 + cch * (2 if high else 1)]
+    return raw.decode("utf-16-le") if high else raw.decode("latin-1")
+
+
+def _rk_value(rk: int) -> str:
+    """Decode an RK-packed number to its string rendering."""
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        return str(v / 100.0) if rk & 0x01 else str(v)
+    # high 30 bits of an IEEE double
+    (f,) = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))
+    if rk & 0x01:
+        f /= 100.0
+    return _num_str(f)
+
+
+def _num_str(f: float) -> str:
+    """IEEE doubles render as str(float) — '3.0', '3.5' — matching the
+    xlsx writer's str() for float cells (round-trip parity pinned)."""
+    return str(f)
+
+
+def read_xls_table(
+    path_or_file, sheet: int | str = 0
+) -> tuple[list[str], list[list[str | None]]]:
+    """(headers, data_rows) of the sheet, every value a raw string —
+    the exact contract of :func:`.xlsx.read_xlsx_table`, so the Excel
+    shims dispatch on format and nothing downstream changes."""
+    if isinstance(path_or_file, (str, bytes)) and not isinstance(
+        path_or_file, bytes
+    ):
+        with open(path_or_file, "rb") as f:
+            data = f.read()
+    elif isinstance(path_or_file, bytes):
+        data = path_or_file
+    else:
+        data = path_or_file.read()
+
+    streams = _cfb_streams(data)
+    wb = streams.get("Workbook", streams.get("Book"))
+    if wb is None:
+        raise ValueError(
+            f"no Workbook stream in compound file (have {sorted(streams)})"
+        )
+
+    # --- workbook globals: version check, sheet registry, SST ---
+    sheets: list[tuple[str, int]] = []  # (name, stream offset of sheet BOF)
+    sst: list[str] = []
+    it = _records(wb)
+    op, payload, _ = next(it, (None, b"", 0))
+    if op != _BOF or len(payload) < 4:
+        raise ValueError("Workbook stream does not start with BOF")
+    vers, dt = struct.unpack("<HH", payload[:4])
+    if vers != 0x0600:
+        raise ValueError(
+            f"only BIFF8 is supported (BOF version 0x{vers:04x}; "
+            "re-save older workbooks or export CSV)"
+        )
+    if dt != 0x0005:
+        raise ValueError("first substream is not workbook globals")
+    pending_sst: list[bytes] | None = None
+    for op, payload, off in it:
+        if pending_sst is not None and op == _CONTINUE:
+            pending_sst.append(payload)
+            continue
+        if pending_sst is not None:
+            sst = _parse_sst(pending_sst)
+            pending_sst = None
+        if op == _BOUNDSHEET:
+            (pos,) = struct.unpack("<I", payload[:4])
+            sheets.append((_short_string(payload, 6), pos))
+        elif op == _SST:
+            pending_sst = [payload]
+        elif op == _EOF:
+            break
+    if pending_sst is not None:
+        sst = _parse_sst(pending_sst)
+
+    if not sheets:
+        raise ValueError("workbook declares no sheets")
+    if isinstance(sheet, int):
+        if not 0 <= sheet < len(sheets):
+            raise ValueError(
+                f"sheet index {sheet} out of range ({len(sheets)} sheets)"
+            )
+        target = sheets[sheet][1]
+    else:
+        by_name = dict(sheets)
+        if sheet not in by_name:
+            raise ValueError(
+                f"sheet {sheet!r} not found; have {sorted(by_name)}"
+            )
+        target = by_name[sheet]
+
+    # --- sheet substream: cell records into a sparse grid ---
+    cells: dict[tuple[int, int], str | None] = {}
+    sheet_it = _records(wb, target)
+    op, payload, _ = next(sheet_it, (None, b"", 0))
+    if op != _BOF:
+        raise ValueError("BOUNDSHEET offset does not point at a sheet BOF")
+    last_formula_cell: tuple[int, int] | None = None
+    for op, payload, _off in sheet_it:
+        if op == _EOF:
+            break
+        if op == _LABELSST:
+            r, c, _xf, isst = struct.unpack("<HHHI", payload[:10])
+            if isst >= len(sst):
+                raise ValueError("LABELSST references past the SST")
+            cells[(r, c)] = sst[isst]
+        elif op == _NUMBER:
+            r, c, _xf = struct.unpack("<HHH", payload[:6])
+            (f,) = struct.unpack("<d", payload[6:14])
+            cells[(r, c)] = _num_str(f)
+        elif op == _RK:
+            r, c, _xf, rk = struct.unpack("<HHHI", payload[:10])
+            cells[(r, c)] = _rk_value(rk)
+        elif op == _MULRK:
+            r, c0 = struct.unpack("<HH", payload[:4])
+            (c1,) = struct.unpack("<H", payload[-2:])
+            body = payload[4:-2]
+            if len(body) != 6 * (c1 - c0 + 1):
+                raise ValueError("MULRK column span disagrees with payload")
+            for k in range(c1 - c0 + 1):
+                (rk,) = struct.unpack("<I", body[6 * k + 2 : 6 * k + 6])
+                cells[(r, c0 + k)] = _rk_value(rk)
+        elif op == _BOOLERR:
+            r, c, _xf, val, is_err = struct.unpack("<HHHBB", payload[:8])
+            cells[(r, c)] = None if is_err else ("TRUE" if val else "FALSE")
+        elif op == _LABEL:
+            r, c, _xf = struct.unpack("<HHH", payload[:6])
+            cells[(r, c)] = _inline_string(payload, 6)
+        elif op == _FORMULA:
+            r, c, _xf = struct.unpack("<HHH", payload[:6])
+            result = payload[6:14]
+            if result[6:8] == b"\xff\xff":
+                if result[0] == 0x00:  # string result: next STRING record
+                    last_formula_cell = (r, c)
+                elif result[0] == 0x01:  # boolean result
+                    cells[(r, c)] = "TRUE" if result[2] else "FALSE"
+                else:  # error / blank result
+                    cells[(r, c)] = None
+            else:
+                (f,) = struct.unpack("<d", result)
+                cells[(r, c)] = _num_str(f)
+        elif op == _STRING and last_formula_cell is not None:
+            cells[last_formula_cell] = _inline_string(payload, 0)
+            last_formula_cell = None
+        # DIMENSIONS / ROW / BLANK / MULBLANK / formatting: no values
+
+    if not cells:
+        return [], []
+    n_rows = max(r for r, _ in cells) + 1
+    n_cols = max(c for _, c in cells) + 1
+    grid: list[list[str | None]] = [
+        [cells.get((r, c)) for c in range(n_cols)] for r in range(n_rows)
+    ]
+    headers = [
+        h if h is not None else f"col_{i}" for i, h in enumerate(grid[0])
+    ]
+    return headers, grid[1:]
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (tests/fixtures only — real CFB + real BIFF8 so the
+# reader's full path, including miniFAT and SST CONTINUE splits, runs
+# in-container)
+# ---------------------------------------------------------------------------
+
+
+def _write_string(cch_chars: str) -> bytes:
+    """XLUnicodeRichExtendedString: compressed when all chars fit in
+    latin-1, UTF-16 otherwise."""
+    try:
+        raw = cch_chars.encode("latin-1")
+        grbit = 0x00
+    except UnicodeEncodeError:
+        raw = cch_chars.encode("utf-16-le")
+        grbit = 0x01
+    return struct.pack("<HB", len(cch_chars), grbit) + raw
+
+
+def _sst_records(strings: list[str]) -> bytes:
+    """SST + CONTINUE records, split at string boundaries (a string
+    longer than a record still splits mid-string with the re-emitted
+    flags byte, exercising the reader's hard path)."""
+    chunks: list[bytearray] = [bytearray(struct.pack("<II", len(strings), len(strings)))]
+
+    def room() -> int:
+        return _MAX_RECORD - len(chunks[-1])
+
+    for s in strings:
+        enc = _write_string(s)
+        if len(enc) <= room():
+            chunks[-1] += enc
+            continue
+        if room() < 9:  # not even a header + one char: start fresh
+            chunks.append(bytearray())
+        if len(enc) <= room():
+            chunks[-1] += enc
+            continue
+        # split mid-string: header + first chars here, flags byte +
+        # rest in the continuation (char-width-aligned)
+        cch, grbit = len(s), enc[2]
+        width = 2 if grbit & 0x01 else 1
+        n_first = (room() - 3) // width
+        head = struct.pack("<HB", cch, grbit) + enc[3 : 3 + n_first * width]
+        chunks[-1] += head
+        rest = enc[3 + n_first * width :]
+        while rest:
+            chunks.append(bytearray(bytes([grbit])))
+            take = min(len(rest), (_MAX_RECORD - 1) // width * width)
+            chunks[-1] += rest[:take]
+            rest = rest[take:]
+    out = bytearray()
+    for i, ch in enumerate(chunks):
+        out += struct.pack("<HH", _SST if i == 0 else _CONTINUE, len(ch))
+        out += ch
+    return bytes(out)
+
+
+def _rec(op: int, body: bytes) -> bytes:
+    return struct.pack("<HH", op, len(body)) + body
+
+
+def write_minimal_xls(
+    path: str,
+    headers: list[str],
+    rows: list[list],
+    sheet_name: str = "Sheet1",
+) -> str:
+    """Write a one-sheet BIFF8 .xls: strings via the SST, ints as RK,
+    floats as NUMBER, bools as BOOLERR, None as missing."""
+    sst_strings: list[str] = []
+    sst_idx: dict[str, int] = {}
+
+    def intern(s: str) -> int:
+        if s not in sst_idx:
+            sst_idx[s] = len(sst_strings)
+            sst_strings.append(s)
+        return sst_idx[s]
+
+    cell_recs = bytearray()
+    for rno, row in enumerate([list(headers)] + [list(r) for r in rows]):
+        for cno, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                cell_recs += _rec(
+                    _BOOLERR, struct.pack("<HHHBB", rno, cno, 15, int(v), 0)
+                )
+            elif isinstance(v, int) and -(2**29) <= v < 2**29:
+                cell_recs += _rec(
+                    _RK, struct.pack("<HHHI", rno, cno, 15, (v << 2) & 0xFFFFFFFF | 0x02)
+                )
+            elif isinstance(v, (int, float)):
+                cell_recs += _rec(
+                    _NUMBER, struct.pack("<HHH", rno, cno, 15) + struct.pack("<d", float(v))
+                )
+            else:
+                cell_recs += _rec(
+                    _LABELSST,
+                    struct.pack("<HHHI", rno, cno, 15, intern(str(v))),
+                )
+
+    sheet_sub = (
+        _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))
+        + bytes(cell_recs)
+        + _rec(_EOF, b"")
+    )
+
+    # globals with BOUNDSHEET lbPlyPos fixed up after sizing
+    name_enc = sheet_name.encode("latin-1")
+    bsheet_body_len = 4 + 2 + 1 + 1 + len(name_enc)  # pos+grbit+cch+flags+name
+    globals_len_before = (
+        4 + 16  # BOF record (4-byte header + 16-byte body)
+        + 4 + bsheet_body_len  # BOUNDSHEET
+        + len(_sst_records(sst_strings))
+        + 4  # EOF
+    )
+    boundsheet = _rec(
+        _BOUNDSHEET,
+        struct.pack("<IHBB", globals_len_before, 0, len(name_enc), 0)
+        + name_enc,
+    )
+    wb = (
+        _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0))
+        + boundsheet
+        + _sst_records(sst_strings)
+        + _rec(_EOF, b"")
+        + sheet_sub
+    )
+    with open(path, "wb") as f:
+        f.write(_cfb_container({"Workbook": wb}))
+    return path
+
+
+def _cfb_container(stream_map: dict[str, bytes]) -> bytes:
+    """Pack streams into a valid v3 compound file (512-byte sectors,
+    64-byte mini sectors, 4096 cutoff). Small streams go through the
+    mini-stream + miniFAT like real writers; large ones chain in the
+    FAT."""
+    SEC, MINI, CUTOFF = 512, 64, 4096
+
+    def pad(b: bytes, unit: int) -> bytes:
+        return b + b"\x00" * (-len(b) % unit)
+
+    # --- mini-stream assembly ---
+    mini_chunks: list[bytes] = []
+    minifat: list[int] = []
+    mini_starts: dict[str, int] = {}
+    for name, blob in stream_map.items():
+        if len(blob) >= CUTOFF:
+            continue
+        start = len(mini_chunks)
+        n = max(1, -(-len(blob) // MINI))
+        padded = pad(blob, MINI)
+        for k in range(n):
+            mini_chunks.append(padded[k * MINI : (k + 1) * MINI])
+            minifat.append(start + k + 1)
+        minifat[-1] = _ENDOFCHAIN
+        mini_starts[name] = start
+    ministream = b"".join(mini_chunks)
+
+    # --- regular sectors: [FAT][dir][miniFAT][ministream][big streams] ---
+    big: list[tuple[str, bytes]] = [
+        (n, b) for n, b in stream_map.items() if len(b) >= CUTOFF
+    ]
+    n_dir = 1
+    n_minifat_sec = -(-len(minifat) * 4 // SEC) if minifat else 0
+    n_ministream_sec = -(-len(ministream) // SEC) if ministream else 0
+    n_big = sum(-(-len(b) // SEC) for _, b in big)
+    # FAT self-reference: iterate until stable
+    n_fat = 1
+    while True:
+        total = n_fat + n_dir + n_minifat_sec + n_ministream_sec + n_big
+        need = -(-total // (SEC // 4))
+        if need == n_fat:
+            break
+        n_fat = need
+    if n_fat > 109:
+        raise ValueError("fixture CFB writer caps at 109 FAT sectors")
+
+    sectors: list[bytes] = []
+    fat: list[int] = []
+
+    def add_chain(blob: bytes) -> int:
+        start = len(sectors)
+        padded = pad(blob, SEC)
+        n = len(padded) // SEC
+        for k in range(n):
+            sectors.append(padded[k * SEC : (k + 1) * SEC])
+            fat.append(start + k + 1)
+        fat[-1] = _ENDOFCHAIN
+        return start
+
+    for _ in range(n_fat):
+        sectors.append(b"")  # placeholder, filled below
+        fat.append(_FATSECT)
+    dir_sector_id = len(sectors)
+    sectors.append(b"")  # placeholder directory
+    fat.append(_ENDOFCHAIN)
+    first_minifat_sec = add_chain(struct.pack(f"<{len(minifat)}I", *minifat)) if minifat else _ENDOFCHAIN
+    ministream_start = add_chain(ministream) if ministream else _ENDOFCHAIN
+    big_starts = {name: add_chain(blob) for name, blob in big}
+
+    # --- directory ---
+    def dirent(
+        name: str, typ: int, start: int, size: int, child: int = _NOSTREAM
+    ) -> bytes:
+        enc = name.encode("utf-16-le") + b"\x00\x00"
+        return (
+            enc.ljust(64, b"\x00")
+            + struct.pack("<H", len(enc))
+            + bytes([typ, 1])  # black
+            + struct.pack("<III", _NOSTREAM, _NOSTREAM, child)
+            + b"\x00" * 16  # CLSID
+            + b"\x00" * 4  # state bits
+            + b"\x00" * 16  # timestamps
+            + struct.pack("<I", start if size else _ENDOFCHAIN)
+            + struct.pack("<Q", size)
+        )
+
+    entries = [
+        dirent(
+            "Root Entry",
+            5,
+            ministream_start if ministream else _ENDOFCHAIN,
+            len(ministream),
+            child=1 if stream_map else _NOSTREAM,
+        )
+    ]
+    for name, blob in stream_map.items():
+        start = (
+            mini_starts[name] if len(blob) < CUTOFF else big_starts[name]
+        )
+        entries.append(dirent(name, 2, start, len(blob)))
+    dir_blob = pad(b"".join(entries), SEC)
+    if len(dir_blob) != SEC:
+        raise ValueError("fixture CFB writer caps at 4 directory entries")
+    sectors[dir_sector_id] = dir_blob
+
+    # --- FAT sectors ---
+    fat_blob = pad(
+        struct.pack(f"<{len(fat)}I", *fat), SEC
+    )
+    fat_blob = fat_blob + b"\xff" * 0
+    # pad free entries with FREESECT, not zeros
+    free = (n_fat * SEC - len(fat) * 4) // 4
+    fat_blob = struct.pack(f"<{len(fat)}I", *fat) + b"\xff\xff\xff\xff" * free
+    for k in range(n_fat):
+        sectors[k] = fat_blob[k * SEC : (k + 1) * SEC]
+
+    # --- header ---
+    difat = [k for k in range(n_fat)] + [_FREESECT] * (109 - n_fat)
+    header = (
+        _CFB_MAGIC
+        + b"\x00" * 16  # CLSID
+        + struct.pack("<HH", 0x003E, 0x0003)  # minor, major (v3)
+        + struct.pack("<H", 0xFFFE)  # little-endian
+        + struct.pack("<HH", 9, 6)  # sector shifts
+        + b"\x00" * 6
+        + struct.pack("<I", 0)  # number of directory sectors (v3: 0)
+        + struct.pack("<I", n_fat)
+        + struct.pack("<I", dir_sector_id)
+        + struct.pack("<I", 0)  # transaction signature
+        + struct.pack("<I", CUTOFF)
+        + struct.pack("<I", first_minifat_sec if minifat else _ENDOFCHAIN)
+        + struct.pack("<I", len(minifat) and n_minifat_sec)
+        + struct.pack("<I", _ENDOFCHAIN)  # first DIFAT sector
+        + struct.pack("<I", 0)  # number of DIFAT sectors
+        + struct.pack("<109I", *difat)
+    )
+    assert len(header) == 512
+    return header + b"".join(sectors)

@@ -13,8 +13,8 @@ Scope honestly bounded to what the reference's exports contain:
 shared/inline/plain strings, numbers, booleans. Style-driven dates
 come out as their raw serial-number strings (documented divergence —
 pandas would localize them; the reference sheets carry text columns).
-Legacy binary ``.xls`` is NOT parseable without an engine and still
-raises.
+Legacy binary ``.xls`` is parsed by the sibling :mod:`.xls` module
+(CFB + BIFF8, round 12) under the same (headers, rows) contract.
 
 A matching minimal writer is included for tests and fixtures — it
 emits the same part layout (shared strings included) so the reader's

@@ -126,8 +126,15 @@ def test_excel_sheet_selection_and_errors(spark, tmp_path):
         read_excel(spark, p, sheet="Missing")
     with _pytest.raises(ValueError, match="out of range"):
         read_excel(spark, p, sheet=3)
-    with _pytest.raises(NotImplementedError, match="xls"):
-        read_excel(spark, str(tmp_path / "legacy.xls"))
+    # legacy .xls goes through the BIFF8 parser (round 12), no longer
+    # a NotImplementedError boundary — full coverage in test_xls.py
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        write_minimal_xls,
+    )
+
+    p_xls = str(tmp_path / "legacy.xls")
+    write_minimal_xls(p_xls, ["K"], [["v"]], sheet_name="Export")
+    assert read_excel(spark, p_xls, sheet="Export").first().K == "v"
 
 
 def test_fact_partition_pruning_roundtrip(spark, sf_dir, tmp_path):

@@ -1,0 +1,193 @@
+"""Legacy .xls (CFB + BIFF8) reader — round 12, the last
+reference-surface gap (reference etl/order_info_etl.py:177 accepts
+``xls`` alongside ``xlsx``)."""
+
+import struct
+
+import pytest
+
+from sales_analytics_etl_sql_powerbi_spark.sources import xls
+from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+    read_xls_table,
+    write_minimal_xls,
+)
+
+
+def test_xls_roundtrip_all_cell_types(tmp_path):
+    """Strings (SST), RK ints (incl. negative and the 30-bit extremes),
+    IEEE doubles, booleans, Nones, unicode — every value back as the
+    documented raw string."""
+    headers = ["order id", "Qty", "Price", "State", "ok"]
+    rows = [
+        [1, 3, 19.5, "fl ", True],
+        [2, -4, 3.0, "Ca", False],
+        [3, None, 2.25, "ünïcødé ☃", None],
+        [4, 2**29 - 1, -1.5, "x" * 40, True],
+        [5, -(2**29), 1e300, "", False],
+    ]
+    p = str(tmp_path / "t.xls")
+    write_minimal_xls(p, headers, rows)
+    h, r = read_xls_table(p)
+    assert h == headers
+    assert r == [
+        ["1", "3", "19.5", "fl ", "TRUE"],
+        ["2", "-4", "3.0", "Ca", "FALSE"],
+        ["3", None, "2.25", "ünïcødé ☃", None],
+        ["4", str(2**29 - 1), "-1.5", "x" * 40, "TRUE"],
+        ["5", str(-(2**29)), "1e+300", "", "FALSE"],
+    ]
+
+
+def test_xls_xlsx_parity_same_table(tmp_path):
+    """The SAME table written to both containers parses identically —
+    the dispatch contract a mixed landing zone relies on."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        read_xlsx_table,
+        write_minimal_xlsx,
+    )
+
+    headers = ["A", "B", "C"]
+    rows = [[1, "x&<y>", 2.5], [7, None, 3.0], [9, "z", -1]]
+    p1 = str(tmp_path / "p.xls")
+    p2 = str(tmp_path / "p.xlsx")
+    write_minimal_xls(p1, headers, rows)
+    write_minimal_xlsx(p2, headers, rows)
+    assert read_xls_table(p1) == read_xlsx_table(p2)
+
+
+def test_xls_sst_continue_at_string_boundaries(tmp_path):
+    """An SST bigger than one record splits into CONTINUEs; every
+    string survives."""
+    rows = [[i, f"unique-string-{i}-" + "pad" * 50] for i in range(2000)]
+    p = str(tmp_path / "big.xls")
+    write_minimal_xls(p, ["id", "name"], rows)
+    h, r = read_xls_table(p)
+    assert len(r) == 2000
+    assert r[1234] == ["1234", "unique-string-1234-" + "pad" * 50]
+
+
+def test_xls_sst_mid_string_split_both_widths(tmp_path):
+    """A single string longer than one record splits MID-STRING: the
+    continuation re-leads with a flags byte, for both compressed and
+    UTF-16 character data."""
+    giant = "G" + "abcdefghij" * 1200  # 12001 chars, > 8224-byte record
+    p = str(tmp_path / "g1.xls")
+    write_minimal_xls(p, ["h"], [[giant]])
+    assert read_xls_table(p)[1][0][0] == giant
+
+    giant_u = "ünïcødé☃" * 2000
+    p2 = str(tmp_path / "g2.xls")
+    write_minimal_xls(p2, ["h"], [[giant_u]])
+    assert read_xls_table(p2)[1][0][0] == giant_u
+
+
+def test_xls_sst_cursor_spec_edges():
+    """Hand-built SST chunks for the splits the writer avoids but the
+    spec allows: character data starting exactly at a CONTINUE, and a
+    compression flip across the split."""
+    s = "hello"
+    chunk1 = struct.pack("<II", 1, 1) + struct.pack("<HB", len(s), 0)
+    chunk2 = bytes([0]) + s.encode("latin-1")
+    assert xls._parse_sst([chunk1, chunk2]) == [s]
+
+    chunk1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0) + b"abc"
+    chunk2 = bytes([1]) + "déf".encode("utf-16-le")
+    assert xls._parse_sst([chunk1, chunk2]) == ["abcdéf"]
+
+
+def test_xls_ministream_and_regular_fat_paths(tmp_path):
+    """Workbooks under the 4096-byte cutoff live in the mini-stream;
+    past it they chain in the regular FAT — both read back, across
+    the boundary."""
+    import os
+
+    for n in (2, 40, 200, 2000):
+        p = str(tmp_path / f"n{n}.xls")
+        write_minimal_xls(p, ["a", "b"], [[i, f"v{i}"] for i in range(n)])
+        _, r = read_xls_table(p)
+        assert len(r) == n and r[-1] == [str(n - 1), f"v{n-1}"]
+        assert os.path.getsize(p) % 512 == 0  # whole sectors
+
+
+def test_xls_sheet_selection(tmp_path):
+    p = str(tmp_path / "s.xls")
+    write_minimal_xls(p, ["K"], [["v"]], sheet_name="Export")
+    assert read_xls_table(p, sheet="Export")[1] == [["v"]]
+    assert read_xls_table(p, sheet=0)[1] == [["v"]]
+    with pytest.raises(ValueError, match="not found"):
+        read_xls_table(p, sheet="Missing")
+    with pytest.raises(ValueError, match="out of range"):
+        read_xls_table(p, sheet=3)
+
+
+def test_xls_reject_contract(tmp_path):
+    """Rejects rather than misparses: bad magic, truncation, missing
+    Workbook stream, non-BIFF8 versions."""
+    p = str(tmp_path / "ok.xls")
+    write_minimal_xls(p, ["a"], [[1]])
+    data = open(p, "rb").read()
+
+    with pytest.raises(ValueError, match="magic"):
+        read_xls_table(b"PK\x03\x04" + data[4:])
+    with pytest.raises(ValueError, match="magic"):
+        read_xls_table(b"")
+    # truncated container: FAT/dir sector references run off the end
+    with pytest.raises(ValueError):
+        read_xls_table(data[:600])
+    # BIFF5 BOF version must reject, not misparse
+    wb_magic = struct.pack("<HH", 0x0809, 16) + struct.pack("<H", 0x0600)
+    assert wb_magic[:6] in data
+    biff5 = data.replace(
+        struct.pack("<HH", 0x0809, 16) + struct.pack("<H", 0x0600),
+        struct.pack("<HH", 0x0809, 16) + struct.pack("<H", 0x0500),
+        1,
+    )
+    with pytest.raises(ValueError, match="BIFF8"):
+        read_xls_table(biff5)
+
+
+def test_xls_through_read_excel_and_dispatch(spark, tmp_path):
+    """The driver-side shim and the extension dispatch route .xls
+    through the BIFF8 parser with normalized headers — same contract
+    as .xlsx."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+        read_excel,
+        read_input,
+    )
+
+    p = str(tmp_path / "orders.xls")
+    write_minimal_xls(
+        p,
+        ["Order No", "goodsNumber", "Notes"],
+        [["A1", 3, "first & <escaped>"], ["A2", 4.5, None]],
+    )
+    df = read_excel(spark, p)
+    assert df.columns == ["Order_No", "goodsNumber", "Notes"]
+    rows = df.collect()
+    assert [r.goodsNumber for r in rows] == ["3", "4.5"]
+    assert rows[1].Notes is None
+    assert read_input(spark, p).count() == 2
+
+
+def test_xls_distributed_mixed_formats(spark, tmp_path):
+    """read_excel_distributed over a landing zone holding BOTH
+    formats: per-file magic dispatch, columns aligned by normalized
+    name, lineage column carried."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+        read_excel_distributed,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
+
+    write_minimal_xls(
+        str(tmp_path / "a.xls"), ["Order No", "Qty"], [["A1", 1], ["A2", 2]]
+    )
+    write_minimal_xlsx(
+        str(tmp_path / "b.xlsx"), ["Order No", "Qty"], [["B1", 3]]
+    )
+    df = read_excel_distributed(spark, str(tmp_path) + "/*.xls*")
+    rows = {r.Order_No: r for r in df.collect()}
+    assert set(rows) == {"A1", "A2", "B1"}
+    assert rows["B1"].Qty == "3"
+    assert rows["A2"].source_file.endswith("a.xls")
