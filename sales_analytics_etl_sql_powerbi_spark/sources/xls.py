@@ -683,12 +683,7 @@ def _cfb_container(stream_map: dict[str, bytes]) -> bytes:
         raise ValueError("fixture CFB writer caps at 4 directory entries")
     sectors[dir_sector_id] = dir_blob
 
-    # --- FAT sectors ---
-    fat_blob = pad(
-        struct.pack(f"<{len(fat)}I", *fat), SEC
-    )
-    fat_blob = fat_blob + b"\xff" * 0
-    # pad free entries with FREESECT, not zeros
+    # --- FAT sectors (unused entries are FREESECT, not zeros) ---
     free = (n_fat * SEC - len(fat) * 4) // 4
     fat_blob = struct.pack(f"<{len(fat)}I", *fat) + b"\xff\xff\xff\xff" * free
     for k in range(n_fat):
