@@ -247,12 +247,20 @@ class _ChunkCursor:
                 # conforming files — headers never split)
                 raise ValueError("SST string character split mid-char")
             raw = self.read(take * width)
+            # cch counts UTF-16 CODE UNITS; a split can land between
+            # the halves of a surrogate pair, so decode each segment
+            # leniently and fuse pairs at the end
             parts.append(
-                raw.decode("utf-16-le") if high else raw.decode("latin-1")
+                raw.decode("utf-16-le", "surrogatepass")
+                if high
+                else raw.decode("latin-1")
             )
             need -= take
         self.read(4 * n_runs + cb_ext)  # rich runs + ext data (skipped)
-        return "".join(parts)
+        joined = "".join(parts)
+        return joined.encode("utf-16-le", "surrogatepass").decode(
+            "utf-16-le", "surrogatepass"
+        )
 
     def exhausted(self) -> bool:
         try:
@@ -451,16 +459,22 @@ def read_xls_table(
 # ---------------------------------------------------------------------------
 
 
-def _write_string(cch_chars: str) -> bytes:
+def _write_string(s: str) -> bytes:
     """XLUnicodeRichExtendedString: compressed when all chars fit in
-    latin-1, UTF-16 otherwise."""
+    latin-1, UTF-16 otherwise. cch counts UTF-16 CODE UNITS (a
+    non-BMP char is TWO units) — the property test caught the
+    len(str) version under-counting astral-plane text."""
     try:
-        raw = cch_chars.encode("latin-1")
+        raw = s.encode("latin-1")
+        n_units = len(raw)
         grbit = 0x00
     except UnicodeEncodeError:
-        raw = cch_chars.encode("utf-16-le")
+        raw = s.encode("utf-16-le")
+        n_units = len(raw) // 2
         grbit = 0x01
-    return struct.pack("<HB", len(cch_chars), grbit) + raw
+    if n_units > 0xFFFF:
+        raise ValueError("cell string exceeds the BIFF8 32767-unit cap")
+    return struct.pack("<HB", n_units, grbit) + raw
 
 
 def _sst_records(strings: list[str]) -> bytes:
@@ -483,8 +497,9 @@ def _sst_records(strings: list[str]) -> bytes:
             chunks[-1] += enc
             continue
         # split mid-string: header + first chars here, flags byte +
-        # rest in the continuation (char-width-aligned)
-        cch, grbit = len(s), enc[2]
+        # rest in the continuation (code-unit-aligned)
+        (cch,) = struct.unpack("<H", enc[:2])
+        grbit = enc[2]
         width = 2 if grbit & 0x01 else 1
         n_first = (room() - 3) // width
         head = struct.pack("<HB", cch, grbit) + enc[3 : 3 + n_first * width]

@@ -24,6 +24,9 @@ def test_xls_roundtrip_all_cell_types(tmp_path):
         [3, None, 2.25, "ünïcødé ☃", None],
         [4, 2**29 - 1, -1.5, "x" * 40, True],
         [5, -(2**29), 1e300, "", False],
+        # astral-plane text: cch counts UTF-16 CODE UNITS, not chars
+        # (the hypothesis property test caught len(str) under-counting)
+        [6, 7, 0.5, "𐀀ok🎉", None],
     ]
     p = str(tmp_path / "t.xls")
     write_minimal_xls(p, headers, rows)
@@ -35,6 +38,7 @@ def test_xls_roundtrip_all_cell_types(tmp_path):
         ["3", None, "2.25", "ünïcødé ☃", None],
         ["4", str(2**29 - 1), "-1.5", "x" * 40, "TRUE"],
         ["5", str(-(2**29)), "1e+300", "", "FALSE"],
+        ["6", "7", "0.5", "𐀀ok🎉", None],
     ]
 
 
@@ -191,3 +195,61 @@ def test_xls_distributed_mixed_formats(spark, tmp_path):
     assert set(rows) == {"A1", "A2", "B1"}
     assert rows["B1"].Qty == "3"
     assert rows["A2"].source_file.endswith("a.xls")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=30),
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=12
+    )
+)
+def test_xls_roundtrip_property(tmp_path, rows):
+    """For ANY table of Nones/bools/ints/floats/unicode text (ragged
+    rows included), the write→read round trip renders every cell by
+    the documented convention: None→None, bool→TRUE/FALSE, RK-range
+    int→str(int), anything else numeric→str(float), text verbatim;
+    short rows pad with None."""
+    width = max(len(r) for r in rows)
+    headers = [f"h{i}" for i in range(width)]
+    p = str(tmp_path / "prop.xls")
+    write_minimal_xls(p, headers, rows)
+    h, got = read_xls_table(p)
+    assert h == headers
+
+    def render(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int) and -(2**29) <= v < 2**29:
+            return str(v)
+        if isinstance(v, (int, float)):
+            return str(float(v))
+        return str(v)
+
+    want = [
+        [render(v) for v in row] + [None] * (width - len(row))
+        for row in rows
+    ]
+    # a row with no cell records does not exist in a BIFF sheet, so
+    # trailing all-None rows vanish (real-Excel semantics); interior
+    # empty rows survive as all-None because later rows pin the grid
+    while want and all(v is None for v in want[-1]):
+        want.pop()
+    assert got == want
