@@ -654,3 +654,51 @@ def test_mjpeg_spark_frames_match_formula(spark):
         assert (
             r.width, r.height, r.n_frame_bytes, r.frame_checksum, r.frame_hex
         ) == want[(r.doc_id, r.frame_id)]
+
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_st.composite
+def _jpeg_blocks(draw):
+    """Random quantized blocks inside the shipped table alphabet:
+    DC in [-32, 31]; AC nonzeros in ±{1,2,3} at positions whose gaps
+    keep runs ≤ 2 (the 7-symbol AC table: EOB, (0-2 run)×(1-2 size))."""
+    n_blocks = draw(_st.integers(min_value=1, max_value=6))
+    blocks = []
+    for _ in range(n_blocks):
+        coeff = [0] * 64
+        coeff[0] = draw(_st.integers(min_value=-32, max_value=31))
+        k = 0
+        while True:
+            gap = draw(_st.integers(min_value=1, max_value=3))
+            k += gap
+            if k > 63 or not draw(_st.booleans()):
+                break
+            v = draw(_st.sampled_from([-3, -2, -1, 1, 2, 3]))
+            coeff[k] = v
+        blocks.append(coeff)
+    return blocks
+
+
+@_settings(max_examples=80, deadline=None)
+@_given(_jpeg_blocks(), _st.integers(min_value=1, max_value=4))
+def test_jpeg_entropy_coder_property(blocks, bw):
+    """For ANY blocks expressible in the shipped Huffman alphabet —
+    arbitrary DC walks, multiple ACs per block, nonzeros landing on
+    position 63 (no EOB emitted) — encode→decode returns exactly the
+    dequantized input. Exercises the coder far beyond the gate
+    formula's one-AC-per-block shapes."""
+    while len(blocks) % bw:
+        bw -= 1
+    bh = len(blocks) // bw
+    w, h = 8 * bw, 8 * bh
+    payload = multimodal.encode_jpeg(w, h, blocks)
+    W, H, nf, deq = multimodal.decode_jpeg(payload)
+    assert (W, H, nf) == (w, h, 1)
+    assert deq == [
+        [v * q for v, q in zip(blk, multimodal._JPEG_QZ)] for blk in blocks
+    ]
