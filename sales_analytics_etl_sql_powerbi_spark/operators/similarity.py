@@ -186,7 +186,7 @@ ORDER BY query_id, rn
 def shortlisted_cosine_topk(
     emb: DataFrame,
     out_dim: int = 16,
-    multiplier: int = 5,
+    multiplier: int | None = 5,
     n_queries: int = 5,
     topk: int = 10,
 ) -> DataFrame:
@@ -208,13 +208,19 @@ def shortlisted_cosine_topk(
     vectors outside the shortlist. ``multiplier`` is the recall knob,
     and it is CORPUS-SIZE-dependent: at a fixed multiplier recall
     falls as the corpus grows (measured: iso-recall shortlist ≈ √n at
-    out_dim=32) — size it with :func:`rerank_multiplier`, and verify
-    with ``scripts/recall.py --rerank`` on the actual corpus.
+    out_dim=32). ``multiplier=None`` auto-sizes from the corpus via
+    :func:`rerank_multiplier` (one parquet-metadata-cheap count()
+    job, the same convention as :func:`lsh_buckets`' auto planes);
+    verify a chosen setting with ``scripts/recall.py --rerank`` on
+    the actual corpus. The gated entry pins an EXPLICIT 5 so the
+    driver hash is corpus-size-independent.
 
     Determinism: both stages round scores to 9 dp and tie-break on
     vec_id, so the shortlist SET and the final ranking are identical
     cross-engine — the driver hash pins the whole pipeline.
     """
+    if multiplier is None:
+        multiplier = rerank_multiplier(emb.count(), topk=topk, out_dim=out_dim)
     if multiplier < 1:
         raise ValueError(f"multiplier must be >= 1, got {multiplier}")
     shortlist = rp_cosine_topk(

@@ -479,3 +479,14 @@ def test_rerank_multiplier_guidance():
         similarity.rerank_multiplier(0)
     with pytest.raises(ValueError):
         similarity.rerank_multiplier(100, target_recall=1.5)
+
+
+def test_shortlisted_auto_multiplier(spark):
+    """multiplier=None auto-sizes from the corpus (rerank_multiplier)
+    and still returns true cosines identical to an explicit call at
+    the derived value."""
+    emb, _ = emb_frame(spark, n=60)
+    auto = similarity.shortlisted_cosine_topk(emb, multiplier=None).collect()
+    m = similarity.rerank_multiplier(60, topk=10, out_dim=16)
+    explicit = similarity.shortlisted_cosine_topk(emb, multiplier=m).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
