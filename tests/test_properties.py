@@ -513,3 +513,58 @@ def test_token_budget_mix_property(spark, rows, quotas, num_buckets):
         # cumulative weight is still zero)
         want = cum[lang] <= (quotas.get(lang, 0) if lang is not None else 0)
         assert got[doc_id] == want, (doc_id, lang, w, quotas)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_duplicated_spans_property(spark, token_docs, k):
+    """For ANY small-alphabet corpus (repeats forced by a 3-token
+    alphabet) and k ∈ {2,3}: duplicated_spans equals the sequential
+    Lee-et-al reference — gram counting, ≥2 filter, coverage-gap
+    island merge, inclusive span bounds. The round-7 bug (islands
+    breaking on start positions instead of coverage) lived exactly in
+    this space."""
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = {i: toks for i, toks in enumerate(token_docs)}
+    grams: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    want = []
+    for d, toks in sorted(docs.items()):
+        pos = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] >= 2
+        ]
+        start = prev = None
+        for p in pos:
+            if start is None:
+                start = prev = p
+            elif p - prev > k:  # coverage gap: gram at prev ends prev+k-1
+                want.append((d, start, prev + k - 1, prev + k - start))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            want.append((d, start, prev + k - 1, prev + k - start))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(df, k=k, min_count=2).collect()
+    )
+    assert got == sorted(want)
