@@ -702,3 +702,58 @@ def test_jpeg_entropy_coder_property(blocks, bw):
     assert deq == [
         [v * q for v, q in zip(blk, multimodal._JPEG_QZ)] for blk in blocks
     ]
+
+
+@_st.composite
+def _y4m_stream(draw):
+    cs = draw(_st.sampled_from(["420jpeg", "420", "444", "444alpha", "mono"]))
+    if cs.startswith("420"):
+        w = 2 * draw(_st.integers(min_value=1, max_value=4))
+        h = 2 * draw(_st.integers(min_value=1, max_value=4))
+        fsz = w * h * 3 // 2
+    elif cs == "444alpha":
+        w = draw(_st.integers(min_value=1, max_value=6))
+        h = draw(_st.integers(min_value=1, max_value=6))
+        fsz = 4 * w * h
+    elif cs == "444":
+        w = draw(_st.integers(min_value=1, max_value=6))
+        h = draw(_st.integers(min_value=1, max_value=6))
+        fsz = 3 * w * h
+    else:
+        w = draw(_st.integers(min_value=1, max_value=8))
+        h = draw(_st.integers(min_value=1, max_value=8))
+        fsz = w * h
+    # frame bytes may contain ASCII 'FRAME' — the walk must not care
+    frames = draw(
+        _st.lists(
+            _st.one_of(
+                _st.binary(min_size=fsz, max_size=fsz),
+                _st.just((b"FRAME" * (fsz // 5 + 1))[:fsz]),
+            ),
+            max_size=3,
+        )
+    )
+    hdr = f"YUV4MPEG2 W{w} H{h} F30:1 C{cs}\n".encode()
+    return (
+        hdr + b"".join(b"FRAME\n" + fr for fr in frames),
+        w,
+        h,
+        cs,
+        frames,
+    )
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(_y4m_stream())
+def test_y4m_decoder_property(stream):
+    """For ANY conforming stream — every supported colorspace, frames
+    whose bytes embed the ASCII 'FRAME' marker — the parser returns
+    the exact frame list; truncating the last frame by one byte is
+    always a clean reject."""
+    payload, w, h, cs, frames = stream
+    dw, dh, fps, dcs, got = multimodal.decode_y4m(payload)
+    assert (dw, dh, fps, dcs) == (w, h, (30, 1), cs)
+    assert got == frames
+    if frames:
+        with pytest.raises(ValueError, match="truncated frame"):
+            multimodal.decode_y4m(payload[:-1])

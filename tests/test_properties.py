@@ -568,3 +568,96 @@ def test_duplicated_spans_property(spark, token_docs, k):
         for r in dedup.duplicated_spans(df, k=k, min_count=2).collect()
     )
     assert got == sorted(want)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_cut_duplicated_spans_property(spark, token_docs, k):
+    """The rewrite side: for ANY corpus, the rebuilt text is exactly
+    the tokens OUTSIDE the reference spans, space-joined, with kept/
+    cut counts consistent — no row ever dropped, fully-cut docs
+    surface as empty text."""
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = {i: toks for i, toks in enumerate(token_docs)}
+    grams: Counter = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    covered = {}
+    for d, toks in docs.items():
+        cov = set()
+        for i in range(len(toks) - k + 1):
+            if grams[tuple(toks[i : i + k])] >= 2:
+                cov.update(range(i, i + k))
+        covered[d] = cov
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_cut)
+        for r in dedup.cut_duplicated_spans(df, k=k, min_count=2).collect()
+    }
+    assert set(got) == set(docs)  # nothing dropped, fully-cut included
+    for d, toks in docs.items():
+        keep = [t for i, t in enumerate(toks) if i not in covered[d]]
+        assert got[d] == (" ".join(keep), len(keep), len(covered[d])), (
+            d,
+            toks,
+            got[d],
+        )
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="ab c", max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_signature_parity(spark, texts):
+    """The distributed MinHash signature equals a pure-Python
+    recomputation of the whole chain — lowercase/trim/split
+    tokenization, k=3 shingle sets (whole-text fallback for short
+    docs), md5→63-bit→mod-P31 hashing, and all 16 affine-permutation
+    minima. Pins the hash arithmetic the LSH bands (and therefore
+    every neardup gate) sit on."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    k = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: [r[f"m{i}"] for i in range(dedup._N_PERM)]
+        for r in dedup.minhash_signatures(df, k=k).collect()
+    }
+
+    def shingles(t):
+        toks = re.split(" +", t.strip().lower())
+        if len(toks) >= k:
+            return set(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+        return {" ".join(toks)}
+
+    for d, t in docs:
+        hs = []
+        for s in shingles(t):
+            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+            h63 = (int(hx[:8], 16) & 0x7FFFFFFF) * 4294967296 + int(hx[8:16], 16)
+            hs.append(h63 % dedup._P31)
+        want = [
+            min((h * dedup._A[i] + dedup._B[i]) % dedup._P31 for h in hs)
+            for i in range(dedup._N_PERM)
+        ]
+        assert got[d] == want, (d, t)
