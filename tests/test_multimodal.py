@@ -757,3 +757,80 @@ def test_y4m_decoder_property(stream):
     if frames:
         with pytest.raises(ValueError, match="truncated frame"):
             multimodal.decode_y4m(payload[:-1])
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(
+    _st.lists(
+        _st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=200,
+    ),
+    _st.integers(min_value=1, max_value=96000),
+)
+def test_wav_codec_property(samples, rate):
+    """For ANY mono PCM16 sample vector and sample rate, a hand-built
+    canonical RIFF/WAVE decodes to exactly those samples — and a
+    one-byte truncation rejects."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    got_rate, n_channels, got = multimodal.decode_wav(payload)
+    assert (got_rate, n_channels) == (rate, 1)
+    assert got == samples
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(payload[:-1])
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(
+    _st.integers(min_value=1, max_value=8),
+    _st.integers(min_value=1, max_value=8),
+    _st.data(),
+)
+def test_png_codec_property(w, h, data):
+    """encode_png -> decode_png is the identity on ANY truecolor pixel
+    buffer (zlib round trip + filter reconstruction), and a corrupted
+    CRC always rejects."""
+    pixels = data.draw(
+        _st.binary(min_size=3 * w * h, max_size=3 * w * h)
+    )
+    payload = multimodal.encode_png(w, h, pixels)
+    dw, dh, got = multimodal.decode_png(payload)
+    assert (dw, dh, got) == (w, h, pixels)
+    bad = bytearray(payload)
+    bad[-5] ^= 0xFF  # inside the IEND CRC
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+
+
+@_settings(max_examples=60, deadline=None)
+@_given(
+    _st.lists(
+        _st.binary(min_size=0, max_size=40).map(lambda b: b"\xff\xd8" + b),
+        min_size=1,
+        max_size=5,
+    ),
+    _st.integers(min_value=1, max_value=64),
+    _st.integers(min_value=1, max_value=64),
+)
+def test_avi_container_property(frames, w, h):
+    """The AVI container walk is codec-independent: ANY chunk bodies
+    (odd lengths exercising word padding, bodies embedding 'LIST'/
+    '00dc' fourcc bytes) round-trip exactly, and the declared-count
+    cross-check plus envelope-size check hold."""
+    payload = multimodal.encode_avi_mjpeg(w, h, frames)
+    dw, dh, got = multimodal.decode_avi_mjpeg(payload)
+    assert (dw, dh) == (w, h)
+    assert got == frames
+    with pytest.raises(ValueError, match="size does not match"):
+        multimodal.decode_avi_mjpeg(payload + b"\x00")
