@@ -1409,6 +1409,91 @@ def bpe_ids_main() -> None:
     spark.stop()
 
 
+def excel_main() -> None:
+    """Distributed many-workbook Excel ingest probe (round 12): N
+    small workbooks — half legacy .xls (CFB+BIFF8), half .xlsx
+    (zip+XML) — through read_excel_distributed's binaryFile scan with
+    per-file magic dispatch. The parallelism unit is the FILE: cost
+    should scale ~N/cores, with driver involvement limited to listing
+    plus ONE header read for the declared schema.
+
+    Usage: python scripts/stress.py --excel [n_files] [rows_per_file]
+    """
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    rows_per = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-excel")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+        read_excel_distributed,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        write_minimal_xls,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
+
+    root = tempfile.mkdtemp(prefix="excel-fleet-")
+    try:
+        t0 = time.time()
+        headers = ["Order No", "Qty", "Price", "State"]
+        for f in range(n_files):
+            rows = [
+                [f * rows_per + r, r, r + 0.5, "fl"] for r in range(rows_per)
+            ]
+            if f % 2:
+                write_minimal_xls(
+                    os.path.join(root, f"wb{f:05d}.xls"), headers, rows
+                )
+            else:
+                write_minimal_xlsx(
+                    os.path.join(root, f"wb{f:05d}.xlsx"), headers, rows
+                )
+        t_gen = time.time() - t0
+        print(f"generated {n_files} workbooks ({rows_per} rows each): {t_gen:.1f}s")
+
+        t0 = time.time()
+        df = read_excel_distributed(spark, root + "/*.xls*")
+        n = df.count()
+        t_scan = time.time() - t0
+        assert n == n_files * rows_per, (n, n_files * rows_per)
+        print(
+            f"distributed parse: {n} rows from {n_files} mixed workbooks "
+            f"in {t_scan:.1f}s ({n_files / max(t_scan, 1e-9):.0f} files/s)"
+        )
+        # per-file dispatch correctness at scale: both formats contribute
+        t0 = time.time()
+        by_ext = (
+            df.selectExpr(
+                "CASE WHEN source_file LIKE '%.xls' THEN 'xls' ELSE 'xlsx' END AS ext"
+            )
+            .groupBy("ext")
+            .count()
+            .collect()
+        )
+        print(
+            {r.ext: r["count"] for r in by_ext},
+            f"({time.time() - t0:.1f}s re-scan)",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def packing_incr_main() -> None:
     """Incremental packing END-TO-END probe (round 12): compose
     pack_sequences_incremental → assemble_examples →
@@ -2065,6 +2150,8 @@ if __name__ == "__main__":
         packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--packing-incr":
         packing_incr_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--excel":
+        excel_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
         bpe_ids_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--tokmix":
