@@ -42,6 +42,8 @@ __all__ = [
     "ann_lsh_topk_sql",
     "embedding_neardup_pairs",
     "embedding_neardup_clusters",
+    "semantic_contamination",
+    "semantic_decontaminate",
     "hyperplanes",
     "auto_n_planes",
     "train_ivf_codebook",
@@ -368,6 +370,108 @@ def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     return q.withColumn("bucket", bucket.cast("int"))
 
 
+def _expand_probes(
+    qb0: DataFrame, n_planes: int, n_probes: int
+) -> DataFrame:
+    """Multi-probe LSH expansion (query-directed, single bit flips):
+    each row additionally probes the ``n_probes - 1`` buckets reached
+    by flipping the hyperplane bits with the SMALLEST |dot| margin —
+    the planes the vector sits closest to. Shared by :func:`ann_query`
+    and :func:`semantic_contamination` so the probe arithmetic cannot
+    drift between serving and decontamination."""
+    if n_probes <= 1:
+        return qb0
+    # (|margin|, flip-mask) per plane, ascending — nearest planes first
+    margin_structs = []
+    for j, plane in enumerate(hyperplanes(n_planes)):
+        plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
+        d = F.expr(_DOT.format(a="__q", b=plane_lit))
+        margin_structs.append(
+            F.struct(F.abs(d).alias("m"), F.lit(2**j).alias("p"))
+        )
+    flips = F.slice(
+        F.transform(
+            F.array_sort(F.array(*margin_structs)), lambda s: s["p"]
+        ),
+        1,
+        n_probes - 1,
+    )
+    probes = F.concat(
+        F.array(F.col("bucket")),
+        F.transform(
+            flips, lambda p: F.col("bucket").bitwiseXOR(p).cast("int")
+        ),
+    )
+    return qb0.withColumn("bucket", F.explode(probes))
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination (beyond-reference) —
+    the SEMANTIC sibling of ``text.decontaminate``'s k-gram overlap:
+    flag every corpus vector whose cosine to ANY eval-set vector is
+    ≥ ``threshold`` (paraphrased or lightly-edited benchmark items
+    that no n-gram overlap catches). Returns (vec_id, eval_id,
+    cosine), one row per contaminated (corpus, eval) hit.
+
+    Scale shape: the corpus is bucketed once (``lsh_buckets``,
+    auto-sized planes); the eval set — benchmark-sized, thousands of
+    rows, never corpus-sized — is hashed with the SAME planes and
+    BROADCAST into a bucket equi-join, so the corpus is touched by
+    exactly one scan and no all-pairs product exists. ``n_probes``
+    raises recall with single-bit-flip multi-probe (same knob and
+    same helper as :func:`ann_query`); the residual cross-bucket miss
+    is the documented LSH contract, same as
+    :func:`embedding_neardup_pairs`.
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus_emb.count())
+    index = lsh_buckets(corpus_emb, n_planes)
+    qb = _expand_probes(
+        lsh_buckets(eval_emb, n_planes), n_planes, n_probes
+    ).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("__q").alias("__qq"),
+        F.col("__norm").alias("__qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = index.select("vec_id", "__q", "__norm", "bucket")
+    joined = F.broadcast(qb).join(cand, F.col("bucket") == F.col("qbucket"))
+    cos = F.round(
+        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
+        9,
+    )
+    return (
+        joined.select("vec_id", "eval_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_id", "eval_id"])  # multi-probe re-hits
+        .orderBy("vec_id", "eval_id")
+    )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    n_probes: int = 1,
+) -> DataFrame:
+    """The rewrite side: the corpus with every
+    :func:`semantic_contamination` hit REMOVED (one anti-join on
+    vec_id — the flag side is hit-count-sized, corpus untouched
+    otherwise). Same contract discipline as ``text.corpus_clean``:
+    drop, don't mutate."""
+    hits = semantic_contamination(
+        corpus_emb, eval_emb, threshold, n_planes, n_probes
+    ).select("vec_id")
+    return corpus_emb.join(hits, "vec_id", "left_anti")
+
+
 def ann_index(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     """Materializable LSH index: the bucketed, quantized corpus.
 
@@ -419,30 +523,7 @@ def ann_query(
             f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}] "
             "(single-bit perturbations only)"
         )
-    qb0 = lsh_buckets(queries, n_planes)
-    if n_probes > 1:
-        # (|margin|, flip-mask) per plane, ascending — nearest planes first
-        margin_structs = []
-        for j, plane in enumerate(hyperplanes(n_planes)):
-            plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
-            d = F.expr(_DOT.format(a="__q", b=plane_lit))
-            margin_structs.append(
-                F.struct(F.abs(d).alias("m"), F.lit(2**j).alias("p"))
-            )
-        flips = F.slice(
-            F.transform(
-                F.array_sort(F.array(*margin_structs)), lambda s: s["p"]
-            ),
-            1,
-            n_probes - 1,
-        )
-        probes = F.concat(
-            F.array(F.col("bucket")),
-            F.transform(
-                flips, lambda p: F.col("bucket").bitwiseXOR(p).cast("int")
-            ),
-        )
-        qb0 = qb0.withColumn("bucket", F.explode(probes))
+    qb0 = _expand_probes(lsh_buckets(queries, n_planes), n_planes, n_probes)
     qb = qb0.select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),

@@ -490,3 +490,64 @@ def test_shortlisted_auto_multiplier(spark):
     m = similarity.rerank_multiplier(60, topk=10, out_dim=16)
     explicit = similarity.shortlisted_cosine_topk(emb, multiplier=m).collect()
     assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+
+
+def test_semantic_contamination_and_decontaminate(spark):
+    """Embedding-level decontamination: a corpus vector that is a
+    near-copy of an eval item is flagged (and removed by the rewrite
+    side); unrelated vectors are untouched; multi-probe only ADDS
+    hits; plan stays a broadcast bucket equi-join."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((8, 64)).astype(np.float32)
+    corpus_vecs = list(base)
+    corpus_vecs.append(
+        base[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    )  # ~copy of eval item 0 (below)
+    corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    eval_vecs = [base[0], rng.standard_normal(64).astype(np.float32)]
+    eval_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(eval_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    hits = similarity.semantic_contamination(
+        corpus, eval_df, threshold=0.95
+    ).collect()
+    got = {(r.vec_id, r.eval_id): r.cosine for r in hits}
+    # vec 0 IS eval 0; vec 8 is its near-copy — both must flag
+    assert got[(0, 0)] == 1.0
+    assert (8, 0) in got and got[(8, 0)] > 0.99
+    assert all(v in (0, 8) for v, _ in got)
+
+    clean = similarity.semantic_decontaminate(
+        corpus, eval_df, threshold=0.95
+    )
+    kept = sorted(r.vec_id for r in clean.collect())
+    assert kept == [1, 2, 3, 4, 5, 6, 7]
+    assert clean.columns == corpus.columns  # corpus schema untouched
+
+    # multi-probe is a superset of single-probe
+    one = {
+        (r.vec_id, r.eval_id)
+        for r in similarity.semantic_contamination(
+            corpus, eval_df, threshold=0.95, n_probes=1
+        ).collect()
+    }
+    multi = {
+        (r.vec_id, r.eval_id)
+        for r in similarity.semantic_contamination(
+            corpus, eval_df, threshold=0.95, n_probes=3
+        ).collect()
+    }
+    assert one <= multi
+
+    # plan: eval side broadcast, no corpus-sized exchange beyond the scan
+    plan = (
+        similarity.semantic_contamination(corpus, eval_df, threshold=0.95)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
