@@ -661,3 +661,73 @@ def test_minhash_signature_parity(spark, texts):
             for i in range(dedup._N_PERM)
         ]
         assert got[d] == want, (d, t)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.text(alphabet="AaBb.,- Zz0", min_size=0, max_size=10),
+            ),
+            st.sampled_from(["CA", "FL", None]),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_entity_match_pairs_property(spark, rows, max_distance):
+    """For ANY name/state table (punctuation, case, NULL names, NULL
+    states): entity_match_pairs equals the sequential reference —
+    normalize, drop empty norms, block on (null-safe state, 2-char
+    norm prefix), verify with levenshtein ≤ max_distance, key_a <
+    key_b. NULL states must block TOGETHER (sentinel, not dropped)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dims
+
+    def norm(s):
+        if s is None:
+            return ""
+        t = re.sub(r"[^a-z0-9 ]", " ", s.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    recs = [(i, name, state) for i, (name, state) in enumerate(rows)]
+    want = set()
+    for i, na, sa in recs:
+        for j, nb, sb in recs:
+            if i >= j:
+                continue
+            va, vb = norm(na), norm(nb)
+            if not va or not vb:
+                continue
+            if sa != sb:  # None == None blocks together
+                continue
+            if va[:2] != vb[:2]:
+                continue
+            if lev(va, vb) <= max_distance:
+                want.add((i, j))
+
+    df = spark.createDataFrame(
+        recs, "customer_id long, customer_name string, state_code string"
+    )
+    got = {
+        (r.key_a, r.key_b)
+        for r in dims.entity_match_pairs(
+            df, max_distance=max_distance
+        ).collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
