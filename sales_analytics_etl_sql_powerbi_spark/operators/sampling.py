@@ -450,9 +450,12 @@ def token_budget_mix_sql(
         "WHEN {} = '{}' THEN {}".format(group, str(g).replace("'", "''"), int(n))
         for g, n in quotas.items()
     )
+    # empty quota map: every group falls to the ELSE arm — a bare CASE
+    # with no WHENs is a syntax error (hypothesis twin-parity find)
+    quota_expr = f"(CASE {cases} ELSE 0 END)" if cases else "0"
     return f"""
 SELECT * EXCLUDE (__tcum),
-       __tcum <= (CASE {cases} ELSE 0 END) AS in_token_budget
+       __tcum <= {quota_expr} AS in_token_budget
 FROM (
   SELECT *, cast(sum(cast({weight_expr} AS BIGINT)) OVER (
            PARTITION BY {group} ORDER BY {b} ASC, {key_expr} ASC

@@ -731,3 +731,47 @@ def test_entity_match_pairs_property(spark, rows, max_distance):
         ).collect()
     }
     assert got == want, (sorted(got - want), sorted(want - got))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", None]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=300),
+        max_size=2,
+    ),
+)
+def test_token_budget_mix_duckdb_twin_parity(spark, rows, quotas):
+    """THREE-WAY parity Spark ≡ DuckDB twin on corpora WITH NULL
+    groups and zero weights — the exact blind spot that let the
+    round-11 NULL-group scan bug pass the driver gate (whose sf
+    corpus has no NULL langs). The oracle layer itself is under test
+    here, not just the operator."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as S
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    got = {
+        r.doc_id: r.in_token_budget
+        for r in S.token_budget_mix(df, "lang", quotas, "w").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, lang VARCHAR, w BIGINT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    sql = S.token_budget_mix_sql("SELECT * FROM docs", "lang", quotas, "w")
+    want = {
+        r[0]: bool(r[-1])
+        for r in con.execute(
+            f"SELECT doc_id, in_token_budget FROM ({sql}) q"
+        ).fetchall()
+    }
+    assert got == want
