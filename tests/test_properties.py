@@ -775,3 +775,55 @@ def test_token_budget_mix_duckdb_twin_parity(spark, rows, quotas):
         ).fetchall()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.lists(
+                st.sampled_from(["x", "yy", "zzz"]), min_size=0, max_size=9
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_pack_assemble_duckdb_twin_parity(spark, texts, budget):
+    """THREE-WAY parity for the packing family: the distributed
+    two-level scan + segment cut + example assembly must equal the
+    DuckDB single-window twins on ANY corpus (NULL/empty/whitespace
+    docs, every budget) — the oracle layer under test, same rationale
+    as the token-budget twin test."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import packing
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = packing.pack_sequences(df, budget=budget)
+    got_segs = sorted(
+        (r.doc_id, r.example_id, r.pos_in_example, r.n_seg_tokens, r.seg_text)
+        for r in segs.collect()
+    )
+    got_ex = sorted(
+        (r.example_id, r.n_tokens, r.n_docs, r.text)
+        for r in packing.assemble_examples(segs).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want_segs = sorted(
+        tuple(r)
+        for r in con.execute(packing.pack_sequences_sql(budget)).fetchall()
+    )
+    want_ex = sorted(
+        tuple(r)
+        for r in con.execute(
+            packing.assemble_examples_sql(budget)
+        ).fetchall()
+    )
+    assert got_segs == want_segs
+    assert got_ex == want_ex
