@@ -827,3 +827,60 @@ def test_pack_assemble_duckdb_twin_parity(spark, texts, budget):
     )
     assert got_segs == want_segs
     assert got_ex == want_ex
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_duplicated_spans_duckdb_twin_parity(spark, token_docs, k):
+    """THREE-WAY parity: the distributed span finder vs its DuckDB
+    list_slice/gaps-and-islands twin on small-alphabet corpora."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.duplicated_spans(df, k=k, min_count=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            dedup.duplicated_spans_sql(k=k, min_count=2)
+        ).fetchall()
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=16),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_duckdb_twin_parity(spark, texts):
+    """THREE-WAY parity: distributed MinHash signatures vs the DuckDB
+    twin (independent shingling + the same md5→63-bit→P31 chain)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup.minhash_signatures(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(dedup.minhash_signatures_sql()).fetchall()
+    )
+    assert got == want
