@@ -884,3 +884,46 @@ def test_minhash_duckdb_twin_parity(spark, texts):
         tuple(r) for r in con.execute(dedup.minhash_signatures_sql()).fetchall()
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["t", "uu", "vvv"]), min_size=0, max_size=20
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_duckdb_twin_parity(spark, texts, chunk_size, overlap):
+    """THREE-WAY parity for overlapping-window chunking at ANY
+    (chunk_size, overlap < chunk_size) and corpora with NULL/empty
+    docs — window start arithmetic is exactly the off-by-one habitat."""
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in T.chunk_documents(
+            df, chunk_size=chunk_size, overlap=overlap
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            T.chunk_documents_sql(chunk_size=chunk_size, overlap=overlap)
+        ).fetchall()
+    )
+    assert got == want
