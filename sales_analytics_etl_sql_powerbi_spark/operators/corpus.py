@@ -1,0 +1,134 @@
+"""End-to-end training-corpus construction (round 12,
+beyond-reference): the ONE composed pipeline a pre-training data
+job actually runs, built entirely from the oracle-green operators in
+this package — quality gate → benchmark decontamination → exact dedup
+→ near-dup collapse → per-language token-budget mixing → sequence
+packing → example assembly → deterministic shard assignment.
+
+``text.corpus_clean`` is the SUMMARY twin of the front half (it
+returns per-lang counts and is the driver-gated entry);
+:func:`build_training_corpus` MATERIALIZES the surviving corpus and
+carries it through to trainer-ready examples. Every stage is the
+already-tested operator — this module adds composition, stage
+accounting, and nothing else, so a hash-green stage stays hash-green
+here.
+
+Scale shape: each stage is one of the audited plans (hash-aggregate
+dedup, band-join near-dup, broadcast-shingle decontamination, bucketed
+per-group prefix scan, two-level packing scan). The composition adds
+NO new shuffles — stages hand each other doc-id keyed frames, and the
+kept-id sets are semi-joined back exactly once per stage. Determinism:
+every selection is content-addressed (md5 families), so reruns,
+retries, and repartitioning reproduce the same corpus byte for byte
+(the shard writer's reproducibility hash asserts it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, keep_canonical
+from .packing import assemble_examples, pack_sequences
+from .sampling import token_budget_mix, training_shards
+from .text import (
+    DEFAULT_STOPWORDS,
+    decontaminate,
+    quality_filter,
+    tokens_expr,
+)
+
+__all__ = ["build_training_corpus"]
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    *,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    benchmark: DataFrame | None = None,
+    k: int = 3,
+    min_overlap: int = 2,
+    neardup: bool = True,
+    neardup_threshold: float = 0.8,
+    token_quotas: dict[str, int] | None = None,
+    group: str = "lang",
+    budget: int = 512,
+    n_shards: int | None = None,
+) -> dict[str, DataFrame]:
+    """Compose the full corpus-construction pipeline and return every
+    stage as a DataFrame (lazy — callers materialize what they need):
+
+    - ``docs``: the SURVIVING corpus rows after quality gate,
+      optional benchmark decontamination, exact dedup (canonical =
+      min doc_id per content hash), optional near-dup collapse, and
+      optional per-``group`` token-budget mixing;
+    - ``examples``: trainer-ready packed examples
+      (``assemble_examples(pack_sequences(surviving, budget))``),
+      plus a deterministic ``shard`` column when ``n_shards`` is set;
+    - ``stage_counts``: one tiny frame of (stage, n_docs) — the
+      audit trail a curation run records (counts are monotone
+      non-increasing; unit-pinned).
+
+    Stage order fixes the semantics the stages themselves document:
+    decontamination runs on the raw scan and intersects (identical
+    result, no recompute under the shingle branch — same argument as
+    ``text.corpus_clean``); near-dup collapse runs AFTER exact dedup
+    so byte-identical copies never occupy near-dup clusters; the
+    token budget is LAST so quotas meter what would actually be
+    packed.
+    """
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    kept = quality_filter(docs, stopwords=stopwords).select("doc_id")
+    surviving = docs.join(kept, "doc_id")
+    stages.append(("quality", surviving))
+
+    if benchmark is not None:
+        clean_ids = (
+            decontaminate(docs, benchmark, k, min_overlap)
+            .where(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        surviving = surviving.join(clean_ids, "doc_id")
+        stages.append(("decontaminated", surviving))
+
+    canonical = exact_dedup(surviving).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    surviving = surviving.join(canonical, "doc_id")
+    stages.append(("exact_dedup", surviving))
+
+    if neardup:
+        surviving = keep_canonical(
+            surviving, k=k, threshold=neardup_threshold
+        )
+        stages.append(("neardup", surviving))
+
+    if token_quotas is not None:
+        surviving = (
+            token_budget_mix(
+                surviving.withColumn(
+                    "__n_tok", F.size(tokens_expr("text")).cast("long")
+                ),
+                group,
+                token_quotas,
+                "__n_tok",
+            )
+            .where(F.col("in_token_budget"))
+            .drop("__n_tok", "in_token_budget")
+        )
+        stages.append(("token_budget", surviving))
+
+    examples = assemble_examples(pack_sequences(surviving, budget=budget))
+    if n_shards is not None:
+        examples = training_shards(examples, n_shards, key="example_id")
+
+    counts = None
+    for name, frame in stages:
+        row = frame.select(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+
+    return {"docs": surviving, "examples": examples, "stage_counts": counts}

@@ -1409,6 +1409,96 @@ def bpe_ids_main() -> None:
     spark.stop()
 
 
+def corpus_e2e_main() -> None:
+    """End-to-end corpus-construction probe (round 12): the composed
+    build_training_corpus pipeline — quality → decontaminate → exact
+    dedup → near-dup collapse → token-budget mix → pack → assemble →
+    shard assignment — over N synthetic docs with planted duplicates
+    and contamination, timed stage by stage (each stage's count action
+    drives everything upstream of it, so deltas approximate stage
+    cost) plus the end-to-end examples materialization.
+
+    Usage: python scripts/stress.py --corpus-e2e [n_docs]
+    """
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-corpus-e2e")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    # synthetic corpus with PLANTED structure: token streams are fully
+    # id-derived (distinct docs share zero shingles, so near-dup
+    # candidates come only from the planted pairs, as in a real mostly-
+    # unique corpus), ~1% exact dups of id−1, ~1% near dups of id−2
+    # (one extra token, jaccard ≈ 0.91), 10% quality-fail shorts, 1%
+    # contaminated with the benchmark trigram
+    primes = [7, 13, 29, 41, 53, 67, 79, 97, 113, 131]
+
+    def body(src):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}x"),
+                    ((src * p) % 999_999_937).cast("string"),
+                )
+                for j, p in enumerate(primes)
+            ],
+        )
+
+    d = F.col("id")
+    docs = spark.range(n_docs).select(
+        d.alias("doc_id"),
+        F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("fr")).alias("lang"),
+        F.when(d % 10 == 3, F.lit("x"))
+        .when(
+            d % 100 == 7,
+            F.lit("the secret benchmark answer padded with some more words here"),
+        )
+        .when(d % 100 == 1, body(d - 1))
+        .when(d % 100 == 2, F.concat_ws(" ", body(d - 2), F.lit("extraz")))
+        .otherwise(body(d))
+        .alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark answer")], "doc_id long, text string"
+    )
+    t0 = time.time()
+    out = build_training_corpus(
+        docs,
+        benchmark=bench,
+        neardup=True,
+        token_quotas={"en": 40_000_000, "fr": 10_000_000},
+        budget=2048,
+        n_shards=64,
+    )
+    counts = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
+    t_counts = time.time() - t0
+    print("stage counts:", counts, f"({t_counts:.1f}s)")
+    t0 = time.time()
+    agg = out["examples"].agg(
+        F.count(F.lit(1)), F.sum("n_tokens"), F.count_distinct("shard")
+    ).first()
+    print(
+        f"examples: {agg[0]} rows, {agg[1]} tokens, {agg[2]} shards "
+        f"({time.time() - t0:.1f}s end-to-end materialization)"
+    )
+
+
 def excel_main() -> None:
     """Distributed many-workbook Excel ingest probe (round 12): N
     small workbooks — half legacy .xls (CFB+BIFF8), half .xlsx
@@ -2152,6 +2242,8 @@ if __name__ == "__main__":
         packing_incr_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--excel":
         excel_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--corpus-e2e":
+        corpus_e2e_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
         bpe_ids_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--tokmix":

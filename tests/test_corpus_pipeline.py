@@ -1,0 +1,102 @@
+"""End-to-end training-corpus composition (operators/corpus.py)."""
+
+from pyspark.sql import functions as F
+
+from sales_analytics_etl_sql_powerbi_spark.operators.corpus import (
+    build_training_corpus,
+)
+
+
+def _docs(spark):
+    rows = [
+        # en: good docs, one exact-dup pair, one near-dup pair
+        (0, "en", "the quick brown fox jumps over the lazy dog in the warm bright morning today"),
+        (1, "en", "the quick brown fox jumps over the lazy dog in the warm bright morning today"),  # exact dup of 0
+        (2, "en", "the quick brown fox jumps over the lazy dog in the warm bright morning tonight"),  # near dup of 0 (jaccard ~0.87)
+        (3, "en", "completely different text about data pipelines and spark"),
+        # fr: a good doc and one that fails the quality gate (too short)
+        (4, "fr", "le renard brun saute par dessus le chien paresseux"),
+        (5, "fr", "x"),
+        # contaminated: contains the benchmark trigram verbatim
+        (6, "en", "here is the secret benchmark question answer text padding words"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_build_training_corpus_end_to_end(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question answer")],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        _docs(spark),
+        benchmark=bench,
+        budget=8,
+        token_quotas={"en": 100, "fr": 100},
+        n_shards=2,
+    )
+    kept = sorted(r.doc_id for r in out["docs"].collect())
+    # 1 drops (exact dup), 2 drops (near dup), 5 drops (quality),
+    # 6 drops (contaminated) -> 0, 3, 4 survive
+    assert kept == [0, 3, 4]
+
+    counts = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
+    assert counts["input"] == 7
+    # monotone non-increasing through the stages
+    order = ["input", "quality", "decontaminated", "exact_dedup", "neardup", "token_budget"]
+    vals = [counts[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["token_budget"] == 3
+
+    ex = out["examples"].collect()
+    total_tokens = sum(r.n_tokens for r in ex)
+    want_tokens = sum(
+        len(t.split())
+        for t in [r.text for r in out["docs"].collect()]
+    )
+    assert total_tokens == want_tokens
+    # every example except the last is exactly full
+    sizes = [r.n_tokens for r in sorted(ex, key=lambda r: r.example_id)]
+    assert all(s == 8 for s in sizes[:-1]) and 0 < sizes[-1] <= 8
+    assert all(r.shard in (0, 1) for r in ex)
+
+    # determinism: a second build reproduces the corpus exactly
+    out2 = build_training_corpus(
+        _docs(spark),
+        benchmark=bench,
+        budget=8,
+        token_quotas={"en": 100, "fr": 100},
+        n_shards=2,
+    )
+    assert sorted(map(tuple, out["examples"].drop("__ord").collect())) == sorted(
+        map(tuple, out2["examples"].drop("__ord").collect())
+    )
+
+
+def test_build_training_corpus_quota_meters_packed_tokens(spark):
+    """The budget stage is LAST: quotas meter what gets packed, and a
+    tight quota caps the packed token count at the quota boundary."""
+    docs = _docs(spark)
+    out = build_training_corpus(
+        docs, budget=8, token_quotas={"en": 12, "fr": 100}
+    )
+    kept = out["docs"].withColumn(
+        "n", F.size(F.split(F.trim("text"), " +"))
+    )
+    en_tokens = (
+        kept.where(F.col("lang") == "en").agg(F.sum("n")).first()[0] or 0
+    )
+    assert en_tokens <= 12
+    # fr survivor is untouched by the en quota
+    assert kept.where(F.col("lang") == "fr").count() == 1
+
+
+def test_build_training_corpus_minimal_knobs(spark):
+    """No benchmark, no quotas, no shards, no near-dup: quality gate +
+    exact dedup only — and the stage list shrinks accordingly."""
+    out = build_training_corpus(_docs(spark), neardup=False, budget=16)
+    stages = {r.stage for r in out["stage_counts"].collect()}
+    assert stages == {"input", "quality", "exact_dedup"}
+    assert "shard" not in out["examples"].columns
+    kept = sorted(r.doc_id for r in out["docs"].collect())
+    assert kept == [0, 2, 3, 4, 6]  # near-dup 2 and contaminated 6 stay
