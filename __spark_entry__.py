@@ -1061,11 +1061,12 @@ _RP_DIM = 32
 #: exactness, not recall); there is NO knee — measured end-to-end
 #: recall@10 at out_dim=32 climbs roughly linearly in the multiplier
 #: (0.290/0.535/0.750 at mult 2/5/10 on 500 vectors; 0.245/0.395/
-#: 0.535 on 2000) and FALLS with corpus size at fixed multiplier.
-#: Iso-recall shortlist size grew ≈√n on this corpus (recall 0.535 at
-#: 50-of-500 and 100-of-2000) — see similarity.rerank_multiplier for
-#: the corpus-aware sizing rule and PLAN_AUDIT round 12 for the full
-#: probe table (scripts/recall.py --rerank).
+#: 0.535 on 2000, 0.275 on 20000) and FALLS with corpus size at a
+#: fixed multiplier. Iso-recall shortlist size grew ≈√n from 500→2000
+#: but steepened to ≈n^0.7 by 20000 (hash-random inflation) — see
+#: similarity.rerank_multiplier for the corpus-aware sizing rule and
+#: PLAN_AUDIT round 12 for the full probe table
+#: (scripts/recall.py --rerank).
 _RERANK_MULT = 5
 
 

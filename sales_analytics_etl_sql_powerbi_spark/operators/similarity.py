@@ -303,26 +303,33 @@ def rerank_multiplier(
 
     Measured on the synthetic near-uniform corpus (the documented JL
     WORST case — real embedding corpora cluster, so these are
-    conservative), out_dim=32, recall@10 end-to-end vs brute force:
+    conservative), out_dim=32, recall@10 end-to-end vs brute force
+    (the 20000-vector row uses ``--rerank``'s hash-random corpus
+    inflation; mult 32/63 shown in the m20/m40 columns):
 
-    ========  ======  ======  ======  ======  ======
-    corpus n  mult 2  mult 5  mult 10 mult 20 mult 40
-    ========  ======  ======  ======  ======  ======
-    500       0.290   0.535   0.750   —       —
-    2000      0.245   0.395   0.535   0.720   0.815
-    ========  ======  ======  ======  ======  ======
+    ========  =====  =====  =====  ==========  ==========
+    corpus n  m=2    m=5    m=10   m=20 (32)   m=40 (63)
+    ========  =====  =====  =====  ==========  ==========
+    500       0.290  0.535  0.750  —           —
+    2000      0.245  0.395  0.535  0.720       0.815
+    20000     —      —      0.275  0.460       0.595
+    ========  =====  =====  =====  ==========  ==========
 
-    Iso-recall shortlist size grows ≈√n here: recall 0.535 needs 50
-    of 500 but 100 of 2000; recall ~0.75 needs 100 of 500 and ~200 of
-    2000 (measured 0.720). So the rule is anchored at the measured
-    (n=500, mult=10) → 0.75 point and scaled by √(n/500), with a
-    linear recall adjustment around the anchor (recall responded
-    roughly linearly to multiplier in the measured range). At
-    out_dim=16 the measured growth was STEEPER than √n (~n^0.75) —
-    prefer widening out_dim over inflating the multiplier; the
-    exponent is extrapolated beyond the measured 500–2000 range, so
-    re-run the probe on the actual corpus before trusting a 100-TB
-    setting.
+    Iso-recall shortlist growth is ≈√n in the small range (recall
+    0.535 at 50-of-500 and 100-of-2000) but STEEPENS with n: tracing
+    the 0.75 contour across all three sizes (100 → ~200 → ~1300
+    extrapolated from 0.595 at 630) gives ≈ n^0.7, and out_dim=16's
+    contours land at the same ~0.7 slope from 2000→20000. The rule
+    therefore anchors at the measured (n=500, mult=10) → 0.75 point
+    and scales by (n/500)^0.7 — the LARGE-n exponent, so the small
+    range is slightly over-provisioned rather than the big one
+    starved — with a linear recall adjustment around the anchor
+    (recall responded roughly linearly to multiplier in range). At
+    out_dim=16 growth was steeper at every size (~n^0.75 measured
+    500→2000) — prefer widening out_dim over inflating the
+    multiplier. The exponent beyond 20000 is extrapolation: re-run
+    ``scripts/recall.py --rerank [sf] [nq] [topk] [mults] [inflate]``
+    on the actual corpus before trusting a 100-TB setting.
     """
     if corpus_n < 1 or topk < 1:
         raise ValueError("corpus_n and topk must be >= 1")
@@ -330,7 +337,7 @@ def rerank_multiplier(
         raise ValueError("target_recall must be in (0, 1]")
     # anchor: (n=500, out_dim=32, mult=10) → recall 0.75
     anchor_mult, anchor_recall, anchor_n = 10.0, 0.75, 500.0
-    exponent = 0.5 if out_dim >= 32 else 0.75
+    exponent = 0.7 if out_dim >= 32 else 0.75
     mult = (
         anchor_mult
         * (target_recall / anchor_recall)

@@ -226,7 +226,14 @@ def rerank_main() -> None:
     synthetic corpus is near-uniform random, JL's worst case.
 
     Usage: python scripts/recall.py --rerank [sf_dir] [n_queries] [topk]
-                                             [mult,mult,...]
+                                             [mult,mult,...] [inflate]
+
+    ``inflate`` > 1 unions (inflate−1) blocks of fully SYNTHETIC
+    hash-random vectors (deterministic per (vec_id, dim) — near-
+    uniform like the base corpus, no planted near-dups that would
+    bias recall up) to extend the corpus-size axis of the scaling law
+    past the sf sizes; queries stay the ORIGINAL vectors and truth is
+    brute force over the inflated corpus.
     """
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
@@ -236,6 +243,9 @@ def rerank_main() -> None:
         if len(sys.argv) > 5
         else [2, 5, 10]
     )
+    inflate = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+
+    from pyspark.sql import functions as F
 
     from sales_analytics_etl_sql_powerbi_spark.operators import similarity
     from sales_analytics_etl_sql_powerbi_spark.session import get_spark
@@ -243,7 +253,21 @@ def rerank_main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    emb = read_table(spark, sf_dir, "embeddings").persist()
+    emb = read_table(spark, sf_dir, "embeddings")
+    if inflate > 1:
+        n0 = emb.count()
+        # xxhash64-mixed per (vec_id, dim) — a plain LCG progression
+        # here puts the vectors on lattice lines and visibly distorts
+        # the recall curve (measured: out_dim=16 plateaued at 0.355)
+        synth = spark.range(n0, n0 * inflate).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), i -> cast("
+                "(xxhash64(id, i) % 10007) / 5003.0 as float))"
+            ).alias("embedding"),
+        )
+        emb = emb.select("vec_id", "embedding").unionByName(synth)
+    emb = emb.persist()
     n = emb.count()
     print(f"corpus={n} n_queries={n_queries} topk={topk} (exact dim 64)")
     t0 = time.perf_counter()
