@@ -927,3 +927,53 @@ def test_chunk_documents_duckdb_twin_parity(spark, texts, chunk_size, overlap):
         ).fetchall()
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", "xx"]),
+            st.lists(
+                st.sampled_from(
+                    ["the", "and", "le", "la", "et", "zz", "q1", ""]
+                ),
+                min_size=0,
+                max_size=12,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_langid_fingerprint_simhash_twin_parity(spark, rows):
+    """THREE-WAY parity for the remaining deterministic text twins on
+    marker-dense fuzz corpora: lang_id (argmax over marker counts with
+    the documented tie order), doc_fingerprint (sorted-distinct-token
+    md5), and the 32-bit SimHash."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    recs = [(i, lang, txt) for i, (lang, txt) in enumerate(rows)]
+    df = spark.createDataFrame(recs, "doc_id long, lang string, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", recs)
+
+    got = sorted(tuple(r) for r in T.lang_id(df).collect())
+    want = sorted(tuple(r) for r in con.execute(T.lang_id_sql()).fetchall())
+    assert got == want
+
+    got = sorted(tuple(r) for r in T.doc_fingerprint(df).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(T.DOC_FINGERPRINT_SQL).fetchall()
+    )
+    assert got == want
+
+    got = sorted(tuple(r) for r in dedup.simhash(df).collect())
+    want = sorted(
+        tuple(r) for r in con.execute(dedup.simhash_sql()).fetchall()
+    )
+    assert got == want
