@@ -1409,6 +1409,60 @@ def bpe_ids_main() -> None:
     spark.stop()
 
 
+def multimodal_main() -> None:
+    """Codec-leg throughput probe (round 12): every real codec path —
+    PPM, WAV, PNG, JPEG, Y4M, MJPEG-in-AVI — generate + decode over N
+    synthetic docs, measured as docs/s. The legs are Arrow-batched
+    mapInPandas with no shuffle, so throughput should scale ~linearly
+    with cores and the probe pins the single-box constant.
+
+    Usage: python scripts/stress.py --multimodal [n_docs]
+    """
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-multimodal")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    ).repartition(64).persist()
+    docs.count()
+
+    legs = [
+        ("ppm", lambda d: M.extract_features(
+            M.attach_binary_payload(d, media="ppm"), codec="ppm")),
+        ("wav", lambda d: M.extract_audio_features(
+            M.attach_binary_payload(d, media="wav"))),
+        ("png", lambda d: M.extract_png_features(M.attach_png_payload(d))),
+        ("jpeg", lambda d: M.extract_jpeg_features(M.attach_jpeg_payload(d))),
+        ("y4m", lambda d: M.extract_y4m_frames(
+            M.attach_binary_payload(d, media="y4m"))),
+        ("mjpeg", lambda d: M.extract_mjpeg_frames(M.attach_avi_payload(d))),
+    ]
+    for name, fn in legs:
+        t0 = time.time()
+        n = fn(docs).count()
+        dt = time.time() - t0
+        print(
+            f"{name:6s}: {n} rows from {n_docs} docs in {dt:.1f}s "
+            f"({n_docs / max(dt, 1e-9):.0f} docs/s)"
+        )
+
+
 def corpus_e2e_main() -> None:
     """End-to-end corpus-construction probe (round 12): the composed
     build_training_corpus pipeline — quality → decontaminate → exact
@@ -2244,6 +2298,8 @@ if __name__ == "__main__":
         excel_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--corpus-e2e":
         corpus_e2e_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--multimodal":
+        multimodal_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-ids":
         bpe_ids_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--tokmix":
