@@ -977,3 +977,34 @@ def test_langid_fingerprint_simhash_twin_parity(spark, rows):
         tuple(r) for r in con.execute(dedup.simhash_sql()).fetchall()
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab the #.…-*• \n",
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_text_stats_twin_parity(spark, texts):
+    """THREE-WAY parity for text_stats on fuzz text with newlines,
+    bullets, symbols, and stopwords: every ratio is exact integer
+    counts divided in binary64, so the twins must agree BIT-FOR-BIT —
+    no tolerance."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in T.text_stats(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(T.text_stats_sql()).fetchall()
+    )
+    assert got == want
