@@ -1008,3 +1008,32 @@ def test_text_stats_twin_parity(spark, texts):
         tuple(r) for r in con.execute(T.text_stats_sql()).fetchall()
     )
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", ""]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_vocab_topk_twin_parity(spark, texts, topk):
+    """THREE-WAY parity for vocab top-k at ANY k on tiny-alphabet
+    corpora where count TIES are guaranteed — the (count desc, token
+    asc) tiebreak must produce the identical cut in both engines."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in T.vocab_topk(df, topk=topk).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = [
+        tuple(r) for r in con.execute(T.vocab_topk_sql(topk=topk)).fetchall()
+    ]
+    assert got == want
