@@ -307,14 +307,18 @@ def rerank_multiplier(
     (the 20000-vector row uses ``--rerank``'s hash-random corpus
     inflation; mult 32/63 shown in the m20/m40 columns):
 
-    ========  =====  =====  =====  ==========  ==========  =======  =======
-    corpus n  m=2    m=5    m=10   m=20 (32)   m=40 (63)   m=133    m=290
-    ========  =====  =====  =====  ==========  ==========  =======  =======
-    500       0.290  0.535  0.750  —           —           —        —
-    2000      0.245  0.395  0.535  0.720       0.815       —        —
-    20000     —      —      0.275  0.460       0.595       —        —
-    100000    —      —      —      —           0.405       0.550    0.755
-    ========  =====  =====  =====  ==========  ==========  =======  =======
+    =========  =====  =====  =====  =========  =========  ======  ======
+    corpus n   m=2    m=5    m=10   m=20/32    m=40/63    lower   rule-m
+    =========  =====  =====  =====  =========  =========  ======  ======
+    500        0.290  0.535  0.750  —          —          —       —
+    2000       0.245  0.395  0.535  0.720      0.815      —       —
+    20000      —      —      0.275  0.460      0.595      —       —
+    100000     —      —      —      —          0.405      0.550₁₃₃ 0.755₂₉₀
+    1000000    —      —      —      —          —          0.720₁₃₀₀ 0.790₂₀₄₀
+    =========  =====  =====  =====  =========  =========  ======  ======
+
+    (subscripts are the multiplier for that reading; "rule-m" is at
+    or near what this function prescribes for 0.75 at that size)
 
     Iso-recall shortlist growth is ≈√n in the small range (recall
     0.535 at 50-of-500 and 100-of-2000) but STEEPENS with n: tracing
@@ -329,13 +333,15 @@ def rerank_multiplier(
     out_dim=16 growth was steeper at every size (~n^0.75 measured
     500→2000) — prefer widening out_dim over inflating the
     multiplier. The 0.7 exponent is VALIDATED as a conservative bound
-    at 100,000 vectors: the rule prescribes mult 408 for 0.75 recall
-    there, and the measured 0.75 contour sits at ~290 (single-power
-    fit over the full 500→100k range is ≈ n^0.64) — the law meets or
-    beats target at every measured size. Note the favorable scale
+    at 100,000 AND 1,000,000 vectors: at 100k the rule prescribes
+    mult 408 for 0.75 recall and the measured contour sits at ~290;
+    at 1M it prescribes 2040 and delivers 0.790 (the contour sits at
+    ~1400; single-power fit over the full 500→1M range is ≈ n^0.65) —
+    the prescription meets or beats target at every one of five
+    measured sizes spanning 2000×. Note the favorable scale
     economics: the iso-recall shortlist FRACTION falls with n (20% of
-    500 → 2.9% of 100k for 0.75), so the two-stage design gets
-    relatively cheaper as the corpus grows. Still: re-run
+    500 → 2.9% of 100k → 2.0% of 1M for 0.75), so the two-stage
+    design gets relatively cheaper as the corpus grows. Still: re-run
     ``scripts/recall.py --rerank [sf] [nq] [topk] [mults] [inflate]``
     on the actual corpus before trusting a 100-TB setting.
     """
