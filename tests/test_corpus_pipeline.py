@@ -100,3 +100,21 @@ def test_build_training_corpus_minimal_knobs(spark):
     assert "shard" not in out["examples"].columns
     kept = sorted(r.doc_id for r in out["docs"].collect())
     assert kept == [0, 2, 3, 4, 6]  # near-dup 2 and contaminated 6 stay
+
+
+def test_build_training_corpus_plan_shape(spark):
+    """The composed plan must contain no cartesian product and no
+    broadcast-nested-loop join anywhere — every candidate generator
+    and semi-join in the chain is an equi-join."""
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question answer")],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        _docs(spark), benchmark=bench, budget=8,
+        token_quotas={"en": 100}, n_shards=2,
+    )
+    for frame in (out["docs"], out["examples"]):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
