@@ -399,7 +399,15 @@ def _expand_probes(
     by flipping the hyperplane bits with the SMALLEST |dot| margin —
     the planes the vector sits closest to. Shared by :func:`ann_query`
     and :func:`semantic_contamination` so the probe arithmetic cannot
-    drift between serving and decontamination."""
+    drift between serving and decontamination. Validates ``n_probes``
+    here (single-bit perturbations only) so every caller raises on
+    out-of-range values instead of silently under-probing via
+    ``F.slice`` clamping."""
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}] "
+            "(single-bit perturbations only)"
+        )
     if n_probes <= 1:
         return qb0
     # (|margin|, flip-mask) per plane, ascending — nearest planes first
@@ -539,11 +547,6 @@ def ann_query(
     corpus). The standard knob when an LSH index is materialized and
     rebucketing is expensive but a query batch needs better recall.
     """
-    if not 1 <= n_probes <= n_planes + 1:
-        raise ValueError(
-            f"n_probes must be in [1, n_planes + 1 = {n_planes + 1}] "
-            "(single-bit perturbations only)"
-        )
     qb0 = _expand_probes(lsh_buckets(queries, n_planes), n_planes, n_probes)
     qb = qb0.select(
         F.col("vec_id").alias("query_id"),

@@ -285,15 +285,39 @@ def _short_string(payload: bytes, off: int) -> str:
 
 
 def _inline_string(payload: bytes, off: int) -> str:
-    """XLUnicodeString (16-bit length, no rich/ext) — LABEL/STRING."""
+    """XLUnicodeRichExtendedString header (16-bit length) — LABEL and
+    FORMULA's STRING record. BIFF8 LABEL carries the rich-extended
+    layout, so the optional rcRun (2 bytes, flags 0x08) and cbExtRst
+    (4 bytes, flags 0x04) count fields must be skipped BEFORE the
+    character data — decoding them as characters would silently
+    corrupt the cell (the module's reject-don't-misparse contract).
+    The trailing formatting runs / ExtRst blobs after the characters
+    are ignored: only the text matters for the all-string table."""
     (cch,) = struct.unpack("<H", payload[off : off + 2])
-    high = payload[off + 2] & 0x01
-    raw = payload[off + 3 : off + 3 + cch * (2 if high else 1)]
+    grbit = payload[off + 2]
+    if grbit & ~0x0D:
+        raise ValueError(f"unsupported string flags 0x{grbit:02x}")
+    p = off + 3
+    if grbit & 0x08:  # fRichSt: rcRun count precedes the characters
+        p += 2
+    if grbit & 0x04:  # fExtSt: cbExtRst length precedes the characters
+        p += 4
+    high = grbit & 0x01
+    raw = payload[p : p + cch * (2 if high else 1)]
     return raw.decode("utf-16-le") if high else raw.decode("latin-1")
 
 
 def _rk_value(rk: int) -> str:
-    """Decode an RK-packed number to its string rendering."""
+    """Decode an RK-packed number to its string rendering.
+
+    Deliberate divergence from the reference's pandas/xlrd path
+    (``pd.read_excel(dtype=str)`` renders ALL .xls numerics as floats,
+    so an integer cell becomes ``"3.0"``): RK integers render as
+    ``"3"`` here, matching this engine's xlsx reader, so the SAME
+    workbook content produces the SAME table through either container
+    (the mixed-fleet dispatch contract). Downstream coercion
+    (``to_int_with_default`` / numeric strip) accepts both forms.
+    Pinned by ``test_xls.py::test_rk_integer_rendering_divergence``."""
     if rk & 0x02:  # 30-bit signed integer
         v = rk >> 2
         if v & 0x20000000:
@@ -472,7 +496,7 @@ def _write_string(s: str) -> bytes:
         raw = s.encode("utf-16-le")
         n_units = len(raw) // 2
         grbit = 0x01
-    if n_units > 0xFFFF:
+    if n_units > 32767:
         raise ValueError("cell string exceeds the BIFF8 32767-unit cap")
     return struct.pack("<HB", n_units, grbit) + raw
 

@@ -549,6 +549,20 @@ def test_semantic_contamination_and_decontaminate(spark):
     }
     assert one <= multi
 
+    # out-of-range n_probes raises (ADVICE r12: validation centralized
+    # in _expand_probes so decontam can't silently under-probe via
+    # F.slice clamping the way a typo like n_probes=100 used to)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_probes"):
+        similarity.semantic_contamination(
+            corpus, eval_df, threshold=0.95, n_planes=4, n_probes=100
+        )
+    with _pytest.raises(ValueError, match="n_probes"):
+        similarity.semantic_decontaminate(
+            corpus, eval_df, threshold=0.95, n_planes=4, n_probes=0
+        )
+
     # plan: eval side broadcast, no corpus-sized exchange beyond the scan
     plan = (
         similarity.semantic_contamination(corpus, eval_df, threshold=0.95)

@@ -253,3 +253,65 @@ def test_xls_roundtrip_property(tmp_path, rows):
     while want and all(v is None for v in want[-1]):
         want.pop()
     assert got == want
+
+
+def test_inline_string_rich_and_ext_flags():
+    """BIFF8 LABEL carries an XLUnicodeRichExtendedString: when the
+    rich (0x08) / ext (0x04) flag bits are set, the rcRun / cbExtRst
+    count fields sit BETWEEN the flags byte and the characters — they
+    must be skipped, never decoded as characters (ADVICE r12)."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        _inline_string,
+    )
+
+    text = b"hello"
+    # plain (no optional fields)
+    assert _inline_string(struct.pack("<HB", 5, 0x00) + text, 0) == "hello"
+    # rich: 2-byte rcRun before chars, 4*rcRun run bytes after
+    rich = struct.pack("<HB", 5, 0x08) + struct.pack("<H", 2) + text + b"\x00" * 8
+    assert _inline_string(rich, 0) == "hello"
+    # ext: 4-byte cbExtRst before chars, blob after
+    ext = struct.pack("<HB", 5, 0x04) + struct.pack("<I", 3) + text + b"\x00" * 3
+    assert _inline_string(ext, 0) == "hello"
+    # rich + ext together, utf-16 chars
+    u = "héllo".encode("utf-16-le")
+    both = (
+        struct.pack("<HB", 5, 0x0D)
+        + struct.pack("<H", 1)
+        + struct.pack("<I", 2)
+        + u
+        + b"\x00" * 6
+    )
+    assert _inline_string(both, 0) == "héllo"
+    # unknown flag bits reject, never misparse
+    with pytest.raises(ValueError, match="string flags"):
+        _inline_string(struct.pack("<HB", 5, 0x20) + text, 0)
+
+
+def test_rk_integer_rendering_divergence():
+    """Pinned divergence from the reference's xlrd path (ADVICE r12):
+    ``pd.read_excel(dtype=str)`` via xlrd floats ALL .xls numerics
+    ('3.0'); this engine renders RK-range integers as '3' so the same
+    workbook content reads identically through .xls and .xlsx (the
+    mixed-fleet dispatch contract — see _rk_value docstring).
+    Downstream int coercion accepts both forms."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import _rk_value
+
+    # 30-bit int, no div-100: engine says '3'; xlrd convention is '3.0'
+    assert _rk_value((3 << 2) | 0x02) == "3"
+    xlrd_convention = str(float(3))
+    assert xlrd_convention == "3.0" and xlrd_convention != _rk_value((3 << 2) | 0x02)
+    # div-100 ints and IEEE RKs are floats either way
+    assert _rk_value((350 << 2) | 0x03) == "3.5"
+
+
+def test_write_string_biff8_cap():
+    """Writer rejects >32767 UTF-16 code units (the BIFF8 cch cap) —
+    not the old 65535 guard that let out-of-spec fixtures through."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        _write_string,
+    )
+
+    _write_string("x" * 32767)  # at the cap: fine
+    with pytest.raises(ValueError, match="32767"):
+        _write_string("x" * 32768)
