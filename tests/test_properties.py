@@ -5,6 +5,7 @@ keeping runtime sane while covering arbitrary unicode/malformed input.
 """
 
 import hashlib
+import math
 import re
 
 import duckdb
@@ -1037,3 +1038,209 @@ def test_vocab_topk_twin_parity(spark, texts, topk):
         tuple(r) for r in con.execute(T.vocab_topk_sql(topk=topk)).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 13 (VERDICT r12 item 1): the three ln()-bearing quantized-score
+# twins — tfidf_terms / bm25_search / unigram_logprob — were the only
+# twins outside the parity campaign. The entry gates their scores as
+# round(score·1e6) integers; these suites fuzz BOTH the gate (quantized
+# equality, in-engine rounding) and its ROBUSTNESS: the cross-engine raw
+# delta must be orders of magnitude below the quantum, and every observed
+# score must sit far enough from a .5 quantum boundary that the delta
+# cannot flip the rounded integer. Margins/deltas accumulate into
+# _QUANTUM_OBS and test_quantum_margin_summary asserts the floors and
+# prints the measured worst case (recorded in PLAN_AUDIT r13).
+# ---------------------------------------------------------------------------
+
+_QUANTUM_OBS: dict = {"margins": [], "deltas": [], "values": 0}
+
+
+def _quantum_check(pairs):
+    """pairs: [(spark_raw, duck_raw)] of non-null doubles. Asserts the
+    per-value gate-safety invariants and accumulates observations."""
+    for s, d in pairs:
+        delta = abs(s - d) * 1e6  # in quantum widths
+        for x in (s, d):
+            scaled = x * 1e6
+            margin = abs(scaled - math.floor(scaled) - 0.5)
+            _QUANTUM_OBS["margins"].append(margin)
+            # a value this close to a .5 boundary could flip on the
+            # OTHER engine only if the cross-engine delta reached the
+            # margin; assert the strict inequality per value
+            assert margin > delta, (
+                f"score {x!r} sits {margin:.3e} quantum widths from a .5 "
+                f"boundary but engines differ by {delta:.3e} — the "
+                "round(x*1e6) gate could flip"
+            )
+        _QUANTUM_OBS["deltas"].append(delta)
+        _QUANTUM_OBS["values"] += 1
+        assert delta < 1e-3, f"raw cross-engine delta {delta:.3e} quantum widths"
+
+
+_score_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "aa", "the", ""]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(_score_texts)
+def test_tfidf_quantum_twin_parity(spark, texts):
+    """tfidf_terms vs its DuckDB twin: quantized (round·1e6, in-engine
+    rounding) values EQUAL per (doc, token); raw deltas ≪ quantum;
+    every score clear of .5 boundaries by more than the delta."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.token): (r.tfidf, r.q)
+        for r in T.tfidf_terms(df)
+        .select(
+            "doc_id",
+            "token",
+            "tfidf",
+            F.round(F.col("tfidf") * 1e6).cast("long").alias("q"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            "SELECT doc_id, token, tfidf, CAST(round(tfidf*1e6) AS BIGINT) "
+            f"FROM ({T.tfidf_terms_sql()})"
+        ).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+    _quantum_check([(got[k][0], want[k][0]) for k in got])
+
+
+@SLOW
+@given(
+    _score_texts,
+    st.lists(
+        st.sampled_from(["a", "b", "the", "zz"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_quantum_twin_parity(spark, texts, qtokens):
+    """bm25_search vs its DuckDB twin, topk wide enough to keep every
+    matching doc (no rank-cut sensitivity): quantized scores equal per
+    doc, same gate-safety floors. 'zz' never occurs — zero-match query
+    terms must not perturb the parity."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score, r.q, r.n_matched_terms)
+        for r in T.bm25_search(df, qtokens, topk=100)
+        .select(
+            "doc_id",
+            "score",
+            F.round(F.col("score") * 1e6).cast("long").alias("q"),
+            "n_matched_terms",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT doc_id, score, CAST(round(score*1e6) AS BIGINT), "
+            "n_matched_terms FROM "
+            f"({T.bm25_search_sql(qtokens, topk=100)})"
+        ).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert got[k][2] == want[k][2]
+    _quantum_check([(got[k][0], want[k][0]) for k in got])
+
+
+@SLOW
+@given(_score_texts)
+def test_unigram_quantum_twin_parity(spark, texts):
+    """unigram_logprob (self-corpus LM) vs its DuckDB twin: NULL for
+    token-less docs on BOTH sides, quantized avg_logprob equal
+    elsewhere, same gate-safety floors."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.avg_logprob, r.q, r.n_tokens)
+        for r in T.unigram_logprob(df)
+        .select(
+            "doc_id",
+            "avg_logprob",
+            F.round(F.col("avg_logprob") * 1e6).cast("long").alias("q"),
+            "n_tokens",
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT doc_id, avg_logprob, "
+            "CAST(round(avg_logprob*1e6) AS BIGINT), n_tokens "
+            f"FROM ({T.unigram_logprob_sql()})"
+        ).fetchall()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert (got[k][0] is None) == (want[k][0] is None), (k, got[k], want[k])
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert got[k][2] == want[k][2]
+    _quantum_check(
+        [
+            (got[k][0], want[k][0])
+            for k in got
+            if got[k][0] is not None and want[k][0] is not None
+        ]
+    )
+
+
+def test_quantum_margin_summary():
+    """Summary floors over every score the three suites above observed
+    (runs last in file order): worst-case boundary margin and worst
+    cross-engine delta, in quantum (1e-6) widths. The gate is robust
+    iff min(margin) ≫ max(delta); the measured values are recorded in
+    PLAN_AUDIT r13."""
+    obs = _QUANTUM_OBS
+    assert obs["values"] > 0, "quantum suites collected no scores"
+    min_margin = min(obs["margins"])
+    max_delta = max(obs["deltas"])
+    print(
+        f"\nquantum-gate fuzz: {obs['values']} scores, "
+        f"min .5-boundary margin = {min_margin:.6e} quantum widths, "
+        f"max cross-engine delta = {max_delta:.6e} quantum widths, "
+        f"headroom = {min_margin / max(max_delta, 1e-300):.3e}x"
+    )
+    assert max_delta < 1e-3
+    assert min_margin > max_delta
