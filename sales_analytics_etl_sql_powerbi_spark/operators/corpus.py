@@ -25,7 +25,7 @@ retries, and repartitioning reproduce the same corpus byte for byte
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .dedup import exact_dedup, keep_canonical
@@ -38,7 +38,7 @@ from .text import (
     tokens_expr,
 )
 
-__all__ = ["build_training_corpus"]
+__all__ = ["build_training_corpus", "observed_stage_counts"]
 
 
 def build_training_corpus(
@@ -67,7 +67,17 @@ def build_training_corpus(
       plus a deterministic ``shard`` column when ``n_shards`` is set;
     - ``stage_counts``: one tiny frame of (stage, n_docs) — the
       audit trail a curation run records (counts are monotone
-      non-increasing; unit-pinned).
+      non-increasing; unit-pinned). Materializing it RECOMPUTES every
+      stage prefix (111s at 2M docs vs 28.7s for the pipeline itself
+      — PLAN_AUDIT r12/r13); it exists as the standalone-audit
+      flavor for callers that never materialize ``examples``;
+    - ``observations``: the ZERO-EXTRA-PASS flavor (round 13 — the
+      ``quality.observed`` pattern): one ``Observation`` per stage,
+      riding the plan via ``CollectMetrics`` nodes, so the counters
+      are computed DURING whatever action the caller runs on
+      ``examples`` (or ``docs``) — no second pass, no recompute.
+      Read them with :func:`observed_stage_counts` AFTER an action;
+      equality with the recompute path is unit-pinned.
 
     Stage order fixes the semantics the stages themselves document:
     decontamination runs on the raw scan and intersects (identical
@@ -77,10 +87,27 @@ def build_training_corpus(
     token budget is LAST so quotas meter what would actually be
     packed.
     """
+    observations: dict[str, Observation] = {}
+
+    def _observed(name: str, frame: DataFrame) -> DataFrame:
+        # CollectMetrics rides the plan: the counter computes during
+        # the caller's OWN action on any downstream frame (examples /
+        # docs), costing zero extra passes. A frame re-used twice in
+        # one plan (quality_filter input + join left, keep_canonical's
+        # band self-join) still reports its cardinality ONCE — Spark
+        # deduplicates the identical CollectMetrics subplan (verified
+        # by test_corpus_observed_counts_match_recompute).
+        obs = Observation()
+        observations[name] = obs
+        return frame.observe(
+            obs, F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+
+    docs = _observed("input", docs)
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     kept = quality_filter(docs, stopwords=stopwords).select("doc_id")
-    surviving = docs.join(kept, "doc_id")
+    surviving = _observed("quality", docs.join(kept, "doc_id"))
     stages.append(("quality", surviving))
 
     if benchmark is not None:
@@ -89,18 +116,21 @@ def build_training_corpus(
             .where(~F.col("contaminated"))
             .select("doc_id")
         )
-        surviving = surviving.join(clean_ids, "doc_id")
+        surviving = _observed(
+            "decontaminated", surviving.join(clean_ids, "doc_id")
+        )
         stages.append(("decontaminated", surviving))
 
     canonical = exact_dedup(surviving).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    surviving = surviving.join(canonical, "doc_id")
+    surviving = _observed("exact_dedup", surviving.join(canonical, "doc_id"))
     stages.append(("exact_dedup", surviving))
 
     if neardup:
-        surviving = keep_canonical(
-            surviving, k=k, threshold=neardup_threshold
+        surviving = _observed(
+            "neardup",
+            keep_canonical(surviving, k=k, threshold=neardup_threshold),
         )
         stages.append(("neardup", surviving))
 
@@ -117,6 +147,7 @@ def build_training_corpus(
             .where(F.col("in_token_budget"))
             .drop("__n_tok", "in_token_budget")
         )
+        surviving = _observed("token_budget", surviving)
         stages.append(("token_budget", surviving))
 
     examples = assemble_examples(pack_sequences(surviving, budget=budget))
@@ -131,4 +162,24 @@ def build_training_corpus(
         )
         counts = row if counts is None else counts.unionByName(row)
 
-    return {"docs": surviving, "examples": examples, "stage_counts": counts}
+    return {
+        "docs": surviving,
+        "examples": examples,
+        "stage_counts": counts,
+        "observations": observations,
+    }
+
+
+def observed_stage_counts(
+    observations: dict[str, Observation],
+) -> dict[str, int]:
+    """The per-stage doc counts recorded by
+    :func:`build_training_corpus`'s riding observations — call AFTER
+    an action on ``examples`` (or ``docs``; each ``Observation.get``
+    blocks until an action covering its stage has completed). This is
+    the zero-extra-pass audit: at 2M docs the recompute flavor
+    (``stage_counts``) costs 111s of re-run stages, this one ≈0
+    (PLAN_AUDIT r13)."""
+    return {
+        name: int(obs.get["n_docs"]) for name, obs in observations.items()
+    }

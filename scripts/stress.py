@@ -1531,7 +1531,10 @@ def corpus_e2e_main() -> None:
     bench = spark.createDataFrame(
         [(0, "the secret benchmark answer")], "doc_id long, text string"
     )
-    t0 = time.time()
+    from sales_analytics_etl_sql_powerbi_spark.operators.corpus import (
+        observed_stage_counts,
+    )
+
     out = build_training_corpus(
         docs,
         benchmark=bench,
@@ -1540,17 +1543,32 @@ def corpus_e2e_main() -> None:
         budget=2048,
         n_shards=64,
     )
-    counts = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
-    t_counts = time.time() - t0
-    print("stage counts:", counts, f"({t_counts:.1f}s)")
+    # the run a real curation job performs: ONE action on examples,
+    # with the observe() counters riding it for free (round 13)
     t0 = time.time()
     agg = out["examples"].agg(
         F.count(F.lit(1)), F.sum("n_tokens"), F.count_distinct("shard")
     ).first()
+    t_e2e = time.time() - t0
+    t0 = time.time()
+    observed = observed_stage_counts(out["observations"])
+    t_obs = time.time() - t0
     print(
         f"examples: {agg[0]} rows, {agg[1]} tokens, {agg[2]} shards "
-        f"({time.time() - t0:.1f}s end-to-end materialization)"
+        f"({t_e2e:.1f}s end-to-end materialization)"
     )
+    print(
+        f"observed stage counts (rode the action, +{t_obs:.2f}s): "
+        f"{observed}"
+    )
+    # the OLD audit flavor, for the cost comparison: recomputes every
+    # stage prefix
+    t0 = time.time()
+    counts = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
+    t_counts = time.time() - t0
+    print(f"recompute stage counts ({t_counts:.1f}s): {counts}")
+    assert observed == counts, (observed, counts)
+    print("observed == recompute: OK")
 
 
 def excel_main() -> None:
