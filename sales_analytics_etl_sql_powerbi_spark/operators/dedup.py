@@ -28,6 +28,7 @@ __all__ = [
     "shingle_docs",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_cap_audit",
     "neardup_pairs",
     "neardup_clusters",
     "keep_canonical",
@@ -341,8 +342,22 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_cap_audit(audit: dict) -> dict[str, int]:
+    """The cap counters recorded by :func:`lsh_candidate_pairs`'s
+    riding observation (``audit={}`` + ``max_bucket_size``) — call
+    AFTER an action on the pairs frame (or anything downstream).
+    Returns ``{"dropped_entries": …, "oversized_buckets": …}``; zero
+    for a corpus whose buckets all fit the cap."""
+    return {k: int(v) for k, v in audit["observation"].get.items()}
+
+
 def neardup_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.0, lazy: bool = False
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.0,
+    lazy: bool = False,
+    max_bucket_size: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -375,6 +390,8 @@ def neardup_pairs(
             sets.select("doc_id", F.explode_outer("sh_set").alias("shingle"))
         ),
         _handles=handles,
+        max_bucket_size=max_bucket_size,
+        audit=audit,
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("__sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("__sh_b"))

@@ -521,3 +521,78 @@ def test_cut_duplicated_spans_removes_exactly_the_spans(spark):
         D.duplicated_spans(docs, k=1)
     with pytest.raises(ValueError):
         D.duplicated_spans(docs, min_count=1)
+
+
+def test_lsh_bucket_cap_graceful_degradation(spark):
+    """Round 13 (VERDICT r12 item 4): on a degenerate corpus (one
+    boilerplate cluster of N identical docs) the banded join is
+    quadratic in the cluster; max_bucket_size keeps each bucket's
+    smallest doc_ids, so candidate pairs fall from C(N,2) to C(cap,2)
+    and the riding audit reports exactly what was dropped."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    n, cap = 50, 10
+    boiler = "the same boilerplate template text repeated verbatim here"
+    rows = [(i, boiler) for i in range(n)]
+    # plus one genuine near-dup pair of UNIQUE docs, outside any
+    # oversized bucket — the cap must not touch its recall
+    toks = [f"u{k}" for k in range(20)]
+    rows.append((1000, " ".join(toks)))
+    rows.append((1001, " ".join(toks[:19] + ["zz"])))
+    docs = spark.createDataFrame(rows, DOCS)
+    sig = dedup.minhash_signatures(docs)
+
+    audit: dict = {}
+    capped = dedup.lsh_candidate_pairs(
+        sig, max_bucket_size=cap, audit=audit
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # cluster pairs: only among the cap smallest doc_ids
+    cluster = {(a, b) for a, b in pairs if a < 1000}
+    assert cluster == {(a, b) for a in range(cap) for b in range(cap) if a < b}
+    # the unique near-dup pair survives untouched
+    assert (1000, 1001) in pairs
+
+    counters = dedup.lsh_cap_audit(audit)
+    # every band: the identical docs share one bucket; n - cap entries
+    # dropped per band, and that bucket counted oversized once per band
+    assert counters["oversized_buckets"] == 8
+    assert counters["dropped_entries"] == 8 * (n - cap)
+
+    # cap high enough -> exact banded behavior, zero-audit
+    audit2: dict = {}
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sig).collect()
+    }
+    wide = dedup.lsh_candidate_pairs(sig, max_bucket_size=n + 10, audit=audit2)
+    assert {(r.doc_a, r.doc_b) for r in wide.collect()} == uncapped
+    assert dedup.lsh_cap_audit(audit2) == {
+        "oversized_buckets": 0,
+        "dropped_entries": 0,
+    }
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.lsh_candidate_pairs(sig, max_bucket_size=0)
+
+
+def test_neardup_pairs_bucket_cap_threads_through(spark):
+    """neardup_pairs(max_bucket_size=...) caps the candidate stage and
+    still verifies exact Jaccard on the survivors; audit rides the
+    materializing action neardup_pairs itself performs."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, boiler) for i in range(20)]
+    docs = spark.createDataFrame(rows, DOCS)
+    audit: dict = {}
+    out = dedup.neardup_pairs(
+        docs, threshold=0.5, max_bucket_size=4, audit=audit
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+    counters = dedup.lsh_cap_audit(audit)
+    assert counters["oversized_buckets"] == 8
+    assert counters["dropped_entries"] == 8 * 16
