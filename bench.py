@@ -115,6 +115,11 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         "category_rollup",
         "graph_pagerank",
         "doc_length_quantiles",
+        # codec legs (round 13 — VERDICT r12 item 6): regressions in
+        # the mapInPandas decode path now show up here, not just in
+        # CORRECTNESS wall-time; r12 probe baseline ~2-6s each
+        "multimodal_features",
+        "multimodal_frames",
     ):
         clock(name, lambda fn=raw[name]: fn(spark, sf_dir).toPandas())
 
