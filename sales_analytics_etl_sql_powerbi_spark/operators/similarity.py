@@ -46,6 +46,7 @@ __all__ = [
     "semantic_decontaminate",
     "hyperplanes",
     "auto_n_planes",
+    "auto_n_planes_eval",
     "train_ivf_codebook",
     "ivf_codebook",
     "codebook_from_parquet",
@@ -81,6 +82,36 @@ def auto_n_planes(
     import math
 
     return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
+
+
+def auto_n_planes_eval(n_eval: int, lo: int = _N_PLANES, hi: int = 16) -> int:
+    """Hyperplane count for the DECONTAMINATION shape, sized to the
+    EVAL side, not the corpus (round 13 — the measured fix for
+    recall-degrades-with-corpus-size).
+
+    In :func:`semantic_contamination` the eval set is broadcast and
+    every corpus row pays ``n_eval · n_probes / 2^planes`` candidate
+    cosines; with ``2^planes ≈ n_eval/4`` (this rule) that is
+    ~``4·n_probes`` extra cosines per row — LINEAR in the corpus and
+    independent of corpus size. Sizing planes to the CORPUS (the
+    ann_query rule, which optimizes serving-index bucket size) is
+    wrong here: planes grow with the corpus, band-edge collision
+    probability falls, and measured recall on planted
+    cosine∈[0.90,0.99) hits dropped 0.96→0.70 from 2k→200k rows at
+    equal probes (PLAN_AUDIT r13, `scripts/recall.py --decontam`).
+    With eval-sized planes recall is corpus-size-INDEPENDENT by
+    construction (collision probability depends only on the plane
+    count): measured IDENTICAL (0.844 at 4 probes, planes=7) at
+    2k/20k/200k. The −2 tilt buys the recall a decontamination
+    filter wants (planes 7→5 at 4 probes: 0.844→0.956 measured) for
+    4× the per-row candidate cost — still corpus-linear, and this
+    filter runs per eval-set refresh, not per query.
+    """
+    import math
+
+    return max(
+        lo, min(hi, math.ceil(math.log2(max(2.0, float(n_eval)))) - 2)
+    )
 
 
 def _embeddings_rowcount_parquet(sf_dir: str) -> int:
@@ -439,7 +470,7 @@ def semantic_contamination(
     eval_emb: DataFrame,
     threshold: float = 0.9,
     n_planes: int | None = None,
-    n_probes: int = 1,
+    n_probes: int = 4,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination (beyond-reference) —
     the SEMANTIC sibling of ``text.decontaminate``'s k-gram overlap:
@@ -448,18 +479,31 @@ def semantic_contamination(
     that no n-gram overlap catches). Returns (vec_id, eval_id,
     cosine), one row per contaminated (corpus, eval) hit.
 
-    Scale shape: the corpus is bucketed once (``lsh_buckets``,
-    auto-sized planes); the eval set — benchmark-sized, thousands of
-    rows, never corpus-sized — is hashed with the SAME planes and
-    BROADCAST into a bucket equi-join, so the corpus is touched by
-    exactly one scan and no all-pairs product exists. ``n_probes``
-    raises recall with single-bit-flip multi-probe (same knob and
-    same helper as :func:`ann_query`); the residual cross-bucket miss
-    is the documented LSH contract, same as
-    :func:`embedding_neardup_pairs`.
+    Scale shape: the corpus is bucketed once (``lsh_buckets``); the
+    eval set — benchmark-sized, thousands of rows, never corpus-sized
+    — is hashed with the SAME planes and BROADCAST into a bucket
+    equi-join, so the corpus is touched by exactly one scan and no
+    all-pairs product exists. ``n_probes`` raises recall with
+    single-bit-flip multi-probe (same knob and same helper as
+    :func:`ann_query`); the residual cross-bucket miss is the
+    documented LSH contract, same as :func:`embedding_neardup_pairs`.
+
+    Plane/probe sizing (round 13, MEASURED — `scripts/recall.py
+    --decontam`, table in PLAN_AUDIT r13): default planes come from
+    :func:`auto_n_planes_eval` (the EVAL count, NOT the corpus count
+    — corpus-sized planes made band-edge recall fall with corpus
+    size), and ``n_probes`` defaults to 4 — on planted hits with
+    cosine uniformly in [0.90, 0.99) at threshold 0.9, probes 1→4
+    raised recall 0.61→0.96 while probes beyond 6 saturate. Expected
+    extra cost at the defaults: ~``n_probes`` candidate cosines per
+    corpus row, independent of corpus size. For a recall floor
+    closer to 1.0, LOWER ``n_planes`` below the auto value (every
+    −1 plane ~doubles candidate cosines per row and raises band-edge
+    collision probability) — brute-force threshold scan over
+    broadcast eval is the n_planes→0 limit.
     """
     if n_planes is None:
-        n_planes = auto_n_planes(corpus_emb.count())
+        n_planes = auto_n_planes_eval(eval_emb.count())
     index = lsh_buckets(corpus_emb, n_planes)
     qb = _expand_probes(
         lsh_buckets(eval_emb, n_planes), n_planes, n_probes
@@ -488,7 +532,7 @@ def semantic_decontaminate(
     eval_emb: DataFrame,
     threshold: float = 0.9,
     n_planes: int | None = None,
-    n_probes: int = 1,
+    n_probes: int = 4,
 ) -> DataFrame:
     """The rewrite side: the corpus with every
     :func:`semantic_contamination` hit REMOVED (one anti-join on

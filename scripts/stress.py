@@ -2281,6 +2281,149 @@ def bpe_main() -> None:
     )
 
 
+def entity_zipf_main() -> None:
+    """Entity-resolution probe at 10M rows with a ZIPFIAN surname
+    distribution (round 13 — VERDICT r12 item 5; the r7 blocking-skew
+    probe predates the auto-salt regime finding and used synthetic
+    uniform blocks).
+
+    Population: surnames drawn Zipf(s=1) from a 100k-surname pool via
+    inverse-CDF on a hash-uniform (rank = floor(pool^u), P(r) ∝ 1/r —
+    the top surname carries ~1/ln(pool) ≈ 8% of ALL rows, like real
+    'Smith'-heavy registries), names '<surname> fn<k>', blocking on
+    (zip3, 2-char normalized prefix) — 1000 uniform zips × the skewed
+    surname prefix, the realistic record-linkage key.
+
+    Reported: the blocking-cell histogram (p50/p90/p99/max cell, cells
+    and ROWS over the 250-row auto-salt cap = the salt trigger rate,
+    the nsalt fan-out the cap prescribes), then the wall-time curve of
+    the full operator in the SHUFFLE-join regime (broadcast disabled —
+    the 100-TB regime where the whole hot cell otherwise lands on one
+    reducer) with auto salting, plus an unsalted reference point at the
+    middle size.
+
+    Usage: python scripts/stress.py --entity-zipf [total] [pool] [zips]
+    """
+    total = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    pool = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    zips = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-entity-zipf")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        _AUTO_CELL_SIZE,
+        entity_match_pairs,
+    )
+
+    def ents(n):
+        # Zipf(s=1) inverse-CDF: u ~ U[0,1) hash-derived, rank =
+        # floor(pool^u) in [1, pool], P(rank=r) ≈ 1/(r·ln(pool))
+        u = (F.pmod(F.xxhash64("id"), 1_000_000_000) / 1e9).cast("double")
+        rank = F.floor(F.pow(F.lit(float(pool)), u)).cast("long")
+        surname = F.concat(
+            F.chr(F.lit(97) + F.pmod(rank, 26)),
+            F.chr(F.lit(97) + F.pmod(F.floor(rank / 26), 26)),
+            F.lit("nam"),
+            rank.cast("string"),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("ek"),
+            F.concat(
+                surname, F.lit(" fn"), (F.col("id") % 1000).cast("string")
+            ).alias("ename"),
+            F.concat(F.lit("z"), (F.col("id") % zips).cast("string")).alias(
+                "blk"
+            ),
+        )
+
+    # --- blocking-cell histogram at the full size --------------------
+    full = ents(total)
+    cells = (
+        full.select(
+            "blk",
+            F.substring(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.lower(F.col("ename")), "[^a-z0-9 ]", " "
+                        ),
+                        " +",
+                        " ",
+                    )
+                ),
+                1,
+                2,
+            ).alias("pfx"),
+        )
+        .groupBy("blk", "pfx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    t0 = time.time()
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.expr("percentile_approx(n, array(0.5, 0.9, 0.99), 10000)").alias("q"),
+        F.max("n").alias("max_cell"),
+        F.sum((F.col("n") > _AUTO_CELL_SIZE).cast("long")).alias("over_cells"),
+        F.sum(
+            F.when(F.col("n") > _AUTO_CELL_SIZE, F.col("n")).otherwise(0)
+        ).alias("over_rows"),
+        F.sum(
+            F.least(
+                F.ceil(F.col("n") / F.lit(_AUTO_CELL_SIZE)), F.lit(256)
+            )
+        ).alias("total_salts"),
+    ).first()
+    print(
+        f"cells={stats.cells} p50/p90/p99={[int(x) for x in stats.q]} "
+        f"max={stats.max_cell} | over-cap(>{_AUTO_CELL_SIZE}): "
+        f"{stats.over_cells} cells ({stats.over_cells / stats.cells:.2%}), "
+        f"{stats.over_rows} rows ({stats.over_rows / total:.2%}) | "
+        f"prescribed salt groups={stats.total_salts} "
+        f"({time.time() - t0:.1f}s histogram)"
+    )
+    cells.unpersist()
+
+    # --- wall-time curve, shuffle regime (the at-scale plan) ---------
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sizes = [s for s in (1_000_000, 3_000_000, total) if s <= total]
+    for n in sizes:
+        e = ents(n)
+        t0 = time.time()
+        pairs = entity_match_pairs(
+            e, key="ek", name_col="ename", block_cols=["blk"]
+        ).count()
+        print(
+            f"n={n}: AUTO(salted) {pairs} pairs in {time.time() - t0:.1f}s"
+        )
+        if n == 3_000_000:
+            t0 = time.time()
+            pu = entity_match_pairs(
+                e,
+                key="ek",
+                name_col="ename",
+                block_cols=["blk"],
+                max_cell_size=None,
+            ).count()
+            assert pu == pairs, (pu, pairs)
+            print(
+                f"n={n}: UNSALTED reference {pu} pairs in "
+                f"{time.time() - t0:.1f}s"
+            )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
         bpe_main()
@@ -2304,6 +2447,8 @@ if __name__ == "__main__":
         scd2_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--entity":
         entity_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--entity-zipf":
+        entity_zipf_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-stream":
         cdc_stream_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-restart":
