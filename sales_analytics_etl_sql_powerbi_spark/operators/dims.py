@@ -306,17 +306,23 @@ def entity_match_pairs(
     costs are one cell-size aggregate + replicated shuffle volume for
     the oversized cells only.
 
-    ``max_cell_size="auto"`` (the default — VERDICT r7 item 4) picks
-    the regime the way Spark's planner does: if Catalyst's size
-    estimate for the blocked side is within
+    ``max_cell_size="auto"`` (the default — VERDICT r7 item 4, refined
+    r13) picks the regime the way Spark's planner does: if Catalyst's
+    size estimate for the blocked side is within
     ``autoBroadcastJoinThreshold`` the join will be a BROADCAST join —
     Spark already spreads the hot cell across the probe side's input
     partitions, salting is pure overhead (measured 2–4× WORSE in r7),
-    so the unsalted plan is used; otherwise the join shuffles, the hot
-    cell lands on one reducer, and salting engages at the probe-
-    measured cell cap (250). Pass an int to force salting at that cap,
-    ``None`` to force the unsalted plan (e.g. when an AQE runtime
-    broadcast is expected despite a large static estimate).
+    so the unsalted plan is used. Otherwise the join shuffles — and
+    auto spends ONE cheap prescan aggregate (an eager driver job at
+    construction time: cell counts → max cell + total pair work) and
+    salts at the probe-measured cap (250) only when the hottest
+    cell's C(n,2) comparisons exceed an average reducer's pair share
+    — the actual straggler condition. The 10M Zipfian-surname probe
+    (PLAN_AUDIT r13) showed the old always-salt-in-shuffle-regime
+    rule costing 1.8× on realistically-skewed data whose hottest cell
+    was 4% of a reducer share. Pass an int to force salting at that
+    cap, ``None`` to force the unsalted plan (no prescan job runs in
+    either explicit mode).
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(
@@ -349,9 +355,57 @@ def entity_match_pairs(
             )
         thr = _broadcast_threshold_bytes(dim)
         est = _plan_size_bytes(base)
-        max_cell_size = (
-            None if (thr > 0 and est <= thr) else _AUTO_CELL_SIZE
-        )
+        if thr > 0 and est <= thr:
+            # broadcast regime: Spark spreads the hot cell across the
+            # probe side's partitions already; salting measured 2-4×
+            # WORSE (r7)
+            max_cell_size = None
+        else:
+            # shuffle regime (round 13 — the 10M Zipfian probe): the
+            # row-count cap alone over-salts. At realistic skew
+            # (Zipf surnames × zip3: max cell 696 of 10M rows) the
+            # hottest cell's pair-work is ~4% of ONE reducer's share —
+            # salting there cost 1.8× (30.4s vs 17.2s at 3M) in
+            # sizes-aggregate + join overhead and bought nothing. So
+            # AUTO now spends one cheap prescan aggregate (cell-count
+            # frame → two scalars) and salts only when the hottest
+            # cell's C(n,2) comparisons exceed an average reducer's
+            # pair share — the actual straggler condition. The r7
+            # degenerate corpus (20k-row same-prefix cell = 100% of
+            # the pair work) still trips it; measured regime tables in
+            # PLAN_AUDIT r13.
+            # 5% sample keeps the prescan ~free (the FULL cell
+            # aggregate measured ~10s at 3M rows — 60% overhead when
+            # the verdict is "don't salt"). Unbiased scaling: a pair
+            # survives sampling with prob f², a cell count with f;
+            # dominance detection needs no boundary precision (cells
+            # near the cap don't dominate), and the decision only
+            # picks a plan — output is identical either way.
+            f = 0.05
+            pair_w = (F.col("__n") * (F.col("__n") - 1) / 2).cast("double")
+            stats = (
+                base.sample(fraction=f, seed=13)
+                .groupBy(*join_keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(
+                    F.max("__n").alias("mx"),
+                    F.sum(pair_w).alias("tp"),
+                )
+                .first()
+            )
+            try:
+                parts = int(
+                    base.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except (TypeError, ValueError):
+                parts = 200
+            mx = (stats.mx or 0) / f
+            total_pairs = (stats.tp or 0.0) / (f * f)
+            hot_dominates = (
+                mx > _AUTO_CELL_SIZE
+                and mx * (mx - 1) / 2 > total_pairs / max(parts, 1)
+            )
+            max_cell_size = _AUTO_CELL_SIZE if hot_dominates else None
     if max_cell_size is not None:
         if max_cell_size < 1:
             raise ValueError("max_cell_size must be >= 1")

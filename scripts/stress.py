@@ -2402,11 +2402,17 @@ def entity_zipf_main() -> None:
     for n in sizes:
         e = ents(n)
         t0 = time.time()
-        pairs = entity_match_pairs(
+        auto = entity_match_pairs(
             e, key="ek", name_col="ename", block_cols=["blk"]
-        ).count()
+        )
+        regime = (
+            "salted"
+            if "__salt" in str(auto._jdf.queryExecution().analyzed())
+            else "unsalted"
+        )
+        pairs = auto.count()
         print(
-            f"n={n}: AUTO(salted) {pairs} pairs in {time.time() - t0:.1f}s"
+            f"n={n}: AUTO({regime}) {pairs} pairs in {time.time() - t0:.1f}s"
         )
         if n == 3_000_000:
             t0 = time.time()

@@ -461,7 +461,10 @@ def test_entity_match_auto_regime_detection(spark):
         entity_match_pairs,
     )
 
-    dim = spark.range(200).select(
+    # ONE degenerate (block, prefix) cell of 600 rows: over the 250
+    # cap AND 100% of the pair work — both regime rules (r7 cap, r13
+    # hot-dominates prescan) must salt it in the shuffle regime
+    dim = spark.range(600).select(
         F.col("id").alias("customer_id"),
         F.concat(
             F.lit("zz entity "), (F.col("id") / 10).cast("int").cast("string")
@@ -492,3 +495,41 @@ def test_entity_match_auto_regime_detection(spark):
     assert got_shuffle == got_bcast and len(got_bcast) > 50
     with pytest.raises(ValueError, match="auto"):
         entity_match_pairs(dim, max_cell_size="always")
+
+
+def test_entity_match_auto_skips_salt_on_mild_skew(spark):
+    """Round 13 refinement (10M Zipfian probe): in the SHUFFLE regime,
+    auto runs a prescan and salts only when the hottest cell's pair
+    work exceeds an average reducer's share — mild skew (many small
+    cells) keeps the cheaper unsalted plan, with identical output."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    # 2000 rows spread over 100 (block, prefix) cells of 20: every
+    # cell far below the 250 cap, no dominant cell
+    dim = spark.range(2000).select(
+        F.col("id").alias("customer_id"),
+        F.concat(
+            F.chr(F.lit(97) + F.col("id") % 10),
+            F.chr(F.lit(97) + F.floor(F.col("id") / 10) % 10),
+            F.lit(" entity "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("customer_name"),
+        F.lit("HOT").alias("state_code"),
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        auto = entity_match_pairs(dim)
+        assert "__salt" not in str(auto._jdf.queryExecution().analyzed())
+        got = {(r.key_a, r.key_b) for r in auto.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    forced = {
+        (r.key_a, r.key_b)
+        for r in entity_match_pairs(dim, max_cell_size=50).collect()
+    }
+    assert got == forced and len(got) > 100
