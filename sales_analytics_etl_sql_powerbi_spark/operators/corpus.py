@@ -50,6 +50,7 @@ def build_training_corpus(
     min_overlap: int = 2,
     neardup: bool = True,
     neardup_threshold: float = 0.8,
+    neardup_max_bucket_size: int | None = None,
     token_quotas: dict[str, int] | None = None,
     group: str = "lang",
     budget: int = 512,
@@ -128,9 +129,24 @@ def build_training_corpus(
     stages.append(("exact_dedup", surviving))
 
     if neardup:
+        # neardup_max_bucket_size (round 13): the LSH candidate-blowup
+        # guard for degenerate corpora (boilerplate floods) — see
+        # dedup.lsh_candidate_pairs; its drop counters ride the same
+        # action as the stage counts
+        neardup_audit: dict = {}
         surviving = _observed(
             "neardup",
-            keep_canonical(surviving, k=k, threshold=neardup_threshold),
+            keep_canonical(
+                surviving,
+                k=k,
+                threshold=neardup_threshold,
+                max_bucket_size=neardup_max_bucket_size,
+                audit=(
+                    neardup_audit
+                    if neardup_max_bucket_size is not None
+                    else None
+                ),
+            ),
         )
         stages.append(("neardup", surviving))
 
@@ -162,12 +178,17 @@ def build_training_corpus(
         )
         counts = row if counts is None else counts.unionByName(row)
 
-    return {
+    out = {
         "docs": surviving,
         "examples": examples,
         "stage_counts": counts,
         "observations": observations,
     }
+    if neardup and neardup_max_bucket_size is not None:
+        # read with dedup.lsh_cap_audit (available immediately — the
+        # counters rode neardup_pairs' own eager materialization)
+        out["neardup_cap_audit"] = neardup_audit
+    return out
 
 
 def observed_stage_counts(

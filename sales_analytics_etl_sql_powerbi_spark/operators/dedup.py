@@ -319,6 +319,24 @@ def lsh_candidate_pairs(
         ranked = bands_df.withColumn("__rk", rank)
         if audit is not None:
             obs = Observation()
+            # AQE gotcha (found by the r13 corpus-pipeline test): when
+            # the downstream candidate JOIN turns out empty at runtime,
+            # empty-relation propagation replaces the subtree — the
+            # CollectMetrics node included — and the Observation
+            # completes with an EMPTY row, silently losing the drop
+            # counters (with cap=1 drops can be real while the join is
+            # empty). The audit therefore also carries a LAZY fallback
+            # aggregate over the pre-observe ranked frame;
+            # lsh_cap_audit runs it (one small job, re-deriving the
+            # bands) only in that empty-metrics corner.
+            audit["fallback"] = ranked.agg(
+                F.sum(
+                    (F.col("__rk") > max_bucket_size).cast("long")
+                ).alias("dropped_entries"),
+                F.sum(
+                    (F.col("__rk") == max_bucket_size + 1).cast("long")
+                ).alias("oversized_buckets"),
+            )
             ranked = ranked.observe(
                 obs,
                 F.sum(
@@ -347,8 +365,26 @@ def lsh_cap_audit(audit: dict) -> dict[str, int]:
     riding observation (``audit={}`` + ``max_bucket_size``) — call
     AFTER an action on the pairs frame (or anything downstream).
     Returns ``{"dropped_entries": …, "oversized_buckets": …}``; zero
-    for a corpus whose buckets all fit the cap."""
-    return {k: int(v) for k, v in audit["observation"].get.items()}
+    for a corpus whose buckets all fit the cap.
+
+    Robust to the AQE empty-relation corner (see the comment at the
+    observe site): an empty metrics row falls back to the lazy audit
+    aggregate — one small job, only in that corner."""
+    obs = audit["observation"]
+    empty = False
+    try:
+        # pinned pyspark (4.x): getRow() blocks until the observed
+        # dataset's first action, same as .get
+        empty = obs._jo.getRow().length() == 0
+    except Exception:
+        pass
+    if empty:
+        row = audit["fallback"].first()
+        return {
+            "dropped_entries": int(row[0] or 0),
+            "oversized_buckets": int(row[1] or 0),
+        }
+    return {k: int(v or 0) for k, v in obs.get.items()}
 
 
 def neardup_pairs(
@@ -840,6 +876,8 @@ def neardup_clusters(
     max_iters: int = 20,
     round_stats: list | None = None,
     pairs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Collapse near-duplicate docs into clusters: (doc_id, cluster_id).
 
@@ -892,7 +930,13 @@ def neardup_clusters(
     # round_stats) so a total-time regression is attributable.
     _te = _time.perf_counter()
     if pairs is None:
-        pairs = neardup_pairs(docs, k, threshold)
+        pairs = neardup_pairs(
+            docs,
+            k,
+            threshold,
+            max_bucket_size=max_bucket_size,
+            audit=audit,
+        )
     edges = pairs.select("doc_a", "doc_b")
     _edge_secs = _time.perf_counter() - _te
     log.info("neardup_clusters edge build secs=%.2f", _edge_secs)
@@ -990,6 +1034,8 @@ def keep_canonical(
     k: int = 3,
     threshold: float = 0.8,
     prefer_col: str | None = None,
+    max_bucket_size: int | None = None,
+    audit: dict | None = None,
 ) -> DataFrame:
     """Near-dup dedup END STATE: the corpus with one doc per cluster.
 
@@ -1006,8 +1052,14 @@ def keep_canonical(
     one the quality gate scored best"), at the cost of one rank
     window partitioned by cluster id (clusters are near-dup-sized,
     never corpus-sized groups).
+
+    ``max_bucket_size`` / ``audit`` thread through to
+    :func:`lsh_candidate_pairs` (round 13) — the candidate-blowup
+    guard for degenerate corpora, with the riding drop counters.
     """
-    clusters = neardup_clusters(docs, k, threshold)
+    clusters = neardup_clusters(
+        docs, k, threshold, max_bucket_size=max_bucket_size, audit=audit
+    )
     if prefer_col is None:
         keepers = clusters.where(
             F.col("doc_id") == F.col("cluster_id")

@@ -170,3 +170,52 @@ def test_corpus_observed_counts_minimal_knobs(spark):
     assert set(observed) == {"input", "quality", "exact_dedup"}
     recompute = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
     assert observed == recompute
+
+
+def test_corpus_neardup_cap_threads_through(spark):
+    """Round 13: the LSH candidate-blowup guard reaches the composed
+    pipeline — a boilerplate flood is collapsed to the capped keeper
+    set and the drop counters surface in the result."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dedup import (
+        lsh_cap_audit,
+    )
+
+    boiler = (
+        "the quick brown fox jumps over the lazy dog in the warm "
+        "bright morning today"
+    )
+    rows = [(i, "en", boiler) for i in range(30)] + [
+        (100, "en", "completely different text about data pipelines and spark"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = build_training_corpus(
+        docs, budget=16, neardup_max_bucket_size=5
+    )
+    kept = sorted(r.doc_id for r in out["docs"].collect())
+    # exact dedup already collapses the identical flood to doc 0, so
+    # the cap never loses the true duplicates here — it only bounds
+    # the candidate join; survivors unchanged vs the uncapped run
+    assert kept == [0, 100]
+    # post-exact-dedup the flood is ONE doc — nothing oversized left;
+    # zero candidate pairs ALSO means this exercises lsh_cap_audit's
+    # AQE empty-relation fallback (the riding metrics node got pruned
+    # with the empty join — found building this very test)
+    counters = lsh_cap_audit(out["neardup_cap_audit"])
+    assert set(counters) == {"dropped_entries", "oversized_buckets"}
+    assert counters == {"dropped_entries": 0, "oversized_buckets": 0}
+
+    # near-dup (DISTINCT) flood: exact dedup keeps all 30 variants,
+    # the cap engages in the near-dup candidate stage
+    rows2 = [
+        (i, "en", boiler + f" tail{i}") for i in range(30)
+    ]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id long, lang string, text string"
+    )
+    out2 = build_training_corpus(
+        docs2, budget=16, neardup_max_bucket_size=5
+    )
+    out2["docs"].collect()
+    counters2 = lsh_cap_audit(out2["neardup_cap_audit"])
+    assert counters2["dropped_entries"] > 0
+    assert counters2["oversized_buckets"] > 0
