@@ -192,7 +192,7 @@ def build_training_corpus(
 
 
 def observed_stage_counts(
-    observations: dict[str, Observation],
+    result: dict,
 ) -> dict[str, int]:
     """The per-stage doc counts recorded by
     :func:`build_training_corpus`'s riding observations — call AFTER
@@ -200,7 +200,43 @@ def observed_stage_counts(
     blocks until an action covering its stage has completed). This is
     the zero-extra-pass audit: at 2M docs the recompute flavor
     (``stage_counts``) costs 111s of re-run stages, this one ≈0
-    (PLAN_AUDIT r13)."""
-    return {
-        name: int(obs.get["n_docs"]) for name, obs in observations.items()
-    }
+    (PLAN_AUDIT r13).
+
+    Pass the :func:`build_training_corpus` RESULT dict. AQE corner
+    (PLAN_AUDIT r13): when a stage empties the corpus, empty-relation
+    propagation can prune upstream ``CollectMetrics`` nodes and their
+    observations complete with EMPTY rows (measured: an all-filtered
+    corpus loses input/quality/exact_dedup). Stages lost that way
+    fall back to ONE collect of the ``stage_counts`` recompute frame
+    — correct counts always, zero extra passes in the normal case.
+    A bare observations dict is still accepted (back-compat) but then
+    an empty-metrics stage raises instead of falling back."""
+    if "observations" in result and "stage_counts" in result:
+        observations = result["observations"]
+        fallback_frame = result["stage_counts"]
+    else:
+        observations, fallback_frame = result, None
+    out: dict[str, int] = {}
+    missing: list[str] = []
+    for name, obs in observations.items():
+        empty = False
+        try:
+            # pinned pyspark 4.x: getRow() blocks like .get
+            empty = obs._jo.getRow().length() == 0
+        except Exception:
+            pass
+        if empty:
+            missing.append(name)
+        else:
+            out[name] = int(obs.get["n_docs"])
+    if missing:
+        if fallback_frame is None:
+            raise ValueError(
+                "observed metrics pruned (AQE empty-relation) for "
+                f"stages {missing}; pass the full build_training_corpus "
+                "result so the recompute fallback is available"
+            )
+        rec = {r.stage: int(r.n_docs) for r in fallback_frame.collect()}
+        for name in missing:
+            out[name] = rec[name]
+    return out

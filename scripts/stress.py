@@ -1551,7 +1551,7 @@ def corpus_e2e_main() -> None:
     ).first()
     t_e2e = time.time() - t0
     t0 = time.time()
-    observed = observed_stage_counts(out["observations"])
+    observed = observed_stage_counts(out)
     t_obs = time.time() - t0
     print(
         f"examples: {agg[0]} rows, {agg[1]} tokens, {agg[2]} shards "

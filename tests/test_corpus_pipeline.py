@@ -144,7 +144,7 @@ def test_corpus_observed_counts_match_recompute(spark):
     )
     # the ONE action a real run performs anyway
     out["examples"].collect()
-    observed = observed_stage_counts(out["observations"])
+    observed = observed_stage_counts(out)
     recompute = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
     assert observed == recompute
     assert set(observed) == {
@@ -166,7 +166,7 @@ def test_corpus_observed_counts_minimal_knobs(spark):
 
     out = build_training_corpus(_docs(spark), neardup=False, budget=16)
     out["docs"].collect()
-    observed = observed_stage_counts(out["observations"])
+    observed = observed_stage_counts(out)
     assert set(observed) == {"input", "quality", "exact_dedup"}
     recompute = {r.stage: r.n_docs for r in out["stage_counts"].collect()}
     assert observed == recompute
@@ -219,3 +219,26 @@ def test_corpus_neardup_cap_threads_through(spark):
     counters2 = lsh_cap_audit(out2["neardup_cap_audit"])
     assert counters2["dropped_entries"] > 0
     assert counters2["oversized_buckets"] > 0
+
+
+def test_corpus_observed_counts_all_filtered_fallback(spark):
+    """AQE empty-relation corner (round 13, found by probing the claim
+    before recording it): when the quality gate empties the corpus,
+    the upstream stage CollectMetrics nodes get pruned and their
+    observations complete EMPTY — observed_stage_counts must fall
+    back to the recompute frame and still return correct counts."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.corpus import (
+        observed_stage_counts,
+    )
+
+    rows = [(i, "en", "x") for i in range(5)]  # all fail quality
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = build_training_corpus(docs, budget=8)
+    assert out["examples"].count() == 0
+    observed = observed_stage_counts(out)
+    assert observed == {
+        "input": 5,
+        "quality": 0,
+        "exact_dedup": 0,
+        "neardup": 0,
+    }
