@@ -79,6 +79,14 @@ def observed(df: DataFrame, nonnull_cols: list[str] | None = None):
     per-step ``rowcount`` prints were free too: pyodbc returns them
     with the DML). Returns ``(df, observation)``; read the numbers
     with :func:`observed_metrics` after any action on ``df``.
+
+    AQE corner (round 13, measured — PLAN_AUDIT): if the action's
+    plan collapses to an empty relation at runtime (empty-relation
+    propagation after an empty join/filter), the CollectMetrics node
+    can be pruned and the observation completes with an EMPTY row —
+    ``observed_metrics`` then raises rather than return wrong zeros.
+    Callers that may hit that corner keep a cheap fallback aggregate
+    (see ``corpus.observed_stage_counts`` / ``dedup.lsh_cap_audit``).
     """
     from pyspark.sql import Observation
 

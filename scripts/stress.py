@@ -2281,6 +2281,93 @@ def bpe_main() -> None:
     )
 
 
+def lsh_cap_main() -> None:
+    """LSH candidate-blowup guard at scale (round 13 — the measured
+    companion to VERDICT r12 item 4's unit tests): a mostly-unique
+    corpus (id-derived token streams, zero cross-doc shingles) with
+    ONE planted boilerplate flood of F near-identical docs. Candidate
+    pairs from the flood grow as C(F,2) uncapped — the degenerate
+    regime the corpus-e2e first draft hit — while the capped run is
+    bounded at C(cap,2) per band regardless of F. Reports pair counts,
+    wall time, and the riding drop counters at growing flood sizes,
+    capped vs uncapped.
+
+    Usage: python scripts/stress.py --lsh-cap [n_unique] [floods] [cap]
+      floods comma list, default 5000,10000,20000; cap default 250
+    """
+    n_unique = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    floods = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [5_000, 10_000, 20_000]
+    )
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 250
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-lsh-cap")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    primes = [7, 13, 29, 41, 53, 67, 79, 97, 113, 131]
+
+    def body(src):
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}x"),
+                    ((src * p) % 999_999_937).cast("string"),
+                )
+                for j, p in enumerate(primes)
+            ],
+        )
+
+    for flood in floods:
+        uniq = spark.range(n_unique).select(
+            F.col("id").alias("doc_id"), body(F.col("id")).alias("text")
+        )
+        # flood docs: shared boilerplate + one distinguishing token —
+        # near-identical, all landing in the same LSH buckets
+        flooded = spark.range(flood).select(
+            (F.col("id") + n_unique).alias("doc_id"),
+            F.concat(
+                F.lit("spam boiler plate text repeated across the fleet "),
+                F.lit("every page the same footer nav "),
+                F.lit("tok"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        docs = uniq.unionByName(flooded)
+        for label, kw in (
+            ("uncapped", {}),
+            ("capped", {"max_bucket_size": cap, "audit": {}}),
+        ):
+            t0 = time.time()
+            n_pairs = dedup.neardup_pairs(docs, threshold=0.0, **kw).count()
+            dt = time.time() - t0
+            extra = ""
+            if "audit" in kw:
+                c = dedup.lsh_cap_audit(kw["audit"])
+                extra = (
+                    f" dropped={c['dropped_entries']}"
+                    f" oversized={c['oversized_buckets']}"
+                )
+            print(
+                f"flood={flood} {label}: {n_pairs} pairs in {dt:.1f}s{extra}"
+            )
+
+
 def entity_zipf_main() -> None:
     """Entity-resolution probe at 10M rows with a ZIPFIAN surname
     distribution (round 13 — VERDICT r12 item 5; the r7 blocking-skew
@@ -2455,6 +2542,8 @@ if __name__ == "__main__":
         entity_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--entity-zipf":
         entity_zipf_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lsh-cap":
+        lsh_cap_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-stream":
         cdc_stream_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-restart":
