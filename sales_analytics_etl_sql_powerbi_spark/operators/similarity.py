@@ -106,6 +106,14 @@ def auto_n_planes_eval(n_eval: int, lo: int = _N_PLANES, hi: int = 16) -> int:
     filter wants (planes 7→5 at 4 probes: 0.844→0.956 measured) for
     4× the per-row candidate cost — still corpus-linear, and this
     filter runs per eval-set refresh, not per query.
+
+    The trade that remains is EVAL-size: the rule holds per-row cost
+    ≈4·n_probes by letting planes grow with n_eval, and band-edge
+    recall falls with the plane count (measured: n_eval=1000 →
+    planes 8 → 0.752 at 4 probes, again identical at 20k and 200k
+    corpus). To hold the 0.956 level with a big eval set, pin
+    ``n_planes=5`` explicitly and pay ``n_eval·n_probes/32`` cosines
+    per row — linear in both sizes, just no longer constant.
     """
     import math
 
