@@ -166,6 +166,20 @@ def _dot(a: str, b: str) -> F.Column:
     return F.expr(_DOT.format(a=a, b=b))
 
 
+def _cos(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """Rounded cosine with the zero-norm guard (round 13 — found by
+    the semantic-decontam subset fuzz): an all-zero vector has NO
+    cosine, and under ANSI mode the naive division kills the whole
+    job with DIVIDE_BY_ZERO — one null-ish embedding in a 100-TB
+    corpus must degrade to "that row never matches", not a failed
+    stage. NULL cosine drops at every threshold / top-k comparison
+    downstream, which is exactly that semantics. Gated corpora carry
+    no zero vectors (the gates predate the guard), so oracle hashes
+    are unchanged."""
+    den = na * nb
+    return F.round(F.when(den != 0, dot.cast("double") / den), 9)
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 5, topk: int = 10) -> DataFrame:
     """Brute-force cosine top-k: query rows (vec_id < n) × all others.
 
@@ -185,10 +199,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, topk: int = 10) -> DataFrame
     joined = F.broadcast(queries).crossJoin(cand).where(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
+    cos = _cos(_dot("__qq", "__q"), F.col("__qn"), F.col("__norm"))
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -277,10 +288,7 @@ def shortlisted_cosine_topk(
     # scan — an equi-join on vec_id, so candidate pruning happens at
     # the scan, not after a pairwise explosion
     cand = F.broadcast(shortlist).join(q, "vec_id")
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
+    cos = _cos(_dot("__qq", "__q"), F.col("__qn"), F.col("__norm"))
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id", "vec_id", cos.alias("cosine")
     )
@@ -523,10 +531,7 @@ def semantic_contamination(
     )
     cand = index.select("vec_id", "__q", "__norm", "bucket")
     joined = F.broadcast(qb).join(cand, F.col("bucket") == F.col("qbucket"))
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
+    cos = _cos(_dot("__qq", "__q"), F.col("__qn"), F.col("__norm"))
     return (
         joined.select("vec_id", "eval_id", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -612,10 +617,7 @@ def ann_query(
         .join(cand, F.col("bucket") == F.col("qbucket"))
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
+    cos = _cos(_dot("__qq", "__q"), F.col("__qn"), F.col("__norm"))
     scored = joined.select("query_id", "vec_id", F.col("bucket"), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -731,10 +733,7 @@ def embedding_neardup_pairs(
         "bucket",
     )
     joined = a.join(c, on="bucket").where(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(
-        _dot("__qa", "__qb").cast("double") / (F.col("__na") * F.col("__nb")),
-        9,
-    )
+    cos = _cos(_dot("__qa", "__qb"), F.col("__na"), F.col("__nb"))
     return (
         joined.select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -978,10 +977,7 @@ def ivf_query(
         .join(F.broadcast(qz), "query_id")
         .where(F.col("vec_id") != F.col("query_id"))
     )
-    cos = F.round(
-        _dot("__qq", "__q").cast("double") / (F.col("__qn") * F.col("__norm")),
-        9,
-    )
+    cos = _cos(_dot("__qq", "__q"), F.col("__qn"), F.col("__norm"))
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -1206,10 +1202,7 @@ def int8_cosine_topk(
     joined = F.broadcast(queries).crossJoin(base).where(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
-        _dot_codes("__qc", "codes").cast("double") / (F.col("__qn") * F.col("__n")),
-        9,
-    )
+    cos = _cos(_dot_codes("__qc", "codes"), F.col("__qn"), F.col("__n"))
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -1357,9 +1350,7 @@ def rp_cosine_topk(
     joined = F.broadcast(queries).crossJoin(p).where(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
-        _dot("__qq", "rp").cast("double") / (F.col("__qn") * F.col("__pn")), 9
-    )
+    cos = _cos(_dot("__qq", "rp"), F.col("__qn"), F.col("__pn"))
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

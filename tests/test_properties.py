@@ -1244,3 +1244,145 @@ def test_quantum_margin_summary():
     )
     assert max_delta < 1e-3
     assert min_margin > max_delta
+
+
+# ---------------------------------------------------------------------------
+# round 13: fuzz the round's new surface — the LSH bounded-candidates
+# cap (invariants vs the uncapped run) and semantic decontamination
+# (vs a brute-force numpy reference).
+# ---------------------------------------------------------------------------
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_lsh_cap_invariants_property(spark, texts, cap):
+    """For ANY corpus and cap: capped candidate pairs ⊆ uncapped; a
+    pair survives whenever some band's bucket holds both docs within
+    the cap ranks (so caps beyond every bucket size change nothing);
+    and the riding audit (or its AQE fallback) counts exactly the
+    doc×band entries past the cap."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(docs).persist()
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sig).collect()
+    }
+    audit: dict = {}
+    capped_df = dedup.lsh_candidate_pairs(
+        sig, max_bucket_size=cap, audit=audit
+    )
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    assert capped <= uncapped
+    counters = dedup.lsh_cap_audit(audit)
+
+    # python reference: rebuild buckets from the signature rows and
+    # apply keep-cap-smallest per bucket
+    buckets: dict = {}
+    for r in sig.select(
+        "doc_id",
+        *[f"m{i}" for i in range(16)],
+    ).collect():
+        for b in range(8):
+            key = (b, tuple(r[f"m{b * 2 + j}"] for j in range(2)))
+            buckets.setdefault(key, []).append(r.doc_id)
+    want_pairs = set()
+    dropped = oversized = 0
+    for members in buckets.values():
+        members = sorted(members)
+        kept = members[:cap]
+        dropped += len(members) - len(kept)
+        if len(members) > cap:
+            oversized += 1
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                want_pairs.add((kept[i], kept[j]))
+    sig.unpersist()
+    assert capped == want_pairs
+    assert counters == {
+        "dropped_entries": dropped,
+        "oversized_buckets": oversized,
+    }
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_semantic_contamination_subset_of_brute(spark, corpus_vecs, eval_vecs):
+    """semantic_contamination's hits are ALWAYS a subset of the exact
+    brute-force threshold scan (candidates are re-checked with exact
+    cosine, so LSH can only MISS, never over-flag), at any probe
+    count up to the single-bit limit — on arbitrary small integer
+    vectors including zero vectors (which have no cosine and must
+    never be flagged)."""
+    import math as m
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(eval_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = set()
+    for ci, cv in enumerate(corpus_vecs):
+        for ei, evv in enumerate(eval_vecs):
+            na = m.sqrt(sum(x * x for x in cv))
+            nb = m.sqrt(sum(x * x for x in evv))
+            if na == 0 or nb == 0:
+                continue
+            cos = round(sum(a * b for a, b in zip(cv, evv)) / (na * nb), 9)
+            if cos >= 0.9:
+                brute.add((ci, ei))
+    n_planes = 4
+    last = set()
+    for p in (1, 3, 5):
+        got = {
+            (r.vec_id, r.eval_id)
+            for r in similarity.semantic_contamination(
+                corpus, ev, threshold=0.9, n_planes=n_planes, n_probes=p
+            ).collect()
+        }
+        assert got <= brute
+        assert last <= got  # more probes never lose hits
+        last = got
+    # at the probe limit every single-bit neighborhood is searched —
+    # identical vectors (cosine 1.0, same bucket always) are found
+    for ci, cv in enumerate(corpus_vecs):
+        for ei, evv in enumerate(eval_vecs):
+            if cv == evv and any(x != 0 for x in cv):
+                assert (ci, ei) in last
