@@ -39,9 +39,17 @@ PLATFORM_VALUES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
 def _pct_of_total(units_col: str) -> F.Column:
-    """W1/A6 — share of grand total, % (reference README.md:152-158)."""
+    """W1/A6 — share of grand total, % (reference README.md:152-158).
+
+    Zero-total guard (round 13, same class as similarity's zero-norm
+    guard): a degenerate frame whose units sum to 0 would kill the
+    whole report under ANSI DIVIDE_BY_ZERO; share-of-nothing is NULL,
+    not a failed job. Real data never hits it (gates unchanged)."""
     total = F.sum(units_col).over(Window.partitionBy())
-    return F.lit(100.0) * F.col(units_col).cast("double") / total.cast("double")
+    return F.when(
+        total != 0,
+        F.lit(100.0) * F.col(units_col).cast("double") / total.cast("double"),
+    )
 
 
 def exec_overview_states(view: DataFrame) -> DataFrame:
