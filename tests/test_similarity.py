@@ -571,3 +571,50 @@ def test_semantic_contamination_and_decontaminate(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_zero_norm_vectors_never_crash_or_match(spark):
+    """Round 13 (found by the subset fuzz): an all-zero embedding has
+    no cosine — under ANSI mode the unguarded division used to kill
+    the whole job with DIVIDE_BY_ZERO. Every cosine family member must
+    instead treat the row as 'never matches': NULL cosine, dropped by
+    thresholds, ranked last by top-k."""
+    def v64(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [
+        (0, v64(1.0)),
+        (1, v64()),  # zero-norm corpus vector
+        (2, v64(1.0, 0.1)),
+        (3, v64(0.9, 0.0, 0.1)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # brute top-k: query 0 ranks 2 and 3 above the zero vector
+    top = similarity.cosine_topk(emb, n_queries=1, topk=2).collect()
+    assert [(r.vec_id) for r in top] == [2, 3]
+    assert all(r.cosine is not None for r in top)
+
+    # threshold ops: the zero vector is never flagged, never paired
+    ev = spark.createDataFrame(
+        [(0, v64()), (1, v64(1.0))],
+        "vec_id long, embedding array<float>",
+    )
+    hits = similarity.semantic_contamination(
+        emb, ev, threshold=0.5, n_planes=4, n_probes=5
+    ).collect()
+    assert all(r.vec_id != 1 and r.eval_id != 0 for r in hits)
+    assert (0, 1) in {(r.vec_id, r.eval_id) for r in hits}
+
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.5).collect()
+    assert all(1 not in (r.vec_a, r.vec_b) for r in pairs)
+
+    # int8 + rp paths share the guard: no crash, zero vector either
+    # drops or trails with a NULL score — never outranks a real match
+    q = similarity.quantize_int8(emb)
+    i8 = similarity.int8_cosine_topk(q, n_queries=1, topk=3).collect()
+    assert [r.vec_id for r in i8[:2]] == [2, 3]
+    assert all(r.cosine is None for r in i8 if r.vec_id == 1)
+    rp = similarity.rp_cosine_topk(emb, out_dim=8, n_queries=1, topk=3)
+    got_rp = rp.collect()
+    assert len(got_rp) >= 2  # no crash
+    assert all(r.cosine is None for r in got_rp if r.vec_id == 1)
