@@ -259,8 +259,10 @@ def shortlisted_cosine_topk(
     the survivor lookup; nothing pairwise ever touches full-width
     vectors outside the shortlist. ``multiplier`` is the recall knob,
     and it is CORPUS-SIZE-dependent: at a fixed multiplier recall
-    falls as the corpus grows (measured: iso-recall shortlist ≈ √n at
-    out_dim=32). ``multiplier=None`` auto-sizes from the corpus via
+    falls as the corpus grows (measured: iso-recall shortlist ≈ n^0.7
+    at out_dim=32, six sizes to 4M vectors — see
+    :func:`rerank_multiplier`). ``multiplier=None`` auto-sizes from
+    the corpus via
     :func:`rerank_multiplier` (one parquet-metadata-cheap count()
     job, the same convention as :func:`lsh_buckets`' auto planes);
     verify a chosen setting with ``scripts/recall.py --rerank`` on
@@ -362,6 +364,7 @@ def rerank_multiplier(
     20000      —      —      0.275  0.460      0.595      —       —
     100000     —      —      —      —          0.405      0.550₁₃₃ 0.755₂₉₀
     1000000    —      —      —      —          —          0.720₁₃₀₀ 0.790₂₀₄₀
+    4000000    —      —      —      —          —          —       0.820₅₃₉₈
     =========  =====  =====  =====  =========  =========  ======  ======
 
     (subscripts are the multiplier for that reading; "rule-m" is at
