@@ -315,3 +315,70 @@ def test_write_string_biff8_cap():
     _write_string("x" * 32767)  # at the cap: fine
     with pytest.raises(ValueError, match="32767"):
         _write_string("x" * 32768)
+
+
+def test_rich_label_through_real_workbook(tmp_path):
+    """End-to-end: a BIFF8 LABEL record carrying an
+    XLUnicodeRichExtendedString (rich runs + ExtRst) inside a REAL CFB
+    container must decode to its text through the full reader —
+    container walk, record dispatch, and the rich/ext field skips
+    (ADVICE r12, beyond the payload-level unit test)."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        _BOF,
+        _BOUNDSHEET,
+        _EOF,
+        _LABEL,
+        _cfb_container,
+        _rec,
+        _sst_records,
+    )
+
+    def label(rno, cno, text, grbit, pre, post):
+        enc = text.encode("latin-1")
+        body = (
+            struct.pack("<HHH", rno, cno, 15)
+            + struct.pack("<HB", len(enc), grbit)
+            + pre
+            + enc
+            + post
+        )
+        return _rec(_LABEL, body)
+
+    cells = bytearray()
+    # header row: plain LABEL
+    cells += label(0, 0, "h", 0x00, b"", b"")
+    # rich: 2 formatting runs (4 bytes each, trailing)
+    cells += label(1, 0, "rich", 0x08, struct.pack("<H", 2), b"\x00" * 8)
+    # ext: 6-byte ExtRst blob
+    cells += label(2, 0, "ext", 0x04, struct.pack("<I", 6), b"\x00" * 6)
+    # rich + ext together
+    cells += label(
+        3, 0, "both", 0x0C, struct.pack("<H", 1) + struct.pack("<I", 2),
+        b"\x00" * 6,
+    )
+
+    sheet = (
+        _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + bytes(cells)
+        + _rec(_EOF, b"")
+    )
+    name = b"S"
+    globals_len = 4 + 16 + 4 + (4 + 2 + 1 + 1 + len(name)) + len(
+        _sst_records([])
+    ) + 4
+    wb = (
+        _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + _rec(
+            _BOUNDSHEET,
+            struct.pack("<IHBB", globals_len, 0, len(name), 0) + name,
+        )
+        + _sst_records([])
+        + _rec(_EOF, b"")
+        + sheet
+    )
+    p = str(tmp_path / "rich.xls")
+    with open(p, "wb") as f:
+        f.write(_cfb_container({"Workbook": wb}))
+    h, r = read_xls_table(p)
+    assert h == ["h"]
+    assert r == [["rich"], ["ext"], ["both"]]
