@@ -313,9 +313,12 @@ def decontam_main() -> None:
     expensive path.
 
     Usage: python scripts/recall.py --decontam [sizes] [n_eval] [probes]
+                                                [threshold]
       sizes  comma list of corpus sizes   (default 2000,20000,200000)
       n_eval eval-set rows                (default 100)
       probes comma list of n_probes       (default 1,2,4,8)
+      threshold cosine flag threshold     (default 0.9; planted-copy
+             cosines always cycle [threshold, 0.99))
     """
     sizes = (
         [int(s) for s in sys.argv[2].split(",")]
@@ -328,7 +331,7 @@ def decontam_main() -> None:
         if len(sys.argv) > 4
         else [1, 2, 4, 8]
     )
-    threshold = 0.9
+    threshold = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
 
     from pyspark.sql import functions as F
 
@@ -363,9 +366,10 @@ def decontam_main() -> None:
         )
         # planted near-copies: one per eval row, target cosine cycling
         # the band [0.90, 0.99)
-        t = (F.lit(0.90) + F.lit(0.09) * ((F.col("id") * 37) % 100) / 100.0).cast(
-            "double"
-        )
+        t = (
+            F.lit(threshold)
+            + F.lit(0.99 - threshold) * ((F.col("id") * 37) % 100) / 100.0
+        ).cast("double")
         planted = spark.range(n_eval).select(
             (F.col("id") + n).alias("vec_id"),
             F.zip_with(
