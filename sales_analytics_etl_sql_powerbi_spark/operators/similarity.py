@@ -143,15 +143,41 @@ def hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[int]]:
     return planes
 
 
+def _vector_ok(xd: F.Column) -> F.Column:
+    """TRUE iff the double-cast vector is non-NULL and every element is
+    a finite non-NULL double (round 14 — the other half of the r13
+    zero-norm fix): under ANSI mode one NaN or Inf element used to
+    kill the whole job with CAST_OVERFLOW at the micro-unit
+    quantization cast ("The value NaN of the type DOUBLE cannot be
+    cast to BIGINT"). Same poison-row class, same required semantics:
+    a non-finite embedding in a 100-TB corpus must degrade to "that
+    row never matches" (NULL ``__q``/``__norm`` → NULL cosine via
+    :func:`_cos`), not a failed stage. ``exists`` over a NULL array is
+    NULL, so the coalesce also routes NULL vectors through the same
+    never-matches path."""
+    bad = F.exists(
+        xd,
+        lambda v: v.isNull() | F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
+    )
+    return ~F.coalesce(bad, F.lit(True))
+
+
 def quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """Embeddings as integer micro-unit arrays (exact arithmetic).
 
     The L2 norm is precomputed per VECTOR (``__norm``) so pairwise
     scoring does one dot product per pair instead of three — the
     per-pair self-dots were ~2/3 of the similarity runtime.
+
+    Vectors containing NULL/NaN/Inf elements quantize to NULL ``__q``
+    (see :func:`_vector_ok`) — the CASE branch keeps the ANSI cast off
+    the poison rows, and NULL flows into the NULL-never-matches cosine
+    semantics every downstream scorer shares.
     """
-    q = F.transform(
-        F.col(col), lambda x: F.round(x.cast("double") * _SCALE).cast("long")
+    xd = F.transform(F.col(col), lambda x: x.cast("double"))
+    q = F.when(
+        _vector_ok(xd),
+        F.transform(xd, lambda x: F.round(x * _SCALE).cast("long")),
     )
     out = emb.withColumn("__q", q)
     return out.withColumn(
@@ -816,6 +842,34 @@ def _quantize_py(vec) -> list[int]:
     return [int(round(float(x) * _SCALE)) for x in vec]
 
 
+def _quantize_finite_sample(vecs) -> list[list[int]]:
+    """Quantize a codebook training sample, SKIPPING poison vectors
+    (NULL, or containing NULL/NaN/Inf) — the driver-side twin of
+    :func:`_vector_ok` (round 14): Python ``round(nan)`` raises
+    ValueError and ``round(inf)`` OverflowError, so one bad embedding
+    in the md5-ordered sample used to kill IVF training on the driver.
+    Both the Spark sample (:func:`ivf_codebook`) and the parquet twin
+    (:func:`codebook_from_parquet`) filter AFTER taking the same
+    sample, so centroids stay bit-identical cross-engine. A poison row
+    only ever shrinks the training sample — it is still excluded from
+    matching by the NULL-``__q`` path in :func:`quantized`."""
+    import math
+
+    out = []
+    for v in vecs:
+        if v is None:
+            continue
+        fs = [float(x) if x is not None else math.nan for x in v]
+        if all(map(math.isfinite, fs)):
+            out.append([int(round(x * _SCALE)) for x in fs])
+    if not out:
+        raise ValueError(
+            "IVF codebook training sample has no finite vectors — every "
+            "sampled embedding was NULL or contained NaN/Inf"
+        )
+    return out
+
+
 def train_ivf_codebook(
     vecs_q: list[list[int]], n_clusters: int, iters: int = 8
 ) -> list[list[int]]:
@@ -883,7 +937,7 @@ def ivf_codebook(
         .collect()
     )
     return train_ivf_codebook(
-        [_quantize_py(r.embedding) for r in rows], n_clusters, iters
+        _quantize_finite_sample([r.embedding for r in rows]), n_clusters, iters
     )
 
 
@@ -1064,7 +1118,7 @@ def codebook_from_parquet(
         ),
     )[:sample_n]
     return train_ivf_codebook(
-        [_quantize_py(r["embedding"]) for r in rows], n_clusters, iters
+        _quantize_finite_sample([r["embedding"] for r in rows]), n_clusters, iters
     )
 
 
@@ -1155,18 +1209,26 @@ def quantize_int8(emb: DataFrame, col: str = "embedding") -> DataFrame:
     Deterministic: round() is half-away-from-zero in BOTH Spark
     (BigDecimal HALF_UP) and DuckDB, so codes are cross-engine
     reproducible and hash-gateable. All-zero vectors quantize to
-    all-zero codes with ``q_scale`` 0.
+    all-zero codes with ``q_scale`` 0; vectors with NULL/NaN/Inf
+    elements quantize to NULL codes and NULL ``q_scale`` (round 14 —
+    unguarded, one NaN killed the job at the tinyint cast, and Inf
+    made ``absmax`` Inf so every finite element divided to 0 while
+    Inf/Inf cast NaN; NULL flows into the shared NULL-never-matches
+    cosine path instead).
     """
     x = F.transform(F.col(col), lambda v: v.cast("double"))
+    ok = _vector_ok(x)
     absmax = F.array_max(F.transform(x, F.abs))
     scale = absmax / F.lit(127.0)
     codes = F.when(
-        absmax > 0,
+        ok & (absmax > 0),
         F.transform(
             x, lambda v: F.round(v / scale).cast("tinyint")
         ),
-    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
-    return emb.withColumn("codes", codes).withColumn("q_scale", scale)
+    ).when(ok, F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return emb.withColumn("codes", codes).withColumn(
+        "q_scale", F.when(ok, scale)
+    )
 
 
 def _dot_codes(a: str, b: str) -> F.Column:

@@ -1323,23 +1323,35 @@ def test_lsh_cap_invariants_property(spark, texts, cap):
     }
 
 
+_POISON_ELEM = st.sampled_from(
+    [float("nan"), float("inf"), float("-inf"), None]
+)
+# mostly small integers so real near-matches are common; occasional
+# non-finite/NULL elements (round 14 — the demonstrated CAST_OVERFLOW
+# job-killer class must fuzz through the same subset invariant)
+_VEC_ELEM = st.one_of(
+    st.integers(min_value=-3, max_value=3),
+    st.integers(min_value=-3, max_value=3),
+    st.integers(min_value=-3, max_value=3),
+    _POISON_ELEM,
+)
+
+
+def _vec_finite(v) -> bool:
+    import math as m
+
+    return all(x is not None and m.isfinite(x) for x in v)
+
+
 @SLOW
 @given(
     st.lists(
-        st.lists(
-            st.integers(min_value=-3, max_value=3),
-            min_size=8,
-            max_size=8,
-        ),
+        st.lists(_VEC_ELEM, min_size=8, max_size=8),
         min_size=1,
         max_size=10,
     ),
     st.lists(
-        st.lists(
-            st.integers(min_value=-3, max_value=3),
-            min_size=8,
-            max_size=8,
-        ),
+        st.lists(_VEC_ELEM, min_size=8, max_size=8),
         min_size=1,
         max_size=3,
     ),
@@ -1349,23 +1361,32 @@ def test_semantic_contamination_subset_of_brute(spark, corpus_vecs, eval_vecs):
     brute-force threshold scan (candidates are re-checked with exact
     cosine, so LSH can only MISS, never over-flag), at any probe
     count up to the single-bit limit — on arbitrary small integer
-    vectors including zero vectors (which have no cosine and must
-    never be flagged)."""
+    vectors including zero vectors (no cosine, never flagged) and
+    vectors with NaN/Inf/NULL elements (round 14: poison rows must
+    degrade to never-matches, not kill the job)."""
     import math as m
 
     from sales_analytics_etl_sql_powerbi_spark.operators import similarity
 
     corpus = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_vecs)],
+        [
+            (i, [float(x) if x is not None else None for x in v])
+            for i, v in enumerate(corpus_vecs)
+        ],
         "vec_id long, embedding array<float>",
     )
     ev = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(eval_vecs)],
+        [
+            (i, [float(x) if x is not None else None for x in v])
+            for i, v in enumerate(eval_vecs)
+        ],
         "vec_id long, embedding array<float>",
     )
     brute = set()
     for ci, cv in enumerate(corpus_vecs):
         for ei, evv in enumerate(eval_vecs):
+            if not (_vec_finite(cv) and _vec_finite(evv)):
+                continue
             na = m.sqrt(sum(x * x for x in cv))
             nb = m.sqrt(sum(x * x for x in evv))
             if na == 0 or nb == 0:
@@ -1386,8 +1407,9 @@ def test_semantic_contamination_subset_of_brute(spark, corpus_vecs, eval_vecs):
         assert last <= got  # more probes never lose hits
         last = got
     # at the probe limit every single-bit neighborhood is searched —
-    # identical vectors (cosine 1.0, same bucket always) are found
+    # identical FINITE vectors (cosine 1.0, same bucket always) are
+    # found; poison twins are excluded (NULL bucket never joins)
     for ci, cv in enumerate(corpus_vecs):
         for ei, evv in enumerate(eval_vecs):
-            if cv == evv and any(x != 0 for x in cv):
+            if cv == evv and _vec_finite(cv) and any(x != 0 for x in cv):
                 assert (ci, ei) in last

@@ -618,3 +618,101 @@ def test_zero_norm_vectors_never_crash_or_match(spark):
     got_rp = rp.collect()
     assert len(got_rp) >= 2  # no crash
     assert all(r.cosine is None for r in got_rp if r.vec_id == 1)
+
+
+def test_nonfinite_vectors_never_crash_or_match(spark):
+    """Round 14 (the r13 verdict's demonstrated job-killer): a single
+    NaN or Inf element used to kill the whole job with ANSI
+    CAST_OVERFLOW at quantized()'s micro-unit cast — the other half of
+    the zero-norm poison-row class. Every similarity family member
+    must instead treat the row as 'never matches': NULL __q/codes/rp,
+    NULL cosine, dropped by thresholds, ranked last by top-k. Covers
+    NaN, ±Inf, NULL-element, and NULL-vector rows through every entry
+    point including IVF's driver-side codebook training (where
+    python round(nan)/round(inf) used to raise on the sample)."""
+    import math
+
+    nan, inf = float("nan"), float("inf")
+
+    def v64(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [
+        (0, v64(1.0)),
+        (1, v64(nan)),
+        (2, v64(1.0, 0.1)),
+        (3, v64(0.9, 0.0, 0.1)),
+        (4, v64(inf)),
+        (5, v64(1.0, -inf)),
+        (6, None),
+        (7, [0.8, None] + [0.1] * 62),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    poison = {1, 4, 5, 6, 7}
+
+    # quantized: poison → NULL __q and NULL __norm, clean rows intact
+    q = {r["vec_id"]: (r["__q"], r["__norm"]) for r in similarity.quantized(emb).collect()}
+    for i in poison:
+        assert q[i] == (None, None)
+    assert q[0][0][0] == 1_000_000 and abs(q[0][1] - 1_000_000.0) < 1e-6
+
+    top = similarity.cosine_topk(emb, n_queries=1, topk=3).collect()
+    assert [r.vec_id for r in top[:2]] == [2, 3]
+    assert all(r.cosine is None for r in top if r.vec_id in poison)
+
+    # int8: poison → NULL codes + NULL q_scale, dropped by the norm filter
+    qi = {r.vec_id: (r.codes, r.q_scale) for r in similarity.quantize_int8(emb).collect()}
+    for i in poison:
+        assert qi[i] == (None, None)
+    i8 = similarity.int8_cosine_topk(emb, n_queries=1, topk=5).collect()
+    assert [r.vec_id for r in i8[:2]] == [2, 3]
+    assert all(r.cosine is None for r in i8 if r.vec_id in poison)
+
+    # rp: both impls project poison to NULL (parity), topk filters them
+    for impl in ("arrow", "fold"):
+        got = {r.vec_id: r.rp for r in similarity.rp_project(emb, out_dim=8, impl=impl).collect()}
+        assert all(got[i] is None for i in poison), impl
+    rp = similarity.rp_cosine_topk(emb, out_dim=8, n_queries=1, topk=5).collect()
+    assert all(r.vec_id not in poison for r in rp)
+    sh = similarity.shortlisted_cosine_topk(
+        emb, out_dim=8, multiplier=2, n_queries=1, topk=3
+    ).collect()
+    assert all(r.cosine is None for r in sh if r.vec_id in poison)
+
+    # threshold ops: poison never flagged on either side
+    ev = spark.createDataFrame(
+        [(0, v64(nan)), (1, v64(1.0)), (2, v64(inf))],
+        "vec_id long, embedding array<float>",
+    )
+    hits = similarity.semantic_contamination(
+        emb, ev, threshold=0.5, n_planes=4, n_probes=5
+    ).collect()
+    assert all(r.vec_id not in poison and r.eval_id == 1 for r in hits)
+    assert (0, 1) in {(r.vec_id, r.eval_id) for r in hits}
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.5).collect()
+    assert pairs and all(
+        r.vec_a not in poison and r.vec_b not in poison for r in pairs
+    )
+
+    # ANN paths: LSH buckets NULL → never joins; IVF codebook training
+    # skips poison sample rows instead of dying driver-side
+    lsh = similarity.ann_lsh_topk(emb, n_queries=1, topk=5).collect()
+    assert all(r.vec_id not in poison or r.cosine is None for r in lsh)
+    ivf = similarity.ann_ivf_topk(emb, n_queries=1, topk=5, n_clusters=2).collect()
+    assert all(r.vec_id not in poison or r.cosine is None for r in ivf)
+
+    # all-poison sample raises the documented error, not ValueError from round()
+    allbad = spark.createDataFrame(
+        [(0, v64(nan)), (1, None)], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no finite vectors"):
+        similarity.ivf_codebook(allbad, n_clusters=2)
+
+    # the driver-side sample filter is the exact twin of _vector_ok
+    sample = similarity._quantize_finite_sample(
+        [[1.0, 2.0], None, [nan, 0.0], [0.0, inf], [0.5, None]]
+    )
+    assert sample == [[1_000_000, 2_000_000]]
+    assert math.isfinite(sum(sample[0]))
