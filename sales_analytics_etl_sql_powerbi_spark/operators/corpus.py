@@ -216,19 +216,19 @@ def observed_stage_counts(
         fallback_frame = result["stage_counts"]
     else:
         observations, fallback_frame = result, None
+    from .quality import observation_metrics
+
     out: dict[str, int] = {}
     missing: list[str] = []
     for name, obs in observations.items():
-        empty = False
-        try:
-            # pinned pyspark 4.x: getRow() blocks like .get
-            empty = obs._jo.getRow().length() == 0
-        except Exception:
-            pass
-        if empty:
+        # version-layered emptiness probe (round 14): a pruned stage
+        # maps to None even if the private fast path disappears in a
+        # pyspark upgrade — see quality.observation_metrics
+        vals = observation_metrics(obs)
+        if vals is None:
             missing.append(name)
         else:
-            out[name] = int(obs.get["n_docs"])
+            out[name] = int(vals["n_docs"])
     if missing:
         if fallback_frame is None:
             raise ValueError(

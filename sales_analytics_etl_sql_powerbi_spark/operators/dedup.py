@@ -369,22 +369,21 @@ def lsh_cap_audit(audit: dict) -> dict[str, int]:
 
     Robust to the AQE empty-relation corner (see the comment at the
     observe site): an empty metrics row falls back to the lazy audit
-    aggregate — one small job, only in that corner."""
-    obs = audit["observation"]
-    empty = False
-    try:
-        # pinned pyspark (4.x): getRow() blocks until the observed
-        # dataset's first action, same as .get
-        empty = obs._jo.getRow().length() == 0
-    except Exception:
-        pass
-    if empty:
+    aggregate — one small job, only in that corner. The emptiness
+    probe is the version-layered :func:`quality.observation_metrics`
+    (round 14): if the private fast path disappears in a pyspark
+    upgrade, the portable path still routes the pruned corner here
+    instead of silently reverting to the pre-fix failure mode."""
+    from .quality import observation_metrics
+
+    vals = observation_metrics(audit["observation"])
+    if vals is None:
         row = audit["fallback"].first()
         return {
             "dropped_entries": int(row[0] or 0),
             "oversized_buckets": int(row[1] or 0),
         }
-    return {k: int(v or 0) for k, v in obs.get.items()}
+    return {k: int(v or 0) for k, v in vals.items()}
 
 
 def neardup_pairs(

@@ -106,6 +106,66 @@ def test_observed_rowcounts_free_pass(spark):
     assert quality.observed_metrics(obs) == {"row_count": 3, "nonnull_v": 2}
 
 
+def _pruned_observation(spark):
+    """An observation whose CollectMetrics node AQE prunes away: the
+    observed frame is inner-joined against an empty side, so
+    empty-relation propagation collapses the whole plan at runtime
+    (the round-13 gotcha, reproduced in miniature)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    obs_df, obs = quality.observed(df)
+    empty = spark.createDataFrame([], "id int")
+    joined = obs_df.join(empty, "id")
+    assert joined.count() == 0
+    return obs
+
+
+def test_observation_probe_canary(spark):
+    """VERDICT r13 item 2: the AQE-pruned-metrics fast path reads the
+    private ``Observation._jo.getRow()`` handle. This canary pins that
+    private API on the pinned pyspark — a version bump that breaks it
+    turns the (otherwise silent) degradation to the portable path into
+    a red test, so the fallback plumbing gets re-verified on upgrade.
+    Also documents WHY the private probe exists: in the pruned corner
+    ``obs.get`` itself raises (toPyRow on the empty schema-less row),
+    so 'call .get and look' is not a clean detection on this version.
+    """
+    from py4j.protocol import Py4JJavaError
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    import pytest as _pytest
+
+    # normal observation: private probe sees a non-empty metrics row
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    obs_df, obs = quality.observed(df)
+    assert obs_df.count() == 2
+    assert obs._jo.getRow().length() > 0  # the canary
+    assert quality.observation_metrics(obs) == {"row_count": 2}
+
+    # pruned observation: probe sees the empty row; .get raises on
+    # this pyspark (the behavior the layered helper absorbs)
+    pruned = _pruned_observation(spark)
+    assert pruned._jo.getRow().length() == 0  # the canary, empty side
+    assert quality.observation_metrics(pruned) is None
+    with _pytest.raises(Py4JJavaError):
+        pruned.get
+
+
+def test_observed_metrics_raises_on_pruned_node(spark):
+    """ADVICE r13: observed_metrics' contract is 'raises rather than
+    return wrong zeros' when the metrics node is AQE-pruned — pin the
+    raise (the code used to silently return {})."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import quality
+
+    import pytest as _pytest
+
+    pruned = _pruned_observation(spark)
+    with _pytest.raises(ValueError, match="pruned by AQE"):
+        quality.observed_metrics(pruned)
+
+
 def test_cohort_retention_matches_duckdb(spark, sf_dir):
     import duckdb
 
