@@ -84,7 +84,12 @@ def auto_n_planes(
     return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
 
 
-def auto_n_planes_eval(n_eval: int, lo: int = _N_PLANES, hi: int = 16) -> int:
+def auto_n_planes_eval(
+    n_eval: int,
+    lo: int = _N_PLANES,
+    hi: int = 16,
+    threshold: float | None = None,
+) -> int:
     """Hyperplane count for the DECONTAMINATION shape, sized to the
     EVAL side, not the corpus (round 13 — the measured fix for
     recall-degrades-with-corpus-size).
@@ -114,12 +119,26 @@ def auto_n_planes_eval(n_eval: int, lo: int = _N_PLANES, hi: int = 16) -> int:
     corpus). To hold the 0.956 level with a big eval set, pin
     ``n_planes=5`` explicitly and pay ``n_eval·n_probes/32`` cosines
     per row — linear in both sizes, just no longer constant.
+
+    THRESHOLD axis (round 14 — VERDICT r13 item 3, encoding the
+    PLAN_AUDIT r13 addendum-2 finding as the default): hyperplane
+    collision probability is 1 − θ/π, so a LOWER flag threshold
+    widens the band with low-cosine members and band-edge recall
+    falls — and the measured fix is dropping a plane, not adding
+    probes (probes saturate at 4: single-bit multiprobe only reaches
+    Hamming distance 1). When ``threshold`` is given and < 0.85, the
+    rule subtracts one plane (~2× candidate cosines per row, still
+    corpus-linear). Measured at 20k corpus / 100 eval / threshold
+    0.8, probes=4: planes 5 → recall 0.88, planes 4 (this rule) →
+    ≥0.9 (probe table in PLAN_AUDIT r14). Callers that pass no
+    threshold get the unchanged r13 sizing.
     """
     import math
 
-    return max(
-        lo, min(hi, math.ceil(math.log2(max(2.0, float(n_eval)))) - 2)
-    )
+    planes = math.ceil(math.log2(max(2.0, float(n_eval)))) - 2
+    if threshold is not None and threshold < 0.85:
+        planes -= 1
+    return max(lo, min(hi, planes))
 
 
 def _embeddings_rowcount_parquet(sf_dir: str) -> int:
@@ -546,9 +565,15 @@ def semantic_contamination(
     −1 plane ~doubles candidate cosines per row and raises band-edge
     collision probability) — brute-force threshold scan over
     broadcast eval is the n_planes→0 limit.
+
+    The auto sizing is additionally THRESHOLD-aware (round 14): an
+    aggressive threshold < 0.85 drops one plane, because the wider
+    flag band needs collision probability, not probes (saturated at
+    4) — measured ≥0.9 band recall at threshold 0.8 with the rule vs
+    0.88 without (:func:`auto_n_planes_eval`, PLAN_AUDIT r14).
     """
     if n_planes is None:
-        n_planes = auto_n_planes_eval(eval_emb.count())
+        n_planes = auto_n_planes_eval(eval_emb.count(), threshold=threshold)
     index = lsh_buckets(corpus_emb, n_planes)
     qb = _expand_probes(
         lsh_buckets(eval_emb, n_planes), n_planes, n_probes

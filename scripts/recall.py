@@ -397,7 +397,7 @@ def decontam_main() -> None:
             .where(F.col("cos") >= threshold)
             .collect()
         }
-        n_planes = similarity.auto_n_planes_eval(n_eval)
+        n_planes = similarity.auto_n_planes_eval(n_eval, threshold=threshold)
         for p in probes:
             if p > n_planes + 1:
                 print(

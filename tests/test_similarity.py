@@ -123,6 +123,43 @@ def test_auto_n_planes_scales_and_clamps():
     assert planes == sorted(planes)
 
 
+def test_auto_n_planes_eval_threshold_rule():
+    """Round 14 (VERDICT r13 item 3): decontam plane sizing derives
+    from (n_eval, threshold) — an aggressive threshold < 0.85 drops
+    one plane (the wider flag band needs collision probability, not
+    probes, which saturate at 4). Measured: threshold 0.8 at 20k/100
+    eval/probes 4 — planes 5 gave 0.88 band recall, planes 4 gives
+    0.912 (≥ the 0.9 bar; PLAN_AUDIT r14)."""
+    # default sizing unchanged when no threshold is passed (r13 rule)
+    assert similarity.auto_n_planes_eval(100) == 5
+    assert similarity.auto_n_planes_eval(1000) == 8
+    # at-or-above 0.85: same as unthresholded
+    assert similarity.auto_n_planes_eval(100, threshold=0.9) == 5
+    assert similarity.auto_n_planes_eval(100, threshold=0.85) == 5
+    # below 0.85: one plane dropped
+    assert similarity.auto_n_planes_eval(100, threshold=0.8) == 4
+    assert similarity.auto_n_planes_eval(1000, threshold=0.8) == 7
+    # the floor still holds — the rule can't push planes under lo
+    assert similarity.auto_n_planes_eval(10, threshold=0.5) == 4
+
+    # and semantic_contamination actually consumes the rule: planes
+    # derived inside must allow n_probes up to n_planes+1 only, so an
+    # n_probes valid at threshold 0.9 (planes 5 → max 6) must reject
+    # at threshold 0.8 (planes 4 → max 5)
+    import pytest as _pytest
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        rows = [(i, [float(i == j) for j in range(64)]) for i in range(100)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        with _pytest.raises(ValueError, match="n_probes"):
+            similarity.semantic_contamination(
+                emb, emb.limit(100), threshold=0.8, n_probes=6
+            )
+
+
 def test_lsh_bucket_count_grows_with_n_planes(spark):
     df, _ = emb_frame(spark, n=120)
     b2 = similarity.lsh_buckets(df, 2).select("bucket").distinct().count()
