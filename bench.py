@@ -21,6 +21,15 @@ per-query MIN as the headline number, with every raw reading kept
 under ``"readings"`` — round-over-round accounting no longer needs
 manual idle-minima forensics. ``--repeat 1`` restores the old
 single-pass behavior.
+
+Warm-up (round 14 — VERDICT r13 item 7): the r13 driver run's three
+pass totals were 111.0/80.1/76.2s — a 45% first-pass contention
+spread, so even per-query minima arrived under-converged. When
+``repeat > 1`` an UNTIMED warm-up pass now runs first (shuffle files,
+page cache, codegen caches all land there), the timed passes start
+converged, and the warm-up's raw timings are kept in the sidecar as
+``warmup_pass`` for transparency. ``SPARK_GRAFT_BENCH_WARMUP=0``
+disables it.
 """
 
 from __future__ import annotations
@@ -186,6 +195,16 @@ def main() -> None:
 
     ensure_order_export_csv(sf_dir)
 
+    # one UNTIMED warm-up pass (round 14): first-pass totals ran up to
+    # 45% hot vs converged passes on the driver box (r13 readings:
+    # 111.0/80.1/76.2s) — JVM JIT, page cache, and codegen caches are
+    # session cost, not query cost, and min-of-3 can't fully shed them
+    # when every pass shares the contention tail
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    warmup_timings: dict[str, float] | None = None
+    if repeat > 1 and warmup:
+        warmup_timings, _ = run_pass(spark, sf_dir)
+
     passes: list[dict[str, float]] = []
     n_view = 0
     for _ in range(repeat):
@@ -220,6 +239,7 @@ def main() -> None:
                 {
                     "repeat": repeat,
                     "sf": sf,
+                    "warmup_pass": warmup_timings,
                     "readings": readings,
                     "pass_totals": [
                         round(sum(p.values()), 3) for p in passes

