@@ -1413,3 +1413,395 @@ def test_semantic_contamination_subset_of_brute(spark, corpus_vecs, eval_vecs):
         for ei, evv in enumerate(eval_vecs):
             if cv == evv and _vec_finite(cv) and any(x != 0 for x in cv):
                 assert (ci, ei) in last
+
+
+# ---------------------------------------------------------------------------
+# Multimodal codec fuzz campaign (round 14 — VERDICT r13 item 5): the
+# codecs were the largest un-fuzzed surface (hand-built payloads only).
+# Pure-Python suites (no Spark round-trip): encode→decode round-trips
+# against independently-generated payloads, and a reject-contract
+# invariant — a corrupted payload must raise ValueError (the documented
+# reject-don't-misparse contract), NEVER IndexError/struct.error/
+# KeyError or a silent garbage parse.
+# ---------------------------------------------------------------------------
+
+_CODEC = settings(max_examples=120, deadline=None)
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+    """Independent test-side PNG scanline FILTERER (the encoder's
+    inverse of decode_png's unfiltering) so the decoder's five filter
+    paths are checked against a second implementation, not against
+    encode_png (which only ever emits filter 0)."""
+    out = bytearray()
+    for x in range(len(row)):
+        a = row[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((row[x] - pred) & 0xFF)
+    return bytes(out)
+
+
+@_CODEC
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.binary(min_size=0, max_size=0),  # draw marker; pixels derived below
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_and_all_filter_types_fuzz(w, h, _unused, rnd):
+    """encode_png→decode_png is the identity on random images, and
+    decode_png recovers the original pixels from payloads whose
+    scanlines were filtered with RANDOM per-row filter types by an
+    independent filterer — all five T.81... er, RFC 2083 filters."""
+    import struct
+    import zlib
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+    assert M.decode_png(M.encode_png(w, h, pixels)) == (w, h, pixels)
+
+    # independently-built payload with random filter types per row
+    stride = 3 * w
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = rnd.randrange(5)
+        raw += bytes([ftype]) + _png_filter_row(ftype, row, prev)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), rnd.randrange(10)))
+        + chunk(b"IEND", b"")
+    )
+    assert M.decode_png(payload) == (w, h, pixels)
+
+
+@_CODEC
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_png_reject_contract_fuzz(w, h, rnd, mode):
+    """Corrupting a valid PNG — one flipped byte, a truncation, or a
+    random-garbage prefix — must raise ValueError (every byte is under
+    the signature, a structural check, or a chunk CRC), never another
+    exception type and never a silent wrong parse."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+    payload = M.encode_png(w, h, pixels)
+    if mode == 0:  # single byte flip
+        i = rnd.randrange(len(payload))
+        bad = payload[:i] + bytes([payload[i] ^ (1 + rnd.randrange(255))]) + payload[i + 1 :]
+        with pytest.raises(ValueError):
+            M.decode_png(bad)
+    elif mode == 1:  # strict-prefix truncation
+        bad = payload[: rnd.randrange(len(payload))]
+        with pytest.raises(ValueError):
+            M.decode_png(bad)
+    else:  # arbitrary bytes
+        bad = bytes(rnd.randrange(256) for _ in range(rnd.randrange(64)))
+        with pytest.raises(ValueError):
+            M.decode_png(bad)
+
+
+@_CODEC
+@given(
+    st.integers(1, 4),
+    st.integers(1, 3),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_roundtrip_fuzz(bw, bh, rnd):
+    """encode_jpeg→decode_jpeg round-trips random coefficient images:
+    decoded blocks are the originals DEQUANTIZED by the shipped table.
+    Coefficients are drawn within the shipped Huffman alphabet (DC
+    category ≤ 11, AC (run ≤ 2, size ≤ 2) at zigzag 1..3 — the
+    encoder's documented domain; outside it the ENCODER raises)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    blocks = []
+    for _ in range(bw * bh):
+        coeff = [0] * 64
+        coeff[0] = rnd.randrange(-512, 512)
+        for k in (1, 2, 3):
+            if rnd.random() < 0.6:
+                coeff[k] = rnd.choice([-3, -2, -1, 1, 2, 3])
+        blocks.append(coeff)
+    payload = M.encode_jpeg(8 * bw, 8 * bh, blocks)
+    w, h, nf, got = M.decode_jpeg(payload)
+    assert (w, h, nf) == (8 * bw, 8 * bh, 1)
+    want = [[c * q for c, q in zip(b, M._JPEG_QZ)] for b in blocks]
+    assert got == want
+
+
+@_CODEC
+@given(
+    st.integers(1, 3),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_jpeg_reject_contract_fuzz(bw, rnd, mode):
+    """JPEG carries no CRC, so a flipped byte may legitimately decode
+    to different coefficients — but the decoder must NEVER escape with
+    anything other than ValueError or a clean (possibly different)
+    parse: no IndexError/KeyError/struct.error, no hang."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    w, h, blocks = M._jpeg_formula_blocks(rnd.randrange(12))
+    payload = M.encode_jpeg(w, h, blocks)
+    if mode == 0:
+        i = rnd.randrange(len(payload))
+        bad = payload[:i] + bytes([payload[i] ^ (1 + rnd.randrange(255))]) + payload[i + 1 :]
+    elif mode == 1:
+        bad = payload[: rnd.randrange(len(payload))]
+    else:
+        bad = bytes(rnd.randrange(256) for _ in range(rnd.randrange(80)))
+    try:
+        M.decode_jpeg(bad)
+    except ValueError:
+        pass  # the contract
+    # any OTHER exception type propagates and fails the test
+
+
+def test_jpeg_reject_short_segment_bodies():
+    """Round 14 regressions (found probing the fuzz corners): SOF0
+    bodies of 5-8 bytes escaped as struct.error/IndexError and SOS
+    bodies under 3 bytes as IndexError, instead of the documented
+    ValueError reject."""
+    import struct
+
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    cases = [
+        seg(0xFFC0, b"\x08\x00\x10\x00\x10"),  # 5B SOF0 → struct.error
+        seg(0xFFC0, struct.pack(">BHHB", 8, 16, 16, 1)),  # 6B → IndexError
+        seg(0xFFDA, b""),  # empty SOS → IndexError
+        seg(0xFFDA, b"\x01\x01"),  # 2B SOS → IndexError
+    ]
+    for mid in cases:
+        with pytest.raises(ValueError):
+            M.decode_jpeg(b"\xff\xd8" + mid + b"\xff\xd9")
+
+
+def _wav_payload(rate: int, samples: list[int], junk: bytes | None) -> bytes:
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    body = chunk(b"fmt ", fmt)
+    if junk is not None:
+        body += chunk(b"LIST", junk)  # foreign chunk: walked over, unused
+    body += chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@_CODEC
+@given(
+    st.integers(1, 192_000),
+    st.lists(st.integers(-32768, 32767), max_size=50),
+    st.one_of(st.none(), st.binary(max_size=9)),
+    st.randoms(use_true_random=False),
+)
+def test_wav_roundtrip_and_reject_fuzz(rate, samples, junk, rnd):
+    """An independently-built RIFF/WAVE (word-aligned chunks, optional
+    foreign chunk between fmt and data, odd-size junk exercising the
+    pad walk) decodes to exactly (rate, 1, samples); corrupting the
+    envelope or truncating must raise ValueError."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    payload = _wav_payload(rate, samples, junk)
+    assert M.decode_wav(payload) == (rate, 1, samples)
+
+    # reject: declared-size mismatch via truncation anywhere
+    cut = rnd.randrange(len(payload))
+    with pytest.raises(ValueError):
+        M.decode_wav(payload[:cut])
+    # reject: stereo / wrong bit depth / compressed fmt
+    import struct as _struct
+
+    bad_fmt = _struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    with pytest.raises(ValueError):
+        M.decode_wav(payload.replace(
+            _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16), bad_fmt, 1
+        ))
+
+
+_Y4M_SPACES = ["420jpeg", "420", "420mpeg2", "444", "444alpha", "mono"]
+
+
+@_CODEC
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.integers(0, 4),
+    st.sampled_from(_Y4M_SPACES),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_y4m_roundtrip_and_reject_fuzz(w2, h2, nf, cs, with_fps, rnd):
+    """An independently-built YUV4MPEG2 stream (random colorspace,
+    optional F tag, 0..4 frames) parses to exactly its parameters and
+    frame bytes; truncating a frame body or corrupting a FRAME marker
+    raises ValueError."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    w, h = 2 * w2, 2 * h2  # even dims valid for every colorspace
+    if cs.startswith("420"):
+        fsz = w * h * 3 // 2
+    elif cs == "444alpha":
+        fsz = 4 * w * h
+    elif cs.startswith("444"):
+        fsz = 3 * w * h
+    else:
+        fsz = w * h
+    frames = [bytes(rnd.randrange(256) for _ in range(fsz)) for _ in range(nf)]
+    hdr = f"YUV4MPEG2 W{w} H{h}"
+    if with_fps:
+        hdr += " F30:1"
+    hdr += f" C{cs}"
+    payload = hdr.encode() + b"\n" + b"".join(
+        b"FRAME\n" + fr for fr in frames
+    )
+    got = M.decode_y4m(payload)
+    assert got == (w, h, (30, 1) if with_fps else (0, 0), cs, frames)
+
+    if frames:
+        with pytest.raises(ValueError):
+            M.decode_y4m(payload[:-1])  # truncated final frame body
+        bad = payload.replace(b"FRAME\n", b"FRAMX\n", 1)
+        with pytest.raises(ValueError):
+            M.decode_y4m(bad)
+    # odd dims under 4:2:0 must reject
+    if cs.startswith("420"):
+        with pytest.raises(ValueError):
+            M.decode_y4m(f"YUV4MPEG2 W{w + 1} H{h} C{cs}".encode() + b"\n")
+
+
+@_CODEC
+@given(
+    st.integers(0, 5),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_avi_mjpeg_roundtrip_and_reject_fuzz(nf, rnd, mode):
+    """encode_avi_mjpeg→decode_avi_mjpeg returns the exact frame bytes
+    (odd-length frames exercise the RIFF pad walk); corrupting the
+    container must raise ValueError or (no CRC in AVI) re-parse
+    cleanly — never another exception type."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    # frames: real encoder output and raw SOI-prefixed bytes (odd and
+    # even lengths) — decode_avi_mjpeg only validates the SOI prefix
+    frames = []
+    for f in range(nf):
+        if rnd.random() < 0.5:
+            w, h, blocks = M._mjpeg_formula_blocks(rnd.randrange(9), f)
+            frames.append(M.encode_jpeg(w, h, blocks))
+        else:
+            frames.append(
+                b"\xff\xd8" + bytes(rnd.randrange(256) for _ in range(rnd.randrange(9)))
+            )
+    payload = M.encode_avi_mjpeg(16, 8, frames, fps=1 + rnd.randrange(60))
+    assert M.decode_avi_mjpeg(payload) == (16, 8, frames)
+
+    if mode == 0:
+        i = rnd.randrange(len(payload))
+        bad = payload[:i] + bytes([payload[i] ^ (1 + rnd.randrange(255))]) + payload[i + 1 :]
+    elif mode == 1:
+        bad = payload[: rnd.randrange(len(payload))]
+    else:
+        bad = bytes(rnd.randrange(256) for _ in range(rnd.randrange(64)))
+    try:
+        M.decode_avi_mjpeg(bad)
+    except ValueError:
+        pass
+    # any OTHER exception type propagates and fails the test
+
+
+@_CODEC
+@given(
+    st.integers(1, 10),
+    st.integers(1, 10),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_ppm_roundtrip_and_reject_fuzz(w, h, rnd, mode):
+    """P6 payloads round-trip through decode_ppm (and resize_ppm keeps
+    the P6 contract); corrupt/truncated/garbage payloads raise
+    ValueError — including NON-POSITIVE header dimensions, which must
+    reject rather than slice a garbage 'image' out of the body."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import multimodal as M
+
+    pixels = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+    payload = b"P6\n%d %d\n255\n" % (w, h) + pixels
+    assert M.decode_ppm(payload) == (w, h, pixels)
+    # resize returns HEADERLESS rgb by contract; check size + exact
+    # nearest-neighbor sampling against the formula
+    rw, rh = 1 + rnd.randrange(8), 1 + rnd.randrange(8)
+    rz = M.resize_ppm(payload, rw, rh)
+    assert len(rz) == 3 * rw * rh
+    x, y = rnd.randrange(rw), rnd.randrange(rh)
+    src = ((y * h // rh) * w + (x * w // rw)) * 3
+    assert rz[(y * rw + x) * 3 : (y * rw + x) * 3 + 3] == pixels[src : src + 3]
+
+    if mode == 0:  # negative / zero dims must reject, not misparse
+        for bad_dims in ((-w, -h), (0, h), (w, 0), (-1, -1)):
+            bad = b"P6\n%d %d\n255\n" % bad_dims + pixels
+            with pytest.raises(ValueError):
+                M.decode_ppm(bad)
+    elif mode == 1:
+        with pytest.raises(ValueError):
+            M.decode_ppm(payload[: rnd.randrange(len(payload))])
+    else:
+        try:
+            M.decode_ppm(bytes(rnd.randrange(256) for _ in range(rnd.randrange(40))))
+        except ValueError:
+            pass
