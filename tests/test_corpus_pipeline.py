@@ -220,6 +220,20 @@ def test_corpus_neardup_cap_threads_through(spark):
     assert counters2["dropped_entries"] > 0
     assert counters2["oversized_buckets"] > 0
 
+    # round 14 (VERDICT r13 item 8): when the cap is set, the drop
+    # counters surface in observed_stage_counts output too — a capped
+    # corpus run can never read its audit trail without seeing them
+    from sales_analytics_etl_sql_powerbi_spark.operators.corpus import (
+        observed_stage_counts,
+    )
+
+    observed = observed_stage_counts(out2)
+    assert observed["neardup_dropped_entries"] == counters2["dropped_entries"]
+    assert (
+        observed["neardup_oversized_buckets"] == counters2["oversized_buckets"]
+    )
+    assert observed["input"] == 30
+
 
 def test_corpus_observed_counts_all_filtered_fallback(spark):
     """AQE empty-relation corner (round 13, found by probing the claim

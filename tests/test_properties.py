@@ -1058,7 +1058,14 @@ _QUANTUM_OBS: dict = {"margins": [], "deltas": [], "values": 0}
 
 def _quantum_check(pairs):
     """pairs: [(spark_raw, duck_raw)] of non-null doubles. Asserts the
-    per-value gate-safety invariants and accumulates observations."""
+    per-value gate-safety invariants and accumulates observations.
+
+    THIS is the gate-robustness floor (ADVICE r13): every invariant
+    that matters — margin > that value's own delta, delta < 1e-3
+    quantum widths — is asserted HERE, per value, inside each suite.
+    The module-level summary below is informational only, so pytest
+    ordering (xdist, randomization, -k subsets) can never weaken the
+    floor: a suite that runs asserts its own values, always."""
     for s, d in pairs:
         delta = abs(s - d) * 1e6  # in quantum widths
         for x in (s, d):
@@ -1227,18 +1234,25 @@ def test_unigram_quantum_twin_parity(spark, texts):
 
 
 def test_quantum_margin_summary():
-    """Summary floors over every score the three suites above observed
-    (runs last in file order): worst-case boundary margin and worst
-    cross-engine delta, in quantum (1e-6) widths. The gate is robust
-    iff min(margin) ≫ max(delta); the measured values are recorded in
-    PLAN_AUDIT r13."""
+    """INFORMATIONAL summary over whatever scores the three suites
+    above contributed in this process (ADVICE r13: under pytest-xdist
+    or randomized ordering this may be a partial — or empty — sample,
+    so nothing load-bearing lives here; the actual gate-robustness
+    floor is asserted per value inside :func:`_quantum_check`, which
+    runs with each suite regardless of ordering). Prints the worst
+    observed boundary margin and cross-engine delta in quantum (1e-6)
+    widths for PLAN_AUDIT accounting; the aggregate re-asserts are
+    redundant with the per-value form whenever they cover the same
+    values (margin_i > delta_i for every i is the sound invariant —
+    min(margin) > max(delta) compares across unrelated values)."""
     import pytest as _pytest
 
     obs = _QUANTUM_OBS
     if obs["values"] == 0:
-        # deselected upstream suites (e.g. `pytest -k margin_summary`):
-        # nothing to summarize — skip rather than fail the subset run
-        _pytest.skip("quantum suites did not run in this session")
+        # deselected or not-yet-run upstream suites: nothing to
+        # summarize — skip; the per-value gate asserts still ran (or
+        # will run) inside whichever suites execute this session
+        _pytest.skip("quantum suites contributed nothing (yet) in this session")
     min_margin = min(obs["margins"])
     max_delta = max(obs["deltas"])
     print(
@@ -1247,8 +1261,6 @@ def test_quantum_margin_summary():
         f"max cross-engine delta = {max_delta:.6e} quantum widths, "
         f"headroom = {min_margin / max(max_delta, 1e-300):.3e}x"
     )
-    assert max_delta < 1e-3
-    assert min_margin > max_delta
 
 
 # ---------------------------------------------------------------------------
