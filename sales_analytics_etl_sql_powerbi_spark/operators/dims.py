@@ -349,21 +349,28 @@ def entity_match_pairs(
             " ",
         )
     )
-    base = (
-        dim.select(
-            F.col(key).alias("__k"),
-            F.col(name_col).alias("__name"),
-            norm.alias("__norm"),
-            # null-safe blocking: equi-join drops NULLs, so NULL block
-            # values coalesce to a sentinel no real value collides with
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL")).alias(c)
-                for c in block_cols
-            ],
+    def _blocked(rows: DataFrame) -> DataFrame:
+        # normalization + blocking projection, row-wise deterministic --
+        # factored so the prescan can apply it AFTER sampling (round 14:
+        # Catalyst has no Sample-through-Project pushdown, so sampling
+        # the projected frame ran the regex over EVERY row)
+        return (
+            rows.select(
+                F.col(key).alias("__k"),
+                F.col(name_col).alias("__name"),
+                norm.alias("__norm"),
+                # null-safe blocking: equi-join drops NULLs, so NULL block
+                # values coalesce to a sentinel no real value collides with
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL")).alias(c)
+                    for c in block_cols
+                ],
+            )
+            .where(F.length("__norm") > 0)
+            .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
         )
-        .where(F.length("__norm") > 0)
-        .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
-    )
+
+    base = _blocked(dim)
     join_keys = [*block_cols, "__prefix"]
     if isinstance(max_cell_size, str):
         if max_cell_size != "auto":
@@ -412,7 +419,16 @@ def entity_match_pairs(
             f = 0.05
             pair_w = (F.col("__n") * (F.col("__n") - 1) / 2).cast("double")
             stats = (
-                base.sample(fraction=f, seed=13)
+                # sample the RAW dim, then project: Catalyst has no
+                # Sample-through-Project pushdown, so sampling `base`
+                # ran the normalization regex over every row — the
+                # prescan measured 15.9s/100.6s at 10M (PLAN_AUDIT
+                # r14) before this reorder. Row-wise-deterministic
+                # projection ⇒ sample-then-project is distributionally
+                # identical to project-then-sample (each surviving
+                # base row kept independently w.p. f either way); the
+                # decision uses scaled aggregates, not exact counts.
+                _blocked(dim.sample(fraction=f, seed=13))
                 .groupBy(*join_keys)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .agg(
