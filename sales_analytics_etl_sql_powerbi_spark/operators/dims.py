@@ -335,11 +335,14 @@ def entity_match_pairs(
     regime/prescan-seconds/sampled stats) — and subsequent matches
     against the SAME corpus can pass that resolved value straight
     back as ``max_cell_size``, skipping the prescan job entirely.
-    Measured (10M Zipf probe, PLAN_AUDIT r14): the prescan is NOT
-    free — 15.9s of a 100.6s 10M-row run (15.8%; ~24% at 1–3M where
-    the join is cheaper) — it pays for itself ONCE (the decision it
-    replaced cost 1.8×), but repeated matching against the same
-    corpus should replay the resolved value.
+    Measured (10M Zipf probe, PLAN_AUDIT r14): the prescan first
+    measured 15.9s of a 100.6s 10M run (15.8%; ~24% at 1–3M) because
+    sampling the PROJECTED frame ran the normalization regex over
+    every row (Catalyst has no Sample-through-Project pushdown);
+    sampling the raw dim first cut it to 2.2s/72.4s (3.1%; ~5% at
+    3M). Still: it pays for itself ONCE (the decision it replaced
+    cost 1.8×) — repeated matching against the same corpus should
+    replay the resolved value.
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(
