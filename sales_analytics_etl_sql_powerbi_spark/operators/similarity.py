@@ -170,10 +170,14 @@ def _vector_ok(xd: F.Column) -> F.Column:
     quantization cast ("The value NaN of the type DOUBLE cannot be
     cast to BIGINT"). Same poison-row class, same required semantics:
     a non-finite embedding in a 100-TB corpus must degrade to "that
-    row never matches" (NULL ``__q``/``__norm`` → NULL cosine via
-    :func:`_cos`), not a failed stage. ``exists`` over a NULL array is
-    NULL, so the coalesce also routes NULL vectors through the same
-    never-matches path."""
+    row never matches" (NULL codes/``__q``/``__norm`` → NULL cosine
+    via :func:`_cos`), not a failed stage. ``exists`` over a NULL
+    array is NULL, so the coalesce also routes NULL vectors through
+    the same never-matches path. Used by :func:`quantize_int8`
+    (whose per-vector scale keeps even huge finite values in-range);
+    :func:`quantized` instead uses per-element ``try_cast``, which
+    additionally catches finite values too large for the micro-unit
+    long domain — see its docstring."""
     bad = F.exists(
         xd,
         lambda v: v.isNull() | F.isnan(v) | (F.abs(v) == F.lit(float("inf"))),
@@ -188,19 +192,34 @@ def quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
     scoring does one dot product per pair instead of three — the
     per-pair self-dots were ~2/3 of the similarity runtime.
 
-    Vectors containing NULL/NaN/Inf elements quantize to NULL ``__q``
-    (see :func:`_vector_ok`) — the CASE branch keeps the ANSI cast off
-    the poison rows, and NULL flows into the NULL-never-matches cosine
-    semantics every downstream scorer shares.
+    Poison-vector semantics (round 14, v2): each element quantizes
+    with ``try_cast`` — NaN, ±Inf, AND finite values whose scaled
+    magnitude exceeds the long domain (|x| > ~9.2e12; all of which
+    used to kill the whole job under ANSI as CAST_OVERFLOW) become
+    NULL elements instead. The norm's dot product is NULL whenever
+    any element is NULL, and ``__q`` is nullified whole-vector off
+    that same dot — so ONE scan pass handles detection, and the NULL
+    ``__q``/``__norm`` flows into the NULL-never-matches cosine
+    semantics every downstream scorer shares (measured: the earlier
+    separate ``exists`` prescan cost +15% on the 2M-vector
+    quantization scan; this form is free — the dot was computed
+    anyway). NULL input vectors take the same path (transform of
+    NULL is NULL).
     """
-    xd = F.transform(F.col(col), lambda x: x.cast("double"))
-    q = F.when(
-        _vector_ok(xd),
-        F.transform(xd, lambda x: F.round(x * _SCALE).cast("long")),
+    q0 = F.transform(
+        F.col(col),
+        lambda x: F.round(x.cast("double") * _SCALE).try_cast("long"),
     )
-    out = emb.withColumn("__q", q)
-    return out.withColumn(
-        "__norm", F.sqrt(_dot("__q", "__q").cast("double"))
+    normd = F.sqrt(
+        F.expr(_DOT.format(a="__q0", b="__q0")).cast("double")
+    )
+    return (
+        emb.withColumn("__q0", q0)
+        .withColumn("__norm", normd)
+        .withColumn(
+            "__q", F.when(F.col("__norm").isNotNull(), F.col("__q0"))
+        )
+        .drop("__q0")
     )
 
 
@@ -877,7 +896,11 @@ def _quantize_finite_sample(vecs) -> list[list[int]]:
     (:func:`codebook_from_parquet`) filter AFTER taking the same
     sample, so centroids stay bit-identical cross-engine. A poison row
     only ever shrinks the training sample — it is still excluded from
-    matching by the NULL-``__q`` path in :func:`quantized`."""
+    matching by the NULL-``__q`` path in :func:`quantized`. The
+    long-domain bound mirrors :func:`quantized`'s ``try_cast``:
+    finite values too large for the micro-unit long domain are poison
+    there, so they are poison here (and would otherwise overflow the
+    float64 KMeans into ``int(inf)`` on the driver)."""
     import math
 
     out = []
@@ -885,7 +908,10 @@ def _quantize_finite_sample(vecs) -> list[list[int]]:
         if v is None:
             continue
         fs = [float(x) if x is not None else math.nan for x in v]
-        if all(map(math.isfinite, fs)):
+        if all(
+            math.isfinite(x) and -(2**63) <= round(x * _SCALE) <= 2**63 - 1
+            for x in fs
+        ):
             out.append([int(round(x * _SCALE)) for x in fs])
     if not out:
         raise ValueError(

@@ -747,9 +747,32 @@ def test_nonfinite_vectors_never_crash_or_match(spark):
     with _pytest.raises(ValueError, match="no finite vectors"):
         similarity.ivf_codebook(allbad, n_clusters=2)
 
-    # the driver-side sample filter is the exact twin of _vector_ok
+    # the driver-side sample filter is the exact twin of the spark-side
+    # poison rule, INCLUDING the long-domain bound (1e13·1e6 > 2^63)
     sample = similarity._quantize_finite_sample(
-        [[1.0, 2.0], None, [nan, 0.0], [0.0, inf], [0.5, None]]
+        [[1.0, 2.0], None, [nan, 0.0], [0.0, inf], [0.5, None], [1e13, 0.0]]
     )
     assert sample == [[1_000_000, 2_000_000]]
     assert math.isfinite(sum(sample[0]))
+
+    # finite-but-HUGE values (round 14 v2): |x| too large for the
+    # micro-unit long domain used to kill the job as CAST_OVERFLOW
+    # even though isfinite(x) — try_cast makes them poison in the
+    # quantized family; int8's per-vector scale keeps them VALID
+    # (127-code direction vector), documenting the asymmetry
+    huge = spark.createDataFrame(
+        [
+            (0, [1.0] + [0.0] * 63),
+            (1, [1e13] + [0.0] * 63),
+            (2, [1.0, 0.1] + [0.0] * 62),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qh = {r["vec_id"]: (r["__q"], r["__norm"]) for r in similarity.quantized(huge).collect()}
+    assert qh[1] == (None, None)
+    assert qh[0][0] is not None
+    th = similarity.cosine_topk(huge, n_queries=1, topk=2).collect()
+    assert [r.vec_id for r in th[:1]] == [2]
+    assert all(r.cosine is None for r in th if r.vec_id == 1)
+    ih = similarity.int8_cosine_topk(huge, n_queries=1, topk=2).collect()
+    assert {r.vec_id: r.cosine for r in ih}[1] == 1.0  # valid under SQ8
