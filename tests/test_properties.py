@@ -2207,3 +2207,47 @@ def test_asof_all_directions_match_python_simulator(spark, lefts, rights, tol):
     assert got_nt == {
         i: masked(sim_n(g, t), t) for i, (g, t) in enumerate(lefts)
     }
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 6),
+)
+def test_pagerank_fixed_mode_matches_python_power_iteration(spark, edges, iters):
+    """pagerank(tol=0, fixed iterations) == an independent Python power
+    iteration on arbitrary small multigraphs — duplicate edges count
+    with multiplicity, self-loops feed themselves, dangling mass
+    redistributes uniformly each iteration, teleport = (1−d)/n — and
+    mass is conserved to fp precision."""
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, max_iter=iters, tol=0, checkpoint_every=3).collect()
+    }
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = Counter(s for s, _ in edges)
+    d = 0.85
+    t = (1 - d) / n
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if deg[v] == 0)
+        inn = {v: 0.0 for v in nodes}
+        for s, dst in edges:
+            inn[dst] += r[s] / deg[s]
+        r = {v: t + d * (inn[v] + dm / n) for v in nodes}
+
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
