@@ -590,6 +590,13 @@ def semantic_contamination(
     flag band needs collision probability, not probes (saturated at
     4) — measured ≥0.9 band recall at threshold 0.8 with the rule vs
     0.88 without (:func:`auto_n_planes_eval`, PLAN_AUDIT r14).
+
+    NOTE THE EAGERNESS: deriving planes runs ``eval_emb.count()`` as
+    a real job at construction time (the eval side is benchmark-sized
+    — thousands of rows — so this is cheap, unlike the entity
+    prescan's corpus-sized scan). Repeat decontamination against the
+    same eval set can pass ``n_planes=auto_n_planes_eval(n_eval,
+    threshold=...)`` explicitly to stay fully lazy.
     """
     if n_planes is None:
         n_planes = auto_n_planes_eval(eval_emb.count(), threshold=threshold)
