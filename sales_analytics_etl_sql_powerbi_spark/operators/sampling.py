@@ -416,16 +416,23 @@ def token_budget_mix(
     d = bucketed_exclusive_scan(
         d, ["__h", key], "__w", partition_cols=[group], out_col="__toff"
     )
+    # absent-from-quotas groups get a NULL quota, NOT 0 (round 14 —
+    # found by the property fuzz): with the old ELSE-0 a ZERO-WEIGHT
+    # document at the head of an absent group's hash order satisfied
+    # run(0) <= 0 and came back True, violating the documented
+    # "absent groups are all-false" rule (invisible under all-positive
+    # weights, which is all the gates carried). NULL quota -> NULL
+    # comparison -> coalesce(False) = unconditionally out.
     quota = F.coalesce(
         *[
             F.when(F.col(group) == g, F.lit(int(n)))
             for g, n in quotas.items()
         ],
-        F.lit(0),
+        F.lit(None),
     ).cast("long")
     # inclusive running sum = exclusive offset + own weight; NULL-group
     # rows accumulate across buckets like any other group (the scan's
-    # stitch join is null-safe) and fall to the ELSE-0 quota, matching
+    # stitch join is null-safe) and fall to the NULL quota, matching
     # the oracle twin's PARTITION BY window, which also groups NULLs
     return d.withColumn(
         "in_token_budget",
@@ -451,11 +458,13 @@ def token_budget_mix_sql(
         for g, n in quotas.items()
     )
     # empty quota map: every group falls to the ELSE arm — a bare CASE
-    # with no WHENs is a syntax error (hypothesis twin-parity find)
-    quota_expr = f"(CASE {cases} ELSE 0 END)" if cases else "0"
+    # with no WHENs is a syntax error (hypothesis twin-parity find).
+    # ELSE NULL, not 0 (round 14): absent groups must be all-false
+    # even for zero-weight rows — same fix as the Spark side
+    quota_expr = f"(CASE {cases} ELSE NULL END)" if cases else "NULL"
     return f"""
 SELECT * EXCLUDE (__tcum),
-       __tcum <= {quota_expr} AS in_token_budget
+       COALESCE(__tcum <= {quota_expr}, FALSE) AS in_token_budget
 FROM (
   SELECT *, cast(sum(cast({weight_expr} AS BIGINT)) OVER (
            PARTITION BY {group} ORDER BY {b} ASC, {key_expr} ASC

@@ -2251,3 +2251,94 @@ def test_pagerank_fixed_mode_matches_python_power_iteration(spark, edges, iters)
     for v in r:
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@SLOW
+@given(
+    st.lists(st.integers(1, 9), min_size=1, max_size=8),  # tokens per doc
+    st.integers(1, 7),  # budget
+)
+def test_pack_sequences_matches_python_packer(spark, doc_lens, budget):
+    """pack_sequences == an independent Python stream packer on
+    arbitrary (doc count, token count, budget) shapes — segment
+    boundaries, in-example positions, token text, ceil(total/budget)
+    example count, and per-document reassembly — the distributed
+    prefix-sum machinery vs five lines of sequential Python."""
+    from sales_analytics_etl_sql_powerbi_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    texts = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.example_id): (r.pos_in_example, r.n_seg_tokens, r.seg_text)
+        for r in pack_sequences(docs, budget=budget).collect()
+    }
+
+    # sequential reference: walk the concatenated token stream
+    want = {}
+    off = 0
+    for i, n in enumerate(doc_lens):
+        toks = [f"t{i}_{j}" for j in range(n)]
+        for ex in range(off // budget, (off + n - 1) // budget + 1):
+            s = max(ex * budget - off, 0)
+            e = min((ex + 1) * budget - off, n)
+            want[(i, ex)] = (max(off - ex * budget, 0), e - s, " ".join(toks[s:e]))
+        off += n
+    assert got == want
+    total = sum(doc_lens)
+    assert len({ex for _, ex in got}) == (total + budget - 1) // budget
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "fr", "de"]), st.integers(0, 9)),
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.sampled_from(["en", "fr"]), st.integers(0, 20), max_size=2
+    ),
+)
+def test_token_budget_mix_prefix_invariants(spark, rows, quotas):
+    """token_budget_mix's kept set is EXACTLY the maximal hash-order
+    prefix whose inclusive weight sum fits the group quota — checked
+    by recomputing the prefix in Python from the SAME hash order
+    (independent of the bucketed-scan machinery), plus the
+    absent-group all-false rule."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.sampling import (
+        hash_bucket,
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, w) for i, (g, w) in enumerate(rows)]
+        or [(None, None, None)],
+        "doc_id long, lang string, w long",
+    ).where(F.col("doc_id").isNotNull())
+    out = token_budget_mix(df, "lang", quotas, "w")
+    got = {r.doc_id: r.in_token_budget for r in out.collect()}
+
+    order = {
+        r.doc_id: (r.h, r.doc_id)
+        for r in df.select(
+            "doc_id", hash_bucket("doc_id", "tok").alias("h")
+        ).collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        members = sorted(
+            (i for i, (gg, _) in enumerate(rows) if gg == g),
+            key=lambda i: order[i],
+        )
+        run = 0
+        quota = quotas.get(g)
+        for i in members:
+            run += rows[i][1]
+            want[i] = quota is not None and run <= quota
+    assert got == want
