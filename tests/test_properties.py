@@ -2342,3 +2342,44 @@ def test_token_budget_mix_prefix_invariants(spark, rows, quotas):
             run += rows[i][1]
             want[i] = quota is not None and run <= quota
     assert got == want
+
+
+# text for the text_stats twin: non-surrogate unicode incl. newlines,
+# bullets, symbols, CJK, zero-width — the gate only ever sees the fixed
+# corpus; regex/split/length semantics across engines are classic drift
+_STATS_TEXT = st.text(
+    st.one_of(
+        st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        st.sampled_from(list("abc the of -*• #…\n\t\r .")),
+    ),
+    max_size=60,
+)
+
+
+@SLOW
+@given(st.lists(_STATS_TEXT, min_size=1, max_size=8))
+def test_text_stats_twin_parity_arbitrary_unicode(spark, texts):
+    """text_stats == its DuckDB twin BIT-FOR-BIT on arbitrary unicode —
+    every count is exact-integer and every ratio a single binary64
+    division, so exact equality is the bar (the driver's hash compares
+    exact doubles). Covers newline/bullet/symbol/CJK/zero-width text
+    the fixed gated corpus never exercises."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as T
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in T.text_stats(docs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    res = con.execute(T.text_stats_sql())
+    cols = [d[0] for d in res.description]
+    want = {r[0]: dict(zip(cols, r)) for r in res.fetchall()}
+
+    assert set(got) == set(want)
+    for i in got:
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c], texts[i])
