@@ -159,6 +159,19 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def _shingle_sets_duck(k: int = 3, source: str = "documents") -> str:
+    """DuckDB twin of the shingle builder.
+
+    KNOWN CROSS-ENGINE CAVEAT (round 14, found probing lower()):
+    Spark/Python apply Unicode FULL case mapping (İ U+0130 →
+    i+COMBINING DOT ABOVE; word-final Σ → ς), DuckDB's lower() the
+    simple mapping (İ → i; Σ → σ everywhere) — so a corpus containing
+    those code points would shingle differently across engines and
+    hash-mismatch the gate even though BOTH engines are internally
+    consistent. The driver corpus carries neither; the divergence is
+    pinned by ``test_lower_unicode_case_mapping_divergence`` so a
+    DuckDB behavior change surfaces as a red test, and the PRODUCT
+    behavior (Spark, which matches Python's str.lower) is the
+    contract."""
     parts = " || ' ' || ".join(f"__tok[i + {j}]" for j in range(k))
     return f"""
 SELECT doc_id, list_sort(list_distinct(

@@ -2383,3 +2383,30 @@ def test_text_stats_twin_parity_arbitrary_unicode(spark, texts):
     for i in got:
         for c in cols:
             assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c], texts[i])
+
+
+def test_lower_unicode_case_mapping_divergence(spark):
+    """Round 14 (found probing the twins' lower() on non-ASCII): Spark
+    and Python apply Unicode FULL case mapping, DuckDB the simple
+    one — İ (U+0130) and word-final Σ diverge. The PRODUCT contract
+    is Spark's (== Python str.lower, pinned here for a canary set);
+    the DuckDB half pins the CURRENT divergence so an engine upgrade
+    that changes it turns the documented caveat (shingle/entity twins
+    lowercase in-SQL; a corpus carrying these code points would
+    hash-mismatch its gate) into a red test instead of a silent
+    drift."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = ["İstanbul", "ΣΙΓΜΑ ΤΕΛΟΣ", "STRASSE ß", "ǅungla", "ﬁle FFI"]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r.l for r in df.select(F.lower("t").alias("l")).collect()]
+    assert got == [c.lower() for c in cases]  # Spark == Python, always
+
+    con = duckdb.connect()
+    duck = [con.execute("select lower(?)", [c]).fetchone()[0] for c in cases]
+    same = [d == p for d, p in zip(duck, [c.lower() for c in cases])]
+    # current duckdb: simple mapping for İ and final sigma, full
+    # mapping agreement elsewhere — update the caveat if this changes
+    assert same == [False, False, True, True, True], list(zip(cases, duck, same))
