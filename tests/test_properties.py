@@ -510,9 +510,12 @@ def test_token_budget_mix_property(spark, rows, quotas, num_buckets):
         rows, key=lambda t: (t[1] is None, t[1] or "", hashed[t[0]], t[0])
     ):
         cum[lang] = cum.get(lang, 0) + w
-        # NULL group falls to the ELSE-0 quota (fits only while its
-        # cumulative weight is still zero)
-        want = cum[lang] <= (quotas.get(lang, 0) if lang is not None else 0)
+        # round 14: absent-from-quotas groups (and the NULL group) are
+        # unconditionally all-false — the old ELSE-0 reference let a
+        # ZERO-WEIGHT row at the head of such a group flag true, which
+        # this very suite had pinned as if intended
+        quota = quotas.get(lang) if lang is not None else None
+        want = quota is not None and cum[lang] <= quota
         assert got[doc_id] == want, (doc_id, lang, w, quotas)
 
 
