@@ -340,7 +340,11 @@ def test_token_budget_mix_prefix_semantics(spark):
     cum: dict = {}
     for (lang, _h, doc_id), w in rows:
         cum[lang] = cum.get(lang, 0) + w
-        expect[doc_id] = cum[lang] <= quotas.get(lang, 0)
+        # absent groups unconditionally false (round 14) — equivalent
+        # to the old `<= quotas.get(lang, 0)` only because this data's
+        # weights are all positive
+        q = quotas.get(lang)
+        expect[doc_id] = q is not None and cum[lang] <= q
     for nb in (1, 4, 64):
         got = {
             r.doc_id: r.in_token_budget
