@@ -2413,3 +2413,68 @@ def test_lower_unicode_case_mapping_divergence(spark):
     # current duckdb: simple mapping for İ and final sigma, full
     # mapping agreement elsewhere — update the caveat if this changes
     assert same == [False, False, True, True, True], list(zip(cases, duck, same))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.sampled_from(["view", "cart", "purchase", "other"]),
+            st.integers(0, 20),                     # ts (seconds)
+        ),
+        max_size=16,
+    ),
+    st.one_of(st.none(), st.floats(0.0, 0.0003)),   # within ~0-26s
+)
+def test_funnel_conversion_matches_python_simulator(spark, evs, within_days):
+    """funnel_conversion == an independent per-user Python walk on
+    arbitrary event sequences: strictly-after ordering, first-touch
+    (earliest qualifying event per step), the within-days window
+    anchored at step 1, duplicate timestamps, and users who skip or
+    reorder steps — counts non-increasing down the funnel."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.analytics import (
+        funnel_conversion,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + dt.timedelta(seconds=s)) for (u, t, s) in evs
+    ]
+    events = spark.createDataFrame(
+        rows or [(None, None, None)], "user_id long, event_type string, ts timestamp"
+    ).where(F.col("user_id").isNotNull())
+    steps = ("view", "cart", "purchase")
+    got = {
+        r.step_index: r.users
+        for r in funnel_conversion(events, steps, within_days).collect()
+    }
+
+    users = {u for u, _, _ in evs}
+    counts = []
+    converted: dict = {}
+    for k, step in enumerate(steps):
+        cur = {}
+        for u in users:
+            times = sorted(s for uu, t, s in evs if uu == u and t == step)
+            if k == 0:
+                if times:
+                    cur[u] = (times[0], times[0])  # (t1, t_prev)
+            elif u in converted:
+                t1, t_prev = converted[u]
+                q = [
+                    s
+                    for s in times
+                    if s > t_prev
+                    and (within_days is None or s - t1 <= within_days * 86400.0)
+                ]
+                if q:
+                    cur[u] = (t1, min(q))
+        converted = cur
+        counts.append(len(cur))
+    assert got == {k: c for k, c in enumerate(counts)}
+    assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
