@@ -2478,3 +2478,51 @@ def test_funnel_conversion_matches_python_simulator(spark, evs, within_days):
         counts.append(len(cur))
     assert got == {k: c for k, c in enumerate(counts)}
     assert all(counts[i] >= counts[i + 1] for i in range(len(counts) - 1))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # user
+            st.sampled_from(["view", "purchase"]),
+            st.integers(0, 4000),                    # ts seconds
+        ),
+        max_size=14,
+    )
+)
+def test_interval_join_matches_python_pairs(spark, evs):
+    """view_purchase_interval_join (batch route) == the quadratic
+    Python pair walk on arbitrary sequences: inclusive [-lookback, 0]
+    boundary on BOTH ends, same-user equi, exact integer-microsecond
+    gaps — including pairs exactly AT the 30-minute boundary and
+    view_ts == purchase_ts (gap 0)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming.windows import (
+        view_purchase_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, base + dt.timedelta(seconds=s))
+        for i, (u, t, s) in enumerate(evs)
+    ]
+    events = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).where("event_id is not null")
+    got = {
+        (r.purchase_id, r.view_id): r.gap_seconds
+        for r in view_purchase_interval_join(events).collect()
+    }
+    want = {}
+    for pi, (pu, pt, ps) in enumerate(evs):
+        if pt != "purchase":
+            continue
+        for vi, (vu, vt, vs) in enumerate(evs):
+            if vt == "view" and vu == pu and 0 <= ps - vs <= 1800:
+                want[(pi, vi)] = float(ps - vs)
+    assert got == want
