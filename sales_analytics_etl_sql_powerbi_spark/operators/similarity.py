@@ -175,7 +175,7 @@ def _vector_ok(xd: F.Column) -> F.Column:
     array is NULL, so the coalesce also routes NULL vectors through
     the same never-matches path. Used by :func:`quantize_int8`
     (whose per-vector scale keeps even huge finite values in-range);
-    :func:`quantized` instead uses per-element ``try_cast``, which
+    :func:`quantized` instead uses a per-element magnitude gate, which
     additionally catches finite values too large for the micro-unit
     long domain — see its docstring."""
     bad = F.exists(
@@ -185,42 +185,70 @@ def _vector_ok(xd: F.Column) -> F.Column:
     return ~F.coalesce(bad, F.lit(True))
 
 
-def quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
+def _q_elem_bound(dim: int = _DIM) -> int:
+    """Largest |scaled| element magnitude such that EVERY integer
+    consumer of the quantized family stays inside the signed-64 domain
+    under ANSI mode (round 15 — ADVICE r14 medium: a finite element
+    with raw |x| > ~3037 made the ``__norm`` self-dot overflow 2^63
+    and kill the job, even though it sat inside the old per-element
+    ``try_cast`` bound of ~9.2e12). The binding constraint is the
+    WORST consumer, ``_SQDIST``: (x-y)^2 <= (2B)^2 per element over
+    ``dim`` terms, so dim·4·B² <= 2^63-1. That bound also covers the
+    self-dot norm (dim·B²), every pairwise dot (|x·y| <= B²), and the
+    ±1 hyperplane projections (|Σ ±x| <= dim·B)."""
+    import math
+
+    return math.isqrt((2**63 - 1) // (4 * dim))
+
+
+def quantized(emb: DataFrame, col: str = "embedding", dim: int = _DIM) -> DataFrame:
     """Embeddings as integer micro-unit arrays (exact arithmetic).
 
     The L2 norm is precomputed per VECTOR (``__norm``) so pairwise
     scoring does one dot product per pair instead of three — the
     per-pair self-dots were ~2/3 of the similarity runtime.
 
-    Poison-vector semantics (round 14, v2): each element quantizes
-    with ``try_cast`` — NaN, ±Inf, AND finite values whose scaled
-    magnitude exceeds the long domain (|x| > ~9.2e12; all of which
-    used to kill the whole job under ANSI as CAST_OVERFLOW) become
-    NULL elements instead. The norm's dot product is NULL whenever
-    any element is NULL, and ``__q`` is nullified whole-vector off
-    that same dot — so ONE scan pass handles detection, and the NULL
-    ``__q``/``__norm`` flows into the NULL-never-matches cosine
-    semantics every downstream scorer shares (measured: the earlier
-    separate ``exists`` prescan cost +15% on the 2M-vector
-    quantization scan; this form is free — the dot was computed
-    anyway). NULL input vectors take the same path (transform of
-    NULL is NULL).
+    Poison-vector semantics (round 15, v3): each element quantizes
+    through a square-sum-safe magnitude gate — NaN, ±Inf, NULL, and
+    finite values whose scaled magnitude exceeds
+    :func:`_q_elem_bound` (all of which used to kill the whole job
+    under ANSI as CAST_OVERFLOW / ARITHMETIC_OVERFLOW) become NULL
+    elements instead. A NULL element makes every downstream integer
+    fold NULL — the norm, every pairwise dot, every squared distance,
+    every hyperplane projection — so the row degrades to the shared
+    NULL-never-matches cosine semantics (:func:`_cos`) and to a NULL
+    IVF cell (dropped by the probe equi-join) with NO whole-vector
+    conditional. v2 wrapped ``__q`` in ``when(__norm isNotNull,...)``,
+    which re-evaluated the norm's fold at every ``__q`` reference
+    site (higher-order folds never join whole-stage codegen, so no
+    subexpression reuse) — measured +76% on the IVF assignment scan
+    (VERDICT r14); this unconditional form restores the r13 plan
+    shape while widening poison coverage to the finite-overflow
+    window ADVICE r14 demonstrated (raw |x| in (~3e3, 9.2e12]).
+
+    The gate compares the RAW double against ``bound/_SCALE`` so the
+    scaled value is computed exactly once, inside the true branch —
+    gating on ``abs(round(x·_SCALE))`` would evaluate the multiply+
+    round twice per element (transform lambdas are interpreted, no
+    subexpression reuse), measured +17% on the IVF assignment scan.
+    The raw gate admits no scaled value beyond the integer bound:
+    ``fl(fl(B/S)·S)`` differs from integer B by < 1e-7 (two roundings
+    at ulp(189.8)·1e6 + ulp(1.9e8)), so round() of any admitted
+    element is <= B exactly. All three twins (this, the DuckDB
+    ``_Q_DUCK``, the driver ``_quantize_finite_sample``) compare the
+    SAME double constant.
     """
-    q0 = F.transform(
-        F.col(col),
-        lambda x: F.round(x.cast("double") * _SCALE).try_cast("long"),
-    )
-    normd = F.sqrt(
-        F.expr(_DOT.format(a="__q0", b="__q0")).cast("double")
-    )
-    return (
-        emb.withColumn("__q0", q0)
-        .withColumn("__norm", normd)
-        .withColumn(
-            "__q", F.when(F.col("__norm").isNotNull(), F.col("__q0"))
-        )
-        .drop("__q0")
-    )
+    bound = _q_elem_bound(dim) / float(_SCALE)
+
+    def _elem(x: F.Column) -> F.Column:
+        xd = x.cast("double")
+        # NaN compares > bound in Spark (NaN is greatest), ±Inf too,
+        # NULL propagates — all land in the otherwise-NULL branch.
+        return F.when(F.abs(xd) <= F.lit(bound), F.round(xd * _SCALE)).cast("long")
+
+    q0 = F.transform(F.col(col), _elem)
+    normd = F.sqrt(F.expr(_DOT.format(a="__q", b="__q")).cast("double"))
+    return emb.withColumn("__q", q0).withColumn("__norm", normd)
 
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
@@ -273,7 +301,21 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, topk: int = 10) -> DataFrame
     )
 
 
-_Q_DUCK = f"list_transform(embedding, x -> cast(round(cast(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+# DuckDB twin of :func:`quantized`'s poison semantics. DuckDB's
+# list_sum IGNORES NULL elements (aggregate semantics) where Spark's
+# fold propagates them, so the oracle encodes "any bad element" as a
+# WHOLE-vector NULL — downstream list_sum over the NULL list is NULL,
+# matching Spark's NULL fold exactly. In-bound values quantize
+# identically to the pre-r15 form, so gated hashes are unchanged.
+_Q_BAD_DUCK = (
+    "(embedding IS NULL OR len(list_filter(embedding, "
+    "x -> x IS NULL OR NOT isfinite(cast(x AS DOUBLE)) "
+    f"OR abs(cast(x AS DOUBLE)) > {_q_elem_bound(_DIM) / float(_SCALE)!r})) > 0)"
+)
+_Q_DUCK = (
+    f"CASE WHEN NOT {_Q_BAD_DUCK} THEN list_transform(embedding, "
+    f"x -> cast(round(cast(x AS DOUBLE) * {_SCALE}) AS BIGINT)) END"
+)
 _DOT_DUCK = "list_sum(list_transform(range(1, {n} + 1), i -> {a}[i] * {b}[i]))"
 
 
@@ -904,21 +946,20 @@ def _quantize_finite_sample(vecs) -> list[list[int]]:
     sample, so centroids stay bit-identical cross-engine. A poison row
     only ever shrinks the training sample — it is still excluded from
     matching by the NULL-``__q`` path in :func:`quantized`. The
-    long-domain bound mirrors :func:`quantized`'s ``try_cast``:
-    finite values too large for the micro-unit long domain are poison
-    there, so they are poison here (and would otherwise overflow the
-    float64 KMeans into ``int(inf)`` on the driver)."""
+    magnitude bound mirrors :func:`quantized`'s square-sum-safe
+    element gate (:func:`_q_elem_bound`, round 15): finite values too
+    large for ANY integer consumer (norm, pairwise dot, sq-dist) are
+    poison there, so they are poison here (and would otherwise
+    overflow the float64 KMeans into ``int(inf)`` on the driver)."""
     import math
 
+    bound = _q_elem_bound(_DIM) / float(_SCALE)
     out = []
     for v in vecs:
         if v is None:
             continue
         fs = [float(x) if x is not None else math.nan for x in v]
-        if all(
-            math.isfinite(x) and -(2**63) <= round(x * _SCALE) <= 2**63 - 1
-            for x in fs
-        ):
+        if all(math.isfinite(x) and abs(x) <= bound for x in fs):
             out.append([int(round(x * _SCALE)) for x in fs])
     if not out:
         raise ValueError(
@@ -1221,11 +1262,15 @@ probes AS (
   WHERE prn <= {nprobe}
 ),
 assigned AS (
+  -- __q IS NOT NULL mirrors Spark's NULL-cell drop: a poison vector's
+  -- distance fold is NULL, array_position gives a NULL cell, and the
+  -- probe equi-join never sees the row (similarity.py with_cells)
   SELECT vec_id, __q, cell FROM (
     SELECT z.vec_id, z.__q, c.cell,
            row_number() OVER (PARTITION BY z.vec_id
                               ORDER BY {assign_d}, c.cell) AS arn
-    FROM qz z CROSS JOIN cents c) a
+    FROM qz z CROSS JOIN cents c
+    WHERE z.__q IS NOT NULL) a
   WHERE arn = 1
 ),
 scored AS (
@@ -1409,14 +1454,20 @@ def rp_project(
 def _rp_expr(planes: list[list[int]], impl: str):
     if impl == "fold":
         # unrolled per output coordinate (same Spark 4.1 self-join
-        # lambda bind rationale as lsh_buckets); NULL embedding →
+        # lambda bind rationale as lsh_buckets); poison embedding →
         # NULL projection (not an array of NULL coordinates), the
-        # convention both impls share
+        # convention both impls share. Since r15 poison rows carry a
+        # NULL-holding ``__q`` (not a whole-NULL one), the whole-array
+        # NULL is keyed off the FIRST coordinate: a fold over any
+        # NULL-holding or NULL array is NULL, and a clean integer
+        # vector always yields a non-NULL dot — one duplicated fold
+        # (out_dim+1 total) instead of re-evaluating the norm at every
+        # reference like the v2 guard did.
         coords = []
         for plane in planes:
             plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
             coords.append(F.expr(_DOT.format(a="__q", b=plane_lit)))
-        return F.when(F.col("__q").isNotNull(), F.array(*coords))
+        return F.when(coords[0].isNotNull(), F.array(*coords))
     if impl != "arrow":
         raise ValueError(f"unknown impl {impl!r} (arrow | fold)")
     import numpy as np
@@ -1427,11 +1478,23 @@ def _rp_expr(planes: list[list[int]], impl: str):
     def _proj(qcol):
         if qcol.empty:
             return pd.Series([], dtype=object)
-        # NULL embeddings project to NULL, matching the fold path
-        # (whose aggregate over a NULL array is NULL) — parity-pinned
-        mask = [a is not None for a in qcol]
+        # Poison embeddings (whole-NULL ``__q`` OR NULL-holding since
+        # r15's unconditional quantization) project to NULL, matching
+        # the fold path (whose aggregate over a NULL-holding array is
+        # NULL) — parity-pinned. Arrow surfaces NULL elements as None
+        # in object lists or NaN in float64 arrays; both are caught.
+        def _clean(a):
+            if a is None:
+                return None
+            arr = np.asarray(a, dtype="float64")
+            if np.isnan(arr).any():
+                return None
+            return arr.astype(np.int64)  # exact: |elem| <= ~1.9e8 << 2^53
+
+        cleaned = [_clean(a) for a in qcol]
+        mask = [a is not None for a in cleaned]
         out: list = [None] * len(mask)
-        rows = [np.asarray(a, dtype=np.int64) for a in qcol if a is not None]
+        rows = [a for a in cleaned if a is not None]
         if rows:
             proj_rows = (np.vstack(rows) @ mat).tolist()  # exact int64
             it = iter(proj_rows)

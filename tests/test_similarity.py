@@ -687,11 +687,31 @@ def test_nonfinite_vectors_never_crash_or_match(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     poison = {1, 4, 5, 6, 7}
 
-    # quantized: poison → NULL __q and NULL __norm, clean rows intact
+    # quantized (r15 v3): poison → NULL __norm and a NULL-holding (or
+    # whole-NULL) __q — the per-element gate replaced the v2
+    # whole-vector when() wrapper that cost +76% on the IVF
+    # assignment scan (VERDICT r14). Every integer fold over a
+    # NULL-holding array is NULL, so downstream semantics are
+    # identical: NULL cosine, NULL cell, NULL projection.
     q = {r["vec_id"]: (r["__q"], r["__norm"]) for r in similarity.quantized(emb).collect()}
     for i in poison:
-        assert q[i] == (None, None)
+        assert q[i][1] is None
+        assert q[i][0] is None or None in q[i][0]
     assert q[0][0][0] == 1_000_000 and abs(q[0][1] - 1_000_000.0) < 1e-6
+
+    # partial-poison cell semantics (VERDICT r14 item 1): the IVF
+    # assignment's dists array is all-NULL for a poison row,
+    # array_min is NULL, array_position returns NULL (no ANSI error),
+    # and the NULL cell never survives the probe equi-join
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.with_cells(
+            similarity.quantized(emb), [[0] * 64, [1_000_000] * 64]
+        ).collect()
+    }
+    for i in poison:
+        assert cells[i] is None
+    assert all(cells[i] is not None for i in (0, 2, 3))
 
     top = similarity.cosine_topk(emb, n_queries=1, topk=3).collect()
     assert [r.vec_id for r in top[:2]] == [2, 3]
@@ -748,31 +768,49 @@ def test_nonfinite_vectors_never_crash_or_match(spark):
         similarity.ivf_codebook(allbad, n_clusters=2)
 
     # the driver-side sample filter is the exact twin of the spark-side
-    # poison rule, INCLUDING the long-domain bound (1e13·1e6 > 2^63)
+    # poison rule, INCLUDING the square-sum-safe magnitude bound
+    # (1e13·1e6 >> _q_elem_bound)
     sample = similarity._quantize_finite_sample(
         [[1.0, 2.0], None, [nan, 0.0], [0.0, inf], [0.5, None], [1e13, 0.0]]
     )
     assert sample == [[1_000_000, 2_000_000]]
     assert math.isfinite(sum(sample[0]))
 
-    # finite-but-HUGE values (round 14 v2): |x| too large for the
-    # micro-unit long domain used to kill the job as CAST_OVERFLOW
-    # even though isfinite(x) — try_cast makes them poison in the
-    # quantized family; int8's per-vector scale keeps them VALID
-    # (127-code direction vector), documenting the asymmetry
+    # finite-but-HUGE values (round 15 v3, ADVICE r14 medium): the v2
+    # try_cast bound (raw |x| <= ~9.2e12) left a window (~3e3, 9.2e12]
+    # where the element quantized fine but the INTEGER NORM self-dot
+    # overflowed 2^63 under ANSI and killed the job. The v3 bound is
+    # square-sum-safe for EVERY integer consumer (norm, pairwise dot,
+    # IVF sq-dist): |scaled| <= isqrt((2^63-1)/(4·dim)) ≈ 1.898e8, raw
+    # |x| <= ~189.8 at dim=64. int8's per-vector scale keeps huge
+    # values VALID (127-code direction vector) — the asymmetry stands.
+    bound_raw = similarity._q_elem_bound(64) / 1e6  # ≈ 189.81
     huge = spark.createDataFrame(
         [
             (0, [1.0] + [0.0] * 63),
-            (1, [1e13] + [0.0] * 63),
+            (1, [1e13] + [0.0] * 63),       # beyond even the old bound
             (2, [1.0, 0.1] + [0.0] * 62),
+            (3, [5e3] + [0.0] * 63),        # ADVICE window: norm overflow
+            (4, [400.0] * 64),              # ADVICE window: repeated-dim
+            (5, [float(int(bound_raw))] * 64),  # just inside: must be VALID
+            (6, [-float(int(bound_raw))] * 64),  # max sq-dist vs 5: no overflow
         ],
         "vec_id long, embedding array<double>",
     )
     qh = {r["vec_id"]: (r["__q"], r["__norm"]) for r in similarity.quantized(huge).collect()}
-    assert qh[1] == (None, None)
+    for i in (1, 3, 4):
+        assert qh[i][1] is None and None in qh[i][0]
     assert qh[0][0] is not None
-    th = similarity.cosine_topk(huge, n_queries=1, topk=2).collect()
+    assert qh[5][1] is not None and qh[6][1] is not None  # in-bound extremes
+    th = similarity.cosine_topk(huge, n_queries=1, topk=6).collect()
     assert [r.vec_id for r in th[:1]] == [2]
-    assert all(r.cosine is None for r in th if r.vec_id == 1)
-    ih = similarity.int8_cosine_topk(huge, n_queries=1, topk=2).collect()
+    assert all(r.cosine is None for r in th if r.vec_id in (1, 3, 4))
+    got = {r.vec_id: r.cosine for r in th}
+    assert got[5] is not None and got[6] is not None
+    # IVF on the extreme-but-valid corpus: the (x-y)^2 fold between
+    # vec 5 and vec 6 is the worst case the bound admits — dim·(2B)^2
+    # = 2^63-1 exactly; must not raise ARITHMETIC_OVERFLOW
+    ivf_h = similarity.ann_ivf_topk(huge, n_queries=1, topk=5, n_clusters=2).collect()
+    assert all(r.cosine is None for r in ivf_h if r.vec_id in (1, 3, 4))
+    ih = similarity.int8_cosine_topk(huge, n_queries=1, topk=6).collect()
     assert {r.vec_id: r.cosine for r in ih}[1] == 1.0  # valid under SQ8
