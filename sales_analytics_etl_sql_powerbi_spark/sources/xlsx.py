@@ -51,9 +51,17 @@ def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
         rel.get("Id"): rel.get("Target")
         for rel in rels.findall(f"{_NS_PKG}Relationship")
     }
+    sheets_el = wb.find(f"{_NS}sheets")
+    if sheets_el is None:
+        raise ValueError("workbook.xml has no <sheets> element")
     out = []
-    for sheet in wb.find(f"{_NS}sheets").findall(f"{_NS}sheet"):
-        target = target_by_rid[sheet.get(f"{_NS_REL}id")]
+    for sheet in sheets_el.findall(f"{_NS}sheet"):
+        rid = sheet.get(f"{_NS_REL}id")
+        target = target_by_rid.get(rid)
+        if target is None:
+            raise ValueError(
+                f"sheet relationship {rid!r} missing from workbook rels"
+            )
         if not target.startswith("/"):
             target = "xl/" + target
         out.append((sheet.get("name"), target.lstrip("/")))
@@ -81,7 +89,17 @@ def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
     if v is None or v.text is None:
         return None
     if t == "s":
-        return shared[int(v.text)]
+        try:
+            i = int(v.text)
+        except ValueError:
+            raise ValueError(
+                f"shared-string ref is not an integer: {v.text!r}"
+            ) from None
+        if not 0 <= i < len(shared):
+            raise ValueError(
+                f"shared-string index {i} out of range ({len(shared)} strings)"
+            )
+        return shared[i]
     if t == "b":
         return "TRUE" if v.text.strip() == "1" else "FALSE"
     return v.text  # 'n' (number-as-written) / 'str' (formula result)
@@ -105,6 +123,15 @@ def read_xlsx_table(
     failures now normalize to ValueError so a malformed payload fails
     its ROW under one catchable type, the same contract as
     :func:`.xls.read_xls_table` and the multimodal decoders.
+
+    The normalize-except wraps ONLY the zipfile/ElementTree container
+    operations (ADVICE r14: it used to wrap the pure-Python grid loop
+    too and catch IndexError/KeyError/RuntimeError broadly, so a
+    genuine bug in the grid logic would masquerade as 'corrupt xlsx
+    container'). Data-level faults inside well-formed XML —
+    out-of-range shared-string refs, non-integer refs, missing sheet
+    relationships, beyond-XFD column refs — raise their own specific
+    ValueError from the helpers instead.
     """
     import zlib
 
@@ -122,16 +149,8 @@ def read_xlsx_table(
                 target = by_name[sheet]
             shared = _shared_strings(zf)
             root = ET.fromstring(zf.read(target))
-            grid: list[list[str | None]] = []
-            for row in root.iter(f"{_NS}row"):
-                cells: list[str | None] = []
-                for c in row.findall(f"{_NS}c"):
-                    ref = c.get("r")
-                    idx = _col_index(ref) if ref else len(cells)
-                    while len(cells) < idx:
-                        cells.append(None)
-                    cells.append(_cell_value(c, shared))
-                grid.append(cells)
+    except ValueError:
+        raise  # already the contract type, with a specific message
     except (
         zipfile.BadZipFile,
         EOFError,
@@ -139,10 +158,28 @@ def read_xlsx_table(
         zlib.error,
         KeyError,  # zf.read of a missing member
         ET.ParseError,
-        IndexError,  # malformed A1 refs / empty elements
         RuntimeError,  # zipfile's "encrypted, password required"
     ) as e:
         raise ValueError(f"corrupt xlsx container: {type(e).__name__}: {e}") from e
+
+    # grid building is pure Python over parsed XML — outside the
+    # normalize-except, so its only deliberate rejections (ValueError
+    # from _cell_value / the XFD cap) propagate and anything else is a
+    # real bug that should surface as itself
+    grid: list[list[str | None]] = []
+    for row in root.iter(f"{_NS}row"):
+        cells: list[str | None] = []
+        for c in row.findall(f"{_NS}c"):
+            ref = c.get("r")
+            idx = _col_index(ref) if ref else len(cells)
+            if idx >= 16384:  # Excel's XFD column cap; also bounds the
+                raise ValueError(  # None-padding loop on crafted refs
+                    f"cell ref {ref!r} beyond Excel's 16384-column limit"
+                )
+            while len(cells) < idx:
+                cells.append(None)
+            cells.append(_cell_value(c, shared))
+        grid.append(cells)
     if not grid:
         return [], []
     width = max(len(r) for r in grid)

@@ -1867,7 +1867,28 @@ def test_xls_roundtrip_and_reject_fuzz(tmp_path_factory, hdr_vals, rows, rnd, mo
     write_minimal_xls(p, headers, rows)
     got_h, got_rows = read_xls_table(p)
     assert got_h == headers
-    assert len(got_rows) == len([r for r in rows if any(v is not None for v in r)] ) or len(got_rows) <= len(rows)
+    # exact reconstruction (ADVICE r14: the old `== X or <= len(rows)`
+    # disjunction was vacuous — a silent row-dropper would have
+    # passed): the writer emits no record for None cells, so the grid
+    # ends at the LAST row holding any non-None cell; interior
+    # all-None rows survive as None padding, trailing ones vanish
+    padded = [list(r) + [None] * (width - len(r)) for r in rows]
+    last = max(
+        (i for i, r in enumerate(padded) if any(v is not None for v in r)),
+        default=-1,
+    )
+    assert len(got_rows) == last + 1
+    for i in range(last + 1):
+        for c in range(width):
+            v, g = padded[i][c], got_rows[i][c]
+            if v is None:
+                assert g is None
+            elif isinstance(v, bool):
+                assert g == ("TRUE" if v else "FALSE")
+            elif isinstance(v, str):
+                assert g == v
+            else:  # int (RK) / float (NUMBER): numeric round-trip
+                assert g is not None and float(g) == float(v)
 
     data = open(p, "rb").read()
     if mode == 0:
