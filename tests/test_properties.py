@@ -2547,3 +2547,158 @@ def test_interval_join_matches_python_pairs(spark, evs):
             if vt == "view" and vu == pu and 0 <= ps - vs <= 1800:
                 want[(pi, vi)] = float(ps - vs)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming-family simulator fuzz (round 15 — VERDICT r14 item 4): the
+# last major un-fuzzed surface. Each windowed/stateful operator's BATCH
+# route (the oracle-gated contract) is twinned against an independent
+# pure-Python event-time walk on arbitrary generated event streams —
+# microsecond-precision timestamps, deliberate window-boundary hits,
+# duplicate ids, equal-ts ties, multi-session users. The stream-only
+# watermark semantics get their own multi-batch simulator in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_US_HOUR = 3_600_000_000
+_US_HALF = 1_800_000_000
+_US_GAP = 300_000_000  # 5-minute session gap
+
+# offsets mix arbitrary microseconds with exact window/session
+# boundaries so edge semantics (event AT window start, gap EXACTLY 5
+# minutes) are generated often, not once in a blue moon
+_EVT_OFF = st.one_of(
+    st.integers(0, 9_000_000_000),  # 0 .. 2.5h, µs precision
+    st.sampled_from(
+        [0, _US_GAP, 2 * _US_GAP, _US_HALF, _US_HOUR, _US_HOUR + _US_GAP,
+         2 * _US_HOUR, _US_HOUR - 1, _US_HALF + 1]
+    ),
+)
+_EVT = st.tuples(
+    st.integers(0, 6),                               # event_id: collisions
+    st.integers(0, 3),                               # user_id
+    st.sampled_from(["view", "purchase", "click"]),  # event_type
+    _EVT_OFF,                                        # ts offset (µs)
+    st.integers(-40, 40),                            # value in quarters
+)
+
+
+def _evt_frame(spark, evs):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, base + dt.timedelta(microseconds=off), uid, et, q * 0.25)
+        for (eid, uid, et, off, q) in evs
+    ]
+    return rows, spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+@SLOW
+@given(st.lists(_EVT, min_size=1, max_size=30))
+def test_windowed_aggs_match_python_simulator(spark, evs):
+    """tumbling_counts / sliding_counts / session_windows ==
+    independent Python event-time walks on arbitrary event streams.
+    Values are exact quarters so every decimal(12,2) sum is exact in
+    both engines; boundary hits pin that a window is [start, end) and
+    a gap of exactly 5 minutes STARTS a new session (Spark's
+    session_window end = last_ts + gap is exclusive)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    base = dt.datetime(2024, 1, 1)
+    rows, df = _evt_frame(spark, evs)
+
+    # --- tumbling: floor to the hour ---
+    want_t = defaultdict(lambda: [0, 0.0])
+    for (eid, uid, et, off, q) in evs:
+        ws = base + dt.timedelta(microseconds=off - off % _US_HOUR)
+        want_t[(ws, et)][0] += 1
+        want_t[(ws, et)][1] += q * 0.25
+    got_t = {
+        (r.window_start, r.event_type): [r.event_count, r.sum_value]
+        for r in W.tumbling_counts(df).collect()
+    }
+    assert got_t == dict(want_t)
+
+    # --- sliding 1h/30m: each event lands in exactly two windows ---
+    want_s = defaultdict(int)
+    for (eid, uid, et, off, q) in evs:
+        w30 = off - off % _US_HALF
+        for start in (w30 - _US_HALF, w30):
+            want_s[(base + dt.timedelta(microseconds=start), et)] += 1
+    got_s = {
+        (r.window_start, r.event_type): r.event_count
+        for r in W.sliding_counts(df).collect()
+    }
+    assert got_s == dict(want_s)
+
+    # --- session windows: per-user walk, new session when the gap to
+    # the PREVIOUS EVENT is >= 5 minutes (end = last + gap exclusive) ---
+    by_user = defaultdict(list)
+    for (eid, uid, et, off, q) in evs:
+        by_user[uid].append((off, q * 0.25))
+    want_sess = set()
+    for uid, evts in by_user.items():
+        evts.sort(key=lambda p: p[0])
+        cur = None  # [start_off, last_off, count, sum]
+        for off, v in evts:
+            if cur is not None and off - cur[1] < _US_GAP:
+                cur[1] = off
+                cur[2] += 1
+                cur[3] += v
+            else:
+                if cur is not None:
+                    want_sess.add(
+                        (uid,
+                         base + dt.timedelta(microseconds=cur[0]),
+                         base + dt.timedelta(microseconds=cur[1] + _US_GAP),
+                         cur[2], cur[3])
+                    )
+                cur = [off, off, 1, v]
+        if cur is not None:
+            want_sess.add(
+                (uid,
+                 base + dt.timedelta(microseconds=cur[0]),
+                 base + dt.timedelta(microseconds=cur[1] + _US_GAP),
+                 cur[2], cur[3])
+            )
+    got_sess = {
+        (r.user_id, r.session_start, r.session_end, r.event_count, r.sum_value)
+        for r in W.session_windows(df).collect()
+    }
+    assert got_sess == want_sess
+
+
+@SLOW
+@given(st.lists(_EVT, min_size=1, max_size=30))
+def test_stateful_totals_and_dedup_match_python_simulator(spark, evs):
+    """running_totals_stateful's batch twin == a per-user Python
+    accumulator; dedup_within_watermark's batch route keeps exactly
+    one INPUT row per event_id."""
+    from collections import defaultdict
+
+    from sales_analytics_etl_sql_powerbi_spark.streaming import windows as W
+
+    rows, df = _evt_frame(spark, evs)
+
+    want_tot = defaultdict(lambda: [0, 0.0])
+    for (eid, uid, et, off, q) in evs:
+        want_tot[uid][0] += 1
+        want_tot[uid][1] += q * 0.25
+    got_tot = {
+        r.user_id: [r.event_count, r.value_sum]
+        for r in W.running_totals_stateful(df).collect()
+    }
+    assert got_tot == dict(want_tot)
+
+    got_d = W.dedup_within_watermark(df, ["event_id"]).collect()
+    input_rows = {tuple(r) for r in rows}
+    assert {r.event_id for r in got_d} == {e[0] for e in evs}
+    assert len(got_d) == len({e[0] for e in evs})
+    for r in got_d:  # every survivor is a real input row, intact
+        assert (r.event_id, r.ts, r.user_id, r.event_type, r.value) in input_rows

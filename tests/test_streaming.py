@@ -669,3 +669,96 @@ def test_cdc_latest_version_falls_back_to_committed_dirs(spark, tmp_path):
     assert {r.v for r in cdc.read_snapshot(spark, table).collect()} == {"b"}
     # file:// scheme resolves through the same local path
     assert cdc.latest_version("file://" + table) == 1
+
+
+def test_multibatch_watermark_matches_python_simulator(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 4): the stream-ONLY semantics —
+    watermark advance, late-row dropping, append-mode window
+    emission — twinned against a pure-Python watermark simulator on
+    generated multi-batch streams. Batch boundaries are made
+    deterministic by restarting an availableNow query per data file
+    against one checkpoint (the same technique as
+    test_watermark_drops_late_data). Simulator rules (Spark's
+    documented semantics):
+
+      - W starts at epoch; after each committed batch,
+        W = max(W, max_event_ts_seen - delay)
+      - a row whose window end <= W at processing time is dropped
+      - append mode emits a window exactly once, in the first run
+        whose post-batch W >= window end (availableNow runs the
+        no-data flush batch before terminating)
+    """
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    delay_us = 10 * 60 * 1_000_000
+    hour_us = 3_600_000_000
+    base = dt.datetime(2024, 1, 1)
+    rnd = random.Random(20250815)
+
+    for case in range(2):
+        src = str(tmp_path / f"wm_src_{case}")
+        ckpt = str(tmp_path / f"wm_ckpt_{case}")
+        out_dir = str(tmp_path / f"wm_out_{case}")
+
+        # 3 batches; each mixes fresh timestamps with stragglers far
+        # behind the running max, plus exact hour boundaries
+        batches = []
+        eid = 0
+        for b in range(3):
+            batch = []
+            for _ in range(rnd.randrange(2, 7)):
+                mode = rnd.random()
+                if mode < 0.25:
+                    off = (b + rnd.randrange(0, 2)) * hour_us  # boundary
+                elif mode < 0.5:
+                    off = rnd.randrange(0, hour_us)  # straggler to batch 0's hour
+                else:
+                    off = b * hour_us + rnd.randrange(0, hour_us)
+                batch.append((eid, off))
+                eid += 1
+            batches.append(batch)
+
+        # --- python simulator ---
+        w = -(1 << 62)
+        state: dict[int, int] = {}
+        emitted: dict[dt.datetime, int] = {}
+        for batch in batches:
+            for _, off in batch:
+                ws = off - off % hour_us
+                if ws + hour_us <= w:
+                    continue  # late beyond watermark: dropped
+                state[ws] = state.get(ws, 0) + 1
+            w = max(w, max(off for _, off in batch) - delay_us)
+            for ws in sorted([s for s in state if s + hour_us <= w]):
+                emitted[base + dt.timedelta(microseconds=ws)] = state.pop(ws)
+
+        # --- the real stream, one availableNow run per batch ---
+        for batch in batches:
+            rows = [
+                (i, base + dt.timedelta(microseconds=off), 1, "a", 1.0)
+                for i, off in batch
+            ]
+            spark.createDataFrame(rows, EVENTS).write.mode("append").parquet(src)
+            q = (
+                W.tumbling_counts(
+                    spark.readStream.schema(EVENTS).parquet(src)
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {
+            r.window_start: r.event_count
+            for r in spark.read.parquet(out_dir)
+            .where(F.col("event_type") == "a")
+            .collect()
+        }
+        assert got == emitted, (case, batches, got, emitted)
