@@ -347,6 +347,7 @@ def shortlisted_cosine_topk(
     multiplier: int | None = 5,
     n_queries: int = 5,
     topk: int = 10,
+    max_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Two-stage similarity search: RP SHORTLIST → EXACT rerank — the
     composition a 100-TB search actually runs, as one operator.
@@ -384,7 +385,11 @@ def shortlisted_cosine_topk(
     if multiplier < 1:
         raise ValueError(f"multiplier must be >= 1, got {multiplier}")
     shortlist = rp_cosine_topk(
-        emb, out_dim=out_dim, n_queries=n_queries, topk=multiplier * topk
+        emb,
+        out_dim=out_dim,
+        n_queries=n_queries,
+        topk=multiplier * topk,
+        max_rows_per_task=max_rows_per_task,
     ).select("query_id", "vec_id")
     q = quantized(emb)
     queries = q.where(F.col("vec_id") < n_queries).select(
@@ -1417,7 +1422,10 @@ ORDER BY query_id, rn
 
 
 def rp_project(
-    emb: DataFrame, out_dim: int = 16, impl: str = "arrow"
+    emb: DataFrame,
+    out_dim: int = 16,
+    impl: str = "arrow",
+    max_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003):
     each output coordinate is the dot product of the micro-unit
@@ -1445,9 +1453,25 @@ def rp_project(
     nothing changes cross-engine. ``impl="fold"`` is the pure-JVM
     expression path — the witness that pins the arithmetic without
     Python in the loop.
+
+    ``max_rows_per_task`` (round 15 — VERDICT r14 item 3) bounds the
+    Arrow leg's per-task row count by construction: one count job,
+    then ``repartition(ceil(n / bound))`` before the projection. On a
+    cluster the scan splits already bound task size
+    (``spark.sql.files.maxPartitionBytes``); the knob exists for
+    single-node runs over persisted/unioned frames whose inherited
+    partitioning can hand one Python worker a multi-million-row
+    straggler (the 32M rerank boundary, PLAN_AUDIT r14). Leave None on
+    gated paths — the count job is the only cost, but the default
+    stays zero-overhead.
     """
     planes = hyperplanes(out_dim)
     q = quantized(emb)
+    if max_rows_per_task:
+        import math
+
+        n_parts = max(1, math.ceil(emb.count() / max_rows_per_task))
+        q = q.repartition(n_parts)
     return q.select("vec_id", _rp_expr(planes, impl).alias("rp"))
 
 
@@ -1506,7 +1530,11 @@ def _rp_expr(planes: list[list[int]], impl: str):
 
 
 def rp_cosine_topk(
-    emb: DataFrame, out_dim: int = 16, n_queries: int = 5, topk: int = 10
+    emb: DataFrame,
+    out_dim: int = 16,
+    n_queries: int = 5,
+    topk: int = 10,
+    max_rows_per_task: int | None = None,
 ) -> DataFrame:
     """:func:`cosine_topk` in the projected space: same query
     broadcast, same 9-dp rounding and tie-break, but every pairwise
@@ -1523,7 +1551,7 @@ def rp_cosine_topk(
     # → ~2s at 2000 vectors; at scale this is the build-once/query-
     # many split ann_index already documents)
     p = (
-        rp_project(emb, out_dim)
+        rp_project(emb, out_dim, max_rows_per_task=max_rows_per_task)
         .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
         .where(F.col("__pn") > 0)
         .localCheckpoint(eager=True)

@@ -77,6 +77,16 @@ def get_spark(
         # -- Arrow for the few pandas interchange points (Excel shim,
         #    pandas_udf variants) --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- Arrow batch rows cap the per-batch memory of every
+        #    pandas_udf/mapInPandas worker; lower via env for
+        #    memory-tight single-node stress runs (round 15) --
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
+        # -- a crashed Python worker dumps a traceback instead of the
+        #    bare "exited unexpectedly" (cost: one extra signal handler)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         # -- the driver's events.parquet carries INT64 TIMESTAMP(NANOS)
         #    which Spark's parquet reader rejects by default; read as
         #    long and convert (readers.read_events) --

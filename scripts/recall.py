@@ -227,6 +227,15 @@ def rerank_main() -> None:
 
     Usage: python scripts/recall.py --rerank [sf_dir] [n_queries] [topk]
                                              [mult,mult,...] [inflate]
+                                             [dim,dim,...]
+
+    Env (round 15 — VERDICT r14 item 3): ``SPARK_GRAFT_RP_TASK_ROWS``
+    bounds the Arrow projection leg's per-task rows by construction
+    (threads ``max_rows_per_task`` through shortlisted_cosine_topk);
+    ``SPARK_GRAFT_ARROW_BATCH`` caps per-batch rows at the session
+    level. Use both with a lowered SPARK_DRIVER_MEM on memory-tight
+    single-node runs — the 32M straggler kill was the Python worker
+    losing the box-OOM race to an 80g JVM.
 
     ``inflate`` > 1 unions (inflate−1) blocks of fully SYNTHETIC
     hash-random vectors (deterministic per (vec_id, dim) — near-
@@ -244,6 +253,12 @@ def rerank_main() -> None:
         else [2, 5, 10]
     )
     inflate = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    dims = (
+        [int(d) for d in sys.argv[7].split(",")]
+        if len(sys.argv) > 7
+        else [16, 32]
+    )
+    task_rows = int(os.environ.get("SPARK_GRAFT_RP_TASK_ROWS", "0")) or None
 
     from pyspark.sql import functions as F
 
@@ -276,7 +291,7 @@ def rerank_main() -> None:
     )
     t_exact = time.perf_counter() - t0
     print(f"brute-force baseline: {t_exact:.1f}s")
-    for out_dim in (16, 32):
+    for out_dim in dims:
         for mult in mults:
             t0 = time.perf_counter()
             got = topk_sets(
@@ -286,6 +301,7 @@ def rerank_main() -> None:
                     multiplier=mult,
                     n_queries=n_queries,
                     topk=topk,
+                    max_rows_per_task=task_rows,
                 ).collect()
             )
             dt = time.perf_counter() - t0
