@@ -2520,6 +2520,29 @@ def entity_zipf_main() -> None:
                 f"n={n}: UNSALTED reference {pu} pairs in "
                 f"{time.time() - t0:.1f}s"
             )
+        if n == total:
+            # REPLAY path (round 15 — VERDICT r14 item 6): feed the
+            # audit's resolved decision back as an explicit
+            # max_cell_size — no prescan job runs, the second call
+            # against the same corpus is pure join time
+            t0 = time.time()
+            aud2: dict = {}
+            pr = entity_match_pairs(
+                e,
+                key="ek",
+                name_col="ename",
+                block_cols=["blk"],
+                max_cell_size=aud["resolved_max_cell_size"],
+                audit=aud2,
+            ).count()
+            assert pr == pairs, (pr, pairs)
+            assert aud2["regime"] == "explicit"
+            assert aud2["prescan_seconds"] == 0.0
+            print(
+                f"n={n}: REPLAY(resolved="
+                f"{aud['resolved_max_cell_size']}) {pr} pairs in "
+                f"{time.time() - t0:.1f}s (no prescan)"
+            )
 
 
 if __name__ == "__main__":

@@ -2899,3 +2899,59 @@ def test_write_zordered_preserves_rows_fuzz(
     )
     with pytest.raises(ValueError, match="all-NULL"):
         sinks.write_zordered(nulls, str(base / "z2"), ["x", "y"])
+
+
+_POISON_ELEM = st.one_of(
+    st.floats(-150.0, 150.0, allow_nan=False, allow_infinity=False),
+    st.sampled_from(
+        [float("nan"), float("inf"), float("-inf"), 5e3, 1e13, -400.0, 0.0]
+    ),
+    st.none(),
+)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(_POISON_ELEM, min_size=8, max_size=8),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_cosine_topk_poison_parity_with_duckdb_twin(spark, vecs):
+    """cosine_topk == its DuckDB twin on POISON-LACED corpora (round
+    15): NaN/±Inf/NULL/huge-finite/zero vectors — the gated corpus is
+    clean, so the r15 _Q_DUCK whole-vector-NULL encoding (DuckDB's
+    list_sum ignores NULL elements where Spark's fold propagates) is
+    pinned here instead. Both engines must produce the same rows,
+    ranks, and NULL cosines."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in S.cosine_topk(emb, n_queries=2, topk=5).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            S.cosine_topk_sql(n_queries=2, topk=5, dim=8)
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (got, want)
+        if g[2] is None or w[2] is None:
+            assert g[2] is None and w[2] is None, (g, w)
+        else:
+            assert abs(g[2] - w[2]) < 1e-12, (g, w)
