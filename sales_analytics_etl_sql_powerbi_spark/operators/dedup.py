@@ -122,8 +122,20 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
     shingle so they still participate. Keeping the set as an array lets
     the exact-Jaccard verifier compute ``array_intersect`` sizes with
     doc-count-sized joins instead of shuffling exploded shingle rows.
+
+    NULL-text docs are dropped HERE (round 15, found by the neardup
+    fuzz): they used to carry ``sh_set = [NULL]``, whose all-NULL
+    minhash signature banded to ``md5('')`` on :func:`neardup_pairs`'s
+    inline explode path (``concat_ws`` skips NULLs) — so any two
+    NULL-text docs collided in EVERY band and surfaced as a bogus
+    near-dup pair, while the DuckDB twin (whose ``unnest`` emits no
+    NULL shingle) reported none. Filtering at the single shared source
+    keeps every consumer — pair generator, incremental index/query,
+    cluster collapse, the Jaccard verifier — and both engines on one
+    convention: a NULL document has no shingles and never matches
+    (clusters still label it a singleton from the docs side).
     """
-    d = docs.select(
+    d = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("__tok")
     )
     grams = F.when(
@@ -179,7 +191,7 @@ SELECT doc_id, list_sort(list_distinct(
        THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
        ELSE [array_to_string(__tok, ' ')] END)) AS sh_set
 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
-      FROM {source}) d
+      FROM {source} WHERE text IS NOT NULL) d
 """
 
 

@@ -201,6 +201,48 @@ def _q_elem_bound(dim: int = _DIM) -> int:
     return math.isqrt((2**63 - 1) // (4 * dim))
 
 
+def _require_plane_safe_dim(dim: int, ctx: str) -> None:
+    """The hyperplane family rides :func:`quantized`'s FIXED
+    element-magnitude gate, which is sized for the worst integer
+    consumer at ``_DIM`` terms (:func:`_q_elem_bound`). A NARROWER
+    corpus only makes the bound more conservative (safe); a WIDER one
+    would re-open the ADVICE-r14 overflow window (dim·4B² past 2^63),
+    so refuse loudly instead of producing a job-killing plan."""
+    if dim > _DIM:
+        raise ValueError(
+            f"{ctx}: dim={dim} exceeds the quantization gate's safe "
+            f"envelope ({_DIM}); recalibrate _q_elem_bound before "
+            "raising the corpus width"
+        )
+
+
+def _dim_guarded(out: F.Column, dim: int, ctx: str) -> F.Column:
+    """Wrap a hyperplane-derived column with a LOUD width guard (round
+    15, found by the ANN fuzz): ``zip_with`` pads the shorter array
+    with NULLs, so a corpus whose embeddings are not ``dim`` wide used
+    to fold every projection to NULL and SILENTLY collapse the whole
+    corpus into bucket 0 (LSH → brute-force-in-one-bucket) or an
+    all-NULL RP shortlist (empty results) — no error, wrong scale
+    behavior. A width mismatch is a caller contract bug, not data
+    poison (poison rows keep a ``dim``-sized NULL-holding ``__q`` and
+    still take the never-matches path), so it must raise. Cost: one
+    ``size()`` + compare per row, nothing in the fold hot path."""
+    bad = F.size("__q").isNotNull() & (F.size("__q") != F.lit(dim))
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: embedding width "),
+                F.size("__q").cast("string"),
+                F.lit(
+                    f" does not match the hyperplane dim {dim} — pass "
+                    "dim=<corpus width> (planes are built per-dim)"
+                ),
+            )
+        ),
+    ).otherwise(out)
+
+
 def quantized(emb: DataFrame, col: str = "embedding", dim: int = _DIM) -> DataFrame:
     """Embeddings as integer micro-unit arrays (exact arithmetic).
 
@@ -348,6 +390,7 @@ def shortlisted_cosine_topk(
     n_queries: int = 5,
     topk: int = 10,
     max_rows_per_task: int | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Two-stage similarity search: RP SHORTLIST → EXACT rerank — the
     composition a 100-TB search actually runs, as one operator.
@@ -390,6 +433,7 @@ def shortlisted_cosine_topk(
         n_queries=n_queries,
         topk=multiplier * topk,
         max_rows_per_task=max_rows_per_task,
+        dim=dim,
     ).select("query_id", "vec_id")
     q = quantized(emb)
     queries = q.where(F.col("vec_id") < n_queries).select(
@@ -522,7 +566,9 @@ def rerank_multiplier(
     return max(1, min(int(mult + 0.999), max(1, corpus_n // topk)))
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, n_planes: int | None = None, dim: int = _DIM
+) -> DataFrame:
     """Random-hyperplane bucket id per vector (sign-bit concatenation).
 
     ``n_planes=None`` auto-sizes from the corpus row count
@@ -530,10 +576,15 @@ def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     so bucket sizes stay ~constant as the corpus grows instead of
     growing linearly with it. Pass an explicit count to pin the
     bucketing (e.g. for cross-run comparability).
+
+    ``dim`` is the embedding width the planes are built at (default:
+    the corpus contract ``_DIM``); a mismatched corpus raises per-row
+    via :func:`_dim_guarded` instead of silently single-bucketing.
     """
+    _require_plane_safe_dim(dim, "lsh_buckets")
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
-    planes = hyperplanes(n_planes)
+    planes = hyperplanes(n_planes, dim)
     q = quantized(emb)
     # Deliberately UNROLLED per plane (vs with_cells' single-transform
     # literal): the bucketed frame is SELF-joined by every consumer
@@ -549,11 +600,13 @@ def lsh_buckets(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
         d = F.expr(_DOT.format(a="__q", b=plane_lit))
         bit = F.when(d >= 0, F.lit(2**j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return q.withColumn("bucket", bucket.cast("int"))
+    return q.withColumn(
+        "bucket", _dim_guarded(bucket.cast("int"), dim, "lsh_buckets")
+    )
 
 
 def _expand_probes(
-    qb0: DataFrame, n_planes: int, n_probes: int
+    qb0: DataFrame, n_planes: int, n_probes: int, dim: int = _DIM
 ) -> DataFrame:
     """Multi-probe LSH expansion (query-directed, single bit flips):
     each row additionally probes the ``n_probes - 1`` buckets reached
@@ -573,7 +626,7 @@ def _expand_probes(
         return qb0
     # (|margin|, flip-mask) per plane, ascending — nearest planes first
     margin_structs = []
-    for j, plane in enumerate(hyperplanes(n_planes)):
+    for j, plane in enumerate(hyperplanes(n_planes, dim)):
         plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
         d = F.expr(_DOT.format(a="__q", b=plane_lit))
         margin_structs.append(
@@ -601,6 +654,7 @@ def semantic_contamination(
     threshold: float = 0.9,
     n_planes: int | None = None,
     n_probes: int = 4,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination (beyond-reference) —
     the SEMANTIC sibling of ``text.decontaminate``'s k-gram overlap:
@@ -647,9 +701,9 @@ def semantic_contamination(
     """
     if n_planes is None:
         n_planes = auto_n_planes_eval(eval_emb.count(), threshold=threshold)
-    index = lsh_buckets(corpus_emb, n_planes)
+    index = lsh_buckets(corpus_emb, n_planes, dim)
     qb = _expand_probes(
-        lsh_buckets(eval_emb, n_planes), n_planes, n_probes
+        lsh_buckets(eval_emb, n_planes, dim), n_planes, n_probes, dim
     ).select(
         F.col("vec_id").alias("eval_id"),
         F.col("__q").alias("__qq"),
@@ -685,7 +739,9 @@ def semantic_decontaminate(
     return corpus_emb.join(hits, "vec_id", "left_anti")
 
 
-def ann_index(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+def ann_index(
+    emb: DataFrame, n_planes: int | None = None, dim: int = _DIM
+) -> DataFrame:
     """Materializable LSH index: the bucketed, quantized corpus.
 
     The production shape for repeated ANN queries — build ONCE
@@ -700,7 +756,7 @@ def ann_index(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     when the index outlives this process; the default auto-sizing is
     corpus-count-dependent.
     """
-    return lsh_buckets(emb, n_planes)
+    return lsh_buckets(emb, n_planes, dim)
 
 
 def ann_query(
@@ -709,6 +765,7 @@ def ann_query(
     n_planes: int,
     topk: int = 5,
     n_probes: int = 1,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Top-k over a prebuilt :func:`ann_index` for a batch of queries.
 
@@ -731,7 +788,9 @@ def ann_query(
     corpus). The standard knob when an LSH index is materialized and
     rebucketing is expensive but a query batch needs better recall.
     """
-    qb0 = _expand_probes(lsh_buckets(queries, n_planes), n_planes, n_probes)
+    qb0 = _expand_probes(
+        lsh_buckets(queries, n_planes, dim), n_planes, n_probes, dim
+    )
     qb = qb0.select(
         F.col("vec_id").alias("query_id"),
         F.col("__q").alias("__qq"),
@@ -760,6 +819,7 @@ def ann_lsh_topk(
     topk: int = 5,
     n_planes: int | None = None,
     n_probes: int = 1,
+    dim: int = _DIM,
 ) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket.
 
@@ -781,11 +841,12 @@ def ann_lsh_topk(
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
     return ann_query(
-        ann_index(emb, n_planes),
+        ann_index(emb, n_planes, dim),
         emb.where(F.col("vec_id") < n_queries),
         n_planes,
         topk,
         n_probes,
+        dim,
     )
 
 
@@ -832,7 +893,10 @@ ORDER BY query_id, rn
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold: float = 0.9, n_planes: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidates only.
 
@@ -846,7 +910,7 @@ def embedding_neardup_pairs(
     twin replicates the bucketing exactly, so the oracle checks the
     implementation, not a stricter ideal.
     """
-    b = lsh_buckets(emb, n_planes)
+    b = lsh_buckets(emb, n_planes, dim)
     a = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("__q").alias("__qa"),
@@ -869,7 +933,10 @@ def embedding_neardup_pairs(
 
 
 def embedding_neardup_clusters(
-    emb: DataFrame, threshold: float = 0.9, n_planes: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Semantic dedup: collapse cosine-near-dup embeddings into clusters.
 
@@ -883,7 +950,7 @@ def embedding_neardup_clusters(
     """
     from .dedup import neardup_clusters
 
-    pairs = embedding_neardup_pairs(emb, threshold, n_planes).select(
+    pairs = embedding_neardup_pairs(emb, threshold, n_planes, dim).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     out = neardup_clusters(
@@ -1426,6 +1493,7 @@ def rp_project(
     out_dim: int = 16,
     impl: str = "arrow",
     max_rows_per_task: int | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003):
     each output coordinate is the dot product of the micro-unit
@@ -1465,17 +1533,18 @@ def rp_project(
     gated paths — the count job is the only cost, but the default
     stays zero-overhead.
     """
-    planes = hyperplanes(out_dim)
+    _require_plane_safe_dim(dim, "rp_project")
+    planes = hyperplanes(out_dim, dim)
     q = quantized(emb)
     if max_rows_per_task:
         import math
 
         n_parts = max(1, math.ceil(emb.count() / max_rows_per_task))
         q = q.repartition(n_parts)
-    return q.select("vec_id", _rp_expr(planes, impl).alias("rp"))
+    return q.select("vec_id", _rp_expr(planes, impl, dim).alias("rp"))
 
 
-def _rp_expr(planes: list[list[int]], impl: str):
+def _rp_expr(planes: list[list[int]], impl: str, dim: int = _DIM):
     if impl == "fold":
         # unrolled per output coordinate (same Spark 4.1 self-join
         # lambda bind rationale as lsh_buckets); poison embedding →
@@ -1491,7 +1560,9 @@ def _rp_expr(planes: list[list[int]], impl: str):
         for plane in planes:
             plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
             coords.append(F.expr(_DOT.format(a="__q", b=plane_lit)))
-        return F.when(coords[0].isNotNull(), F.array(*coords))
+        return _dim_guarded(
+            F.when(coords[0].isNotNull(), F.array(*coords)), dim, "rp_project"
+        )
     if impl != "arrow":
         raise ValueError(f"unknown impl {impl!r} (arrow | fold)")
     import numpy as np
@@ -1511,6 +1582,14 @@ def _rp_expr(planes: list[list[int]], impl: str):
             if a is None:
                 return None
             arr = np.asarray(a, dtype="float64")
+            if arr.shape[0] != mat.shape[0]:
+                # same contract as the fold path's _dim_guarded: a
+                # width mismatch is a caller bug, never silent
+                raise ValueError(
+                    f"rp_project: embedding width {arr.shape[0]} does "
+                    f"not match the hyperplane dim {mat.shape[0]} — "
+                    "pass dim=<corpus width>"
+                )
             if np.isnan(arr).any():
                 return None
             return arr.astype(np.int64)  # exact: |elem| <= ~1.9e8 << 2^53
@@ -1535,6 +1614,7 @@ def rp_cosine_topk(
     n_queries: int = 5,
     topk: int = 10,
     max_rows_per_task: int | None = None,
+    dim: int = _DIM,
 ) -> DataFrame:
     """:func:`cosine_topk` in the projected space: same query
     broadcast, same 9-dp rounding and tie-break, but every pairwise
@@ -1551,7 +1631,7 @@ def rp_cosine_topk(
     # → ~2s at 2000 vectors; at scale this is the build-once/query-
     # many split ann_index already documents)
     p = (
-        rp_project(emb, out_dim, max_rows_per_task=max_rows_per_task)
+        rp_project(emb, out_dim, max_rows_per_task=max_rows_per_task, dim=dim)
         .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
         .where(F.col("__pn") > 0)
         .localCheckpoint(eager=True)

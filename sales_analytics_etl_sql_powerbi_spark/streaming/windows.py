@@ -130,13 +130,21 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
-# gaps-and-islands: new session when gap > 5 min; session_end = last_ts + gap
-# (Spark's session_window end semantics)
+# gaps-and-islands: new session when gap is STRICTLY > 5 min;
+# session_end = last_ts + gap. The strict inequality is Spark's
+# session_window semantics (verified live, pinned by
+# test_session_window_exact_gap_boundary): an event landing exactly at
+# the previous session's end (gap == 5 min) MERGES — Spark coalesces
+# adjacent sessions, not just overlapping ones. The r14 twin used >=
+# here (exclusive end ⇒ new session on an exact-gap event), which the
+# round-15 window-family fuzz falsified — the gate corpus never
+# carries an exact-300.000000s same-user gap, so only the simulator
+# caught it.
 SESSION_SQL = """
 WITH marked AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 5 MINUTE OR
+                   > INTERVAL 5 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

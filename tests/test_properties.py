@@ -2603,8 +2603,10 @@ def test_windowed_aggs_match_python_simulator(spark, evs):
     independent Python event-time walks on arbitrary event streams.
     Values are exact quarters so every decimal(12,2) sum is exact in
     both engines; boundary hits pin that a window is [start, end) and
-    a gap of exactly 5 minutes STARTS a new session (Spark's
-    session_window end = last_ts + gap is exclusive)."""
+    an event exactly 5 minutes after the previous one MERGES into the
+    same session — Spark's session_window coalesces ADJACENT sessions
+    (strict-> gap starts a new one), which this fuzz falsified against
+    the r14 exclusive-end assumption (and the oracle's >= twin)."""
     import datetime as dt
     from collections import defaultdict
 
@@ -2637,8 +2639,9 @@ def test_windowed_aggs_match_python_simulator(spark, evs):
     }
     assert got_s == dict(want_s)
 
-    # --- session windows: per-user walk, new session when the gap to
-    # the PREVIOUS EVENT is >= 5 minutes (end = last + gap exclusive) ---
+    # --- session windows: per-user walk, new session only when the gap
+    # to the PREVIOUS EVENT is STRICTLY > 5 minutes (an exact-gap event
+    # merges: Spark coalesces adjacent sessions) ---
     by_user = defaultdict(list)
     for (eid, uid, et, off, q) in evs:
         by_user[uid].append((off, q * 0.25))
@@ -2647,7 +2650,7 @@ def test_windowed_aggs_match_python_simulator(spark, evs):
         evts.sort(key=lambda p: p[0])
         cur = None  # [start_off, last_off, count, sum]
         for off, v in evts:
-            if cur is not None and off - cur[1] < _US_GAP:
+            if cur is not None and off - cur[1] <= _US_GAP:
                 cur[1] = off
                 cur[2] += 1
                 cur[3] += v
@@ -2955,3 +2958,451 @@ def test_cosine_topk_poison_parity_with_duckdb_twin(spark, vecs):
             assert g[2] is None and w[2] is None, (g, w)
         else:
             assert abs(g[2] - w[2]) < 1e-12, (g, w)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: ANN fuzz — IVF and LSH vs pure-Python references on arbitrary
+# (tiny, tie-heavy, poison-laced) corpora. The DuckDB twins gate both
+# operators on the fixed driver corpus; these pin the assignment/probe/
+# score/tie-break arithmetic — and the NULL-poison degradation paths the
+# clean gate corpus never exercises — against an independent sequential
+# implementation on hypothesis-generated shapes.
+# ---------------------------------------------------------------------------
+
+_ANN_DIM = 6
+_MICRO = st.integers(min_value=-2_000_000, max_value=2_000_000)
+
+# poison classes: NULL element, NaN, ±Inf, beyond-long-domain finite,
+# the ADVICE-r14 finite-overflow window (3e3..9.2e12), and just past the
+# square-sum-safe bound (~189.81 at _DIM=64)
+_POISON_ELEM = st.sampled_from(
+    [None, float("nan"), float("inf"), float("-inf"), 1e14, 5.0e3, 3.2e3, 250.0]
+)
+
+
+def _clean_vec_st(dim=_ANN_DIM):
+    return st.lists(_MICRO, min_size=dim, max_size=dim).map(
+        lambda ks: [k / 1e6 for k in ks]
+    )
+
+
+def _any_vec_st(dim=_ANN_DIM):
+    laced = st.tuples(
+        st.lists(_MICRO, min_size=dim, max_size=dim),
+        st.integers(min_value=0, max_value=dim - 1),
+        _POISON_ELEM,
+    ).map(
+        lambda t: [t[2] if i == t[1] else k / 1e6 for i, k in enumerate(t[0])]
+    )
+    return st.one_of(_clean_vec_st(dim), laced, st.none())
+
+
+def _round9_like_spark(x: float) -> float:
+    """Spark's round(x, 9) on DoubleType = BigDecimal.valueOf(x)
+    .setScale(9, HALF_UP): shortest-decimal repr, then decimal
+    HALF_UP — Python's round() is HALF_EVEN, which differs on exact
+    decimal ties (reachable only by dyadic cosines, but a fuzz exists
+    to find exactly those)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+
+def _py_qgate(vec, bound):
+    """Python twin of quantized()'s per-element square-sum-safe gate."""
+    if vec is None:
+        return None
+    out = []
+    for x in vec:
+        xf = None if x is None else float(x)
+        if xf is None or math.isnan(xf) or not (abs(xf) <= bound):
+            out.append(None)
+        else:
+            out.append(int(round(xf * 1_000_000)))
+    return out
+
+
+def _py_dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _py_cos(qq, cq):
+    """NULL-propagating rounded cosine: any NULL element (either side)
+    or a zero norm product -> None, matching _cos + the NULL fold."""
+    if qq is None or cq is None or any(e is None for e in qq) or any(
+        e is None for e in cq
+    ):
+        return None
+    den = math.sqrt(float(_py_dot(qq, qq))) * math.sqrt(float(_py_dot(cq, cq)))
+    if den == 0:
+        return None
+    return _round9_like_spark(float(_py_dot(qq, cq)) / den)
+
+
+def _py_topk_rows(scored, topk):
+    """(query_id -> [(vec_id, cos), ...]) -> ranked rows, Spark order:
+    cosine DESC NULLS LAST, vec_id ASC, row_number <= topk."""
+    rows = []
+    for qid, cands in scored.items():
+        ranked = sorted(
+            cands, key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0])
+        )
+        for rn, (vid, cos) in enumerate(ranked[:topk], 1):
+            rows.append((qid, vid, cos, rn))
+    return sorted(rows)
+
+
+def _assert_ann_rows(got, want):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[-1] == w[-1], (got, want)
+        gc, wc = g[2], w[2]
+        if gc is None or wc is None:
+            assert gc is None and wc is None, (g, w)
+        else:
+            assert abs(gc - wc) < 1e-12, (g, w)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_clean_vec_st(), min_size=2, max_size=2),  # queries 0,1: clean
+    _any_vec_st(),  # query 2: may be poison (NULLS-FIRST probe routing)
+    st.lists(_any_vec_st(), min_size=1, max_size=9),  # corpus tail
+    st.sampled_from([1, 2, 3, 5]),  # n_clusters
+    st.sampled_from([1, 2]),  # nprobe
+)
+def test_ann_ivf_topk_matches_python_reference(
+    spark, qclean, qany, tail, n_clusters, nprobe
+):
+    """ann_ivf_topk == a sequential Python IVF on arbitrary corpora:
+    md5-ordered codebook sample, exact-integer cell argmin (ties to the
+    lowest cell), probe routing by (sq-dist, cell) with Spark's
+    NULLS-FIRST asc for poison queries, NULL-cell corpus rows dropped
+    by the probe equi-join, NULL-propagating rounded cosine, and
+    (cosine DESC NULLS LAST, vec_id) tie-breaks."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    vecs = qclean + [qany] + tail
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    n_queries, topk = 3, 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in S.ann_ivf_topk(
+            emb, n_queries=n_queries, topk=topk, n_clusters=n_clusters,
+            nprobe=nprobe,
+        ).collect()
+    )
+
+    # --- Python reference ------------------------------------------------
+    bound = S._q_elem_bound(S._DIM) / 1e6
+    sample = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cents = S.train_ivf_codebook(
+        S._quantize_finite_sample([v for _, v in sample]), n_clusters
+    )
+    q_by_id = {i: _py_qgate(v, bound) for i, v in rows}
+
+    def cell_of(q):
+        if q is None or any(e is None for e in q):
+            return None
+        dists = [
+            sum((x - y) * (x - y) for x, y in zip(q, c)) for c in cents
+        ]
+        return dists.index(min(dists))
+
+    cells = {i: cell_of(q) for i, q in q_by_id.items()}
+
+    scored = {}
+    for qid in range(n_queries):
+        qq = q_by_id[qid]
+        if qq is None or any(e is None for e in qq):
+            order = list(range(len(cents)))  # all NULL cdist: cell asc
+        else:
+            order = sorted(
+                range(len(cents)),
+                key=lambda j: (
+                    sum((x - y) * (x - y) for x, y in zip(qq, cents[j])),
+                    j,
+                ),
+            )
+        probe = set(order[:nprobe])
+        scored[qid] = [
+            (vid, _py_cos(qq, q_by_id[vid]))
+            for vid, _ in rows
+            if vid != qid and cells[vid] is not None and cells[vid] in probe
+        ]
+    _assert_ann_rows(got, _py_topk_rows(scored, topk))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_clean_vec_st(), min_size=2, max_size=2),  # queries: clean
+    st.lists(_any_vec_st(), min_size=2, max_size=10),  # corpus tail
+    st.sampled_from([1, 2]),  # n_probes (multi-probe bit flips)
+)
+def test_ann_lsh_topk_matches_python_reference(spark, qclean, tail, n_probes):
+    """ann_lsh_topk == a sequential Python LSH on arbitrary corpora:
+    sign-bit bucketing over the shared hyperplanes (a NULL projection
+    contributes bit 0, so poison corpus rows land in bucket 0 and can
+    only surface with a NULL cosine when a bucket starves below top-k —
+    pinned here, the gate corpus never shows it), query-directed
+    single-bit multi-probe by ascending |margin|, and the shared
+    cosine/tie-break path."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    vecs = qclean + tail
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    n_queries, topk = 2, 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.query_id, r.vec_id, r.bucket, r.cosine, r.rn)
+        for r in S.ann_lsh_topk(
+            emb, n_queries=n_queries, topk=topk, n_probes=n_probes,
+            dim=_ANN_DIM,
+        ).collect()
+    )
+
+    # --- Python reference ------------------------------------------------
+    n_planes = S.auto_n_planes(len(rows))
+    planes = S.hyperplanes(n_planes, _ANN_DIM)
+    bound = S._q_elem_bound(S._DIM) / 1e6
+    q_by_id = {i: _py_qgate(v, bound) for i, v in rows}
+
+    def proj(q, plane):
+        if q is None or any(e is None for e in q):
+            return None
+        return _py_dot(q, plane)
+
+    def bucket_of(q):
+        b = 0
+        for j, plane in enumerate(planes):
+            d = proj(q, plane)
+            if d is not None and d >= 0:
+                b += 2**j
+        return b
+
+    buckets = {i: bucket_of(q) for i, q in q_by_id.items()}
+
+    scored = {}
+    out_rows = []
+    for qid in range(n_queries):
+        qq = q_by_id[qid]
+        probes = [buckets[qid]]
+        if n_probes > 1:
+            margins = sorted(
+                (abs(proj(qq, plane)), 2**j)
+                for j, plane in enumerate(planes)
+            )
+            for _, p in margins[: n_probes - 1]:
+                probes.append(buckets[qid] ^ p)
+        probe_set = set(probes)
+        scored[qid] = [
+            (vid, _py_cos(qq, q_by_id[vid]))
+            for vid, _ in rows
+            if vid != qid and buckets[vid] in probe_set
+        ]
+    want_no_bucket = _py_topk_rows(scored, topk)
+    want = sorted(
+        (qid, vid, buckets[vid], cos, rn)
+        for qid, vid, cos, rn in want_no_bucket
+    )
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[4] == w[4], (got, want)
+        if g[3] is None or w[3] is None:
+            assert g[3] is None and w[3] is None, (g, w)
+        else:
+            assert abs(g[3] - w[3]) < 1e-12, (g, w)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: near-dup LSH end-to-end + cluster collapse vs sequential Python.
+# The minhash SIGNATURE arithmetic is parity-pinned above; these extend the
+# pin through banding, the band-hash equi-join, exact-Jaccard verification,
+# thresholding, and the min-label-propagation connected components — against
+# a quadratic Python LSH and a union-find, on collision-heavy tiny corpora.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_TEXTS = st.lists(
+    st.one_of(st.none(), st.text(alphabet="ab ", max_size=14)),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _py_neardup_pairs(docs, k=3, threshold=0.0):
+    """Sequential LSH twin: shingle sets -> 16 minhash perms -> 8x2
+    band hashes -> bucket-collision candidates -> exact Jaccard."""
+    from collections import defaultdict
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    sets = {}
+    for d, t in docs:
+        if t is None:
+            continue
+        toks = re.split(" +", t.strip().lower())
+        if len(toks) >= k:
+            sets[d] = set(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+        else:
+            sets[d] = {" ".join(toks)}
+    sigs = {}
+    for d, sh in sets.items():
+        hs = []
+        for s in sh:
+            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+            h63 = (int(hx[:8], 16) & 0x7FFFFFFF) * 4294967296 + int(hx[8:16], 16)
+            hs.append(h63 % dedup._P31)
+        sigs[d] = [
+            min((h * dedup._A[i] + dedup._B[i]) % dedup._P31 for h in hs)
+            for i in range(dedup._N_PERM)
+        ]
+    buckets = defaultdict(set)
+    rows_per_band = dedup._ROWS_PER_BAND
+    for d, m in sigs.items():
+        for b in range(dedup._BANDS):
+            key = ",".join(
+                str(m[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            buckets[(b, hashlib.md5(key.encode()).hexdigest())].add(d)
+    cand = set()
+    for members in buckets.values():
+        for a in members:
+            for c in members:
+                if a < c:
+                    cand.add((a, c))
+    out = {}
+    for a, c in cand:
+        inter = len(sets[a] & sets[c])
+        union = len(sets[a]) + len(sets[c]) - inter
+        j = inter / union
+        if threshold <= 0 or j >= threshold:
+            out[(a, c)] = j
+    return out
+
+
+@SLOW
+@given(_NEARDUP_TEXTS, st.sampled_from([0.0, 0.34, 1.0]))
+def test_neardup_pairs_matches_python_lsh_reference(spark, texts, threshold):
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.neardup_pairs(df, k=3, threshold=threshold).collect()
+    }
+    want = _py_neardup_pairs(docs, k=3, threshold=threshold)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for key, j in want.items():
+        assert abs(got[key] - j) < 1e-12, (key, got[key], j)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_NEARDUP_TEXTS)
+def test_neardup_clusters_matches_union_find(spark, texts):
+    """neardup_clusters == union-find over the sequential LSH pairs:
+    cluster_id is the min doc_id reachable through Jaccard>=t edges;
+    docs without edges (including NULL-text docs) are their own
+    cluster; label propagation must converge to the same fixpoint the
+    sequential union-find reaches directly."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    threshold = 0.34
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.neardup_clusters(df, k=3, threshold=threshold).collect()
+    }
+
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b) in _py_neardup_pairs(docs, k=3, threshold=threshold):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i, _ in docs:
+        comps.setdefault(find(i), []).append(i)
+    want = {i: min(comps[find(i)]) for i, _ in docs}
+    assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round 15: converged-mode PageRank (tol > 0) — the fixed-iteration mode is
+# simulator-pinned above; the early-stop mode's contract is proximity to the
+# true fixpoint: stopping when the L1 step delta < tol leaves the iterate
+# within delta*d/(1-d) of the fixpoint (contraction factor d), so the result
+# must sit within 5.8*tol of an independently converged Python iteration.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+)
+def test_pagerank_converged_mode_near_python_fixpoint(spark, edges):
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators.graph import pagerank
+
+    tol = 0.02
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(e, max_iter=60, tol=tol, checkpoint_every=5).collect()
+    }
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = Counter(s for s, _ in edges)
+    d = 0.85
+    t = (1 - d) / n
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10_000):
+        dm = sum(r[v] for v in nodes if deg[v] == 0)
+        inn = {v: 0.0 for v in nodes}
+        for s, dst in edges:
+            inn[dst] += r[s] / deg[s]
+        new = {v: t + d * (inn[v] + dm / n) for v in nodes}
+        delta = sum(abs(new[v] - r[v]) for v in nodes)
+        r = new
+        if delta < tol * 1e-3:
+            break
+
+    assert set(got) == set(r)
+    l1 = sum(abs(got[v] - r[v]) for v in r)
+    assert l1 <= tol * 5.8, (l1, tol)
+    assert abs(sum(got.values()) - 1.0) < 1e-9

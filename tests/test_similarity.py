@@ -814,3 +814,50 @@ def test_nonfinite_vectors_never_crash_or_match(spark):
     assert all(r.cosine is None for r in ivf_h if r.vec_id in (1, 3, 4))
     ih = similarity.int8_cosine_topk(huge, n_queries=1, topk=6).collect()
     assert {r.vec_id: r.cosine for r in ih}[1] == 1.0  # valid under SQ8
+
+
+def test_hyperplane_paths_reject_dim_mismatch_loudly(spark):
+    """Round 15 (found by the ANN fuzz): a corpus whose embeddings are
+    not the hyperplane dim used to fold every projection to NULL via
+    zip_with's NULL padding and SILENTLY collapse all of LSH into
+    bucket 0 (and RP shortlists into all-NULL/empty results). Width
+    mismatch is a caller contract bug — it must raise, on every
+    hyperplane path; the matching dim= makes the same corpus work."""
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 6), (1, [0.2] * 6), (2, [0.3] * 6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="embedding width"):
+        similarity.ann_lsh_topk(emb, n_queries=1, topk=2).collect()
+    with pytest.raises(Exception, match="width"):
+        similarity.rp_project(emb, out_dim=4, impl="fold").collect()
+    with pytest.raises(Exception, match="width"):
+        similarity.rp_project(emb, out_dim=4, impl="arrow").collect()
+    # the quantization-gate envelope is sized at _DIM: wider corpora
+    # must be refused at plan build, not overflow at runtime
+    with pytest.raises(ValueError, match="safe envelope"):
+        similarity.lsh_buckets(emb, 4, dim=128)
+    # with the matching dim, the same corpus works on every path
+    assert similarity.ann_lsh_topk(emb, n_queries=1, topk=2, dim=6).count() > 0
+    assert (
+        similarity.rp_project(emb, out_dim=4, impl="fold", dim=6)
+        .where("rp is not null")
+        .count()
+        == 3
+    )
+    got_arrow = {
+        r.vec_id: r.rp
+        for r in similarity.rp_project(emb, out_dim=4, impl="arrow", dim=6).collect()
+    }
+    got_fold = {
+        r.vec_id: r.rp
+        for r in similarity.rp_project(emb, out_dim=4, impl="fold", dim=6).collect()
+    }
+    assert got_arrow == got_fold
+    # poison rows still degrade (NULL bucket path), never raise
+    laced = spark.createDataFrame(
+        [(0, [0.1] * 6), (1, [float("nan")] * 6), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.ann_lsh_topk(laced, n_queries=1, topk=2, dim=6).collect()
+    assert all(r.cosine is None or r.vec_id == 0 for r in out)

@@ -53,6 +53,49 @@ def test_session_windows_gap(spark):
     assert out[0].session_end == t0 + datetime.timedelta(minutes=2 + 5)
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """An event landing EXACTLY gap after the previous one merges into
+    the same session — Spark's session_window coalesces adjacent
+    sessions (strict > starts a new one). Found by the round-15 window
+    fuzz: the r14 DuckDB twin used >= (new session on an exact-gap
+    event) and diverged on this shape; both engines must agree here.
+    """
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "a", 1.0),
+        (2, t0 + datetime.timedelta(minutes=5), 7, "a", 1.0),  # == gap: merge
+        (3, t0 + datetime.timedelta(minutes=10, seconds=1), 7, "a", 1.0),  # > gap
+    ]
+    df = spark.createDataFrame(rows, EVENTS)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.event_count)
+        for r in W.session_windows(df).collect()
+    )
+    assert got == [
+        (7, t0, t0 + datetime.timedelta(minutes=10), 2),
+        (
+            7,
+            t0 + datetime.timedelta(minutes=10, seconds=1),
+            t0 + datetime.timedelta(minutes=15, seconds=1),
+            1,
+        ),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(W.SESSION_SQL).fetchall()
+    )
+    assert got == want
+
+
 def test_dedup_batch(spark):
     df = spark.createDataFrame(events_rows(), EVENTS)
     assert W.dedup_within_watermark(df, ["event_id"]).count() == 40
