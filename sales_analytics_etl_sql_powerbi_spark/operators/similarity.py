@@ -216,31 +216,41 @@ def _require_plane_safe_dim(dim: int, ctx: str) -> None:
         )
 
 
-def _dim_guarded(out: F.Column, dim: int, ctx: str) -> F.Column:
-    """Wrap a hyperplane-derived column with a LOUD width guard (round
-    15, found by the ANN fuzz): ``zip_with`` pads the shorter array
-    with NULLs, so a corpus whose embeddings are not ``dim`` wide used
-    to fold every projection to NULL and SILENTLY collapse the whole
-    corpus into bucket 0 (LSH → brute-force-in-one-bucket) or an
-    all-NULL RP shortlist (empty results) — no error, wrong scale
-    behavior. A width mismatch is a caller contract bug, not data
-    poison (poison rows keep a ``dim``-sized NULL-holding ``__q`` and
-    still take the never-matches path), so it must raise. Cost: one
-    ``size()`` + compare per row, nothing in the fold hot path."""
-    bad = F.size("__q").isNotNull() & (F.size("__q") != F.lit(dim))
-    return F.when(
-        bad,
-        F.raise_error(
-            F.concat(
-                F.lit(f"{ctx}: embedding width "),
-                F.size("__q").cast("string"),
-                F.lit(
-                    f" does not match the hyperplane dim {dim} — pass "
-                    "dim=<corpus width> (planes are built per-dim)"
-                ),
-            )
-        ),
-    ).otherwise(out)
+def _peek_dim(emb: DataFrame, col: str, dim: int, ctx: str) -> None:
+    """LOUD width validation at PLAN BUILD (round 15, found by the ANN
+    fuzz): ``zip_with`` pads the shorter array with NULLs, so a corpus
+    whose embeddings are not ``dim`` wide used to fold every
+    hyperplane projection to NULL and SILENTLY collapse the whole
+    corpus into bucket 0 (LSH → brute-force-in-one-bucket — the
+    quadratic-candidate failure mode at scale) or an all-NULL RP
+    shortlist (empty similarity results). A width mismatch is a caller
+    contract bug, not data poison, so it must raise.
+
+    WHY A DRIVER PEEK AND NOT A PER-ROW GUARD: the first fix wrapped
+    the bucket expression in ``when(size(__q)!=dim, raise_error)`` —
+    measured on the ann_lsh shape at sf0.1 (min-of-4, one session,
+    monkeypatched): no guard 0.73s, ``when``+NULL 0.89s (+22%, the
+    conditional wrapper alone), ``when``+``raise_error`` 1.26s (+73% —
+    RaiseError additionally knocks the projection out of codegen).
+    The peek is one ``LocalLimit(1)`` job over the first non-NULL
+    embedding (bounded: one row group of one file however large the
+    corpus) and leaves the hot projection exactly as fast as no guard.
+    Residual contract: rows whose width differs FROM OTHER ROWS past
+    the sampled one (a corrupt ragged corpus) degrade to the shared
+    NULL-never-matches path — NULL folds → bucket-0 bits with NULL
+    cosine / NULL rp — the same semantics as poison vectors, not a
+    silent whole-corpus collapse."""
+    row = (
+        emb.where(F.col(col).isNotNull())
+        .select(F.size(F.col(col)).alias("s"))
+        .first()
+    )
+    if row is not None and row.s != dim:
+        raise ValueError(
+            f"{ctx}: embedding width {row.s} does not match the "
+            f"hyperplane dim {dim} — pass dim=<corpus width> (planes "
+            "are built per-dim)"
+        )
 
 
 def quantized(emb: DataFrame, col: str = "embedding", dim: int = _DIM) -> DataFrame:
@@ -567,7 +577,10 @@ def rerank_multiplier(
 
 
 def lsh_buckets(
-    emb: DataFrame, n_planes: int | None = None, dim: int = _DIM
+    emb: DataFrame,
+    n_planes: int | None = None,
+    dim: int = _DIM,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Random-hyperplane bucket id per vector (sign-bit concatenation).
 
@@ -578,10 +591,17 @@ def lsh_buckets(
     bucketing (e.g. for cross-run comparability).
 
     ``dim`` is the embedding width the planes are built at (default:
-    the corpus contract ``_DIM``); a mismatched corpus raises per-row
-    via :func:`_dim_guarded` instead of silently single-bucketing.
+    the corpus contract ``_DIM``); a mismatched corpus raises at plan
+    build via :func:`_peek_dim` instead of silently single-bucketing
+    (one bounded LocalLimit-1 job — the per-row guard alternative
+    measured +22–73% on the bucket projection, see the peek's
+    docstring). ``validate_dim=False`` skips the peek when the SAME
+    frame's width was already validated earlier in this call chain
+    (e.g. the query slice of a corpus the index build just peeked).
     """
     _require_plane_safe_dim(dim, "lsh_buckets")
+    if validate_dim:
+        _peek_dim(emb, "embedding", dim, "lsh_buckets")
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
@@ -600,9 +620,7 @@ def lsh_buckets(
         d = F.expr(_DOT.format(a="__q", b=plane_lit))
         bit = F.when(d >= 0, F.lit(2**j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return q.withColumn(
-        "bucket", _dim_guarded(bucket.cast("int"), dim, "lsh_buckets")
-    )
+    return q.withColumn("bucket", bucket.cast("int"))
 
 
 def _expand_probes(
@@ -766,6 +784,7 @@ def ann_query(
     topk: int = 5,
     n_probes: int = 1,
     dim: int = _DIM,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Top-k over a prebuilt :func:`ann_index` for a batch of queries.
 
@@ -789,7 +808,7 @@ def ann_query(
     rebucketing is expensive but a query batch needs better recall.
     """
     qb0 = _expand_probes(
-        lsh_buckets(queries, n_planes, dim), n_planes, n_probes, dim
+        lsh_buckets(queries, n_planes, dim, validate_dim), n_planes, n_probes, dim
     )
     qb = qb0.select(
         F.col("vec_id").alias("query_id"),
@@ -847,6 +866,10 @@ def ann_lsh_topk(
         topk,
         n_probes,
         dim,
+        # the query slice comes from the corpus the index build just
+        # width-peeked — a second LocalLimit-1 job would re-validate
+        # the same frame
+        validate_dim=False,
     )
 
 
@@ -1534,6 +1557,7 @@ def rp_project(
     stays zero-overhead.
     """
     _require_plane_safe_dim(dim, "rp_project")
+    _peek_dim(emb, "embedding", dim, "rp_project")
     planes = hyperplanes(out_dim, dim)
     q = quantized(emb)
     if max_rows_per_task:
@@ -1541,10 +1565,10 @@ def rp_project(
 
         n_parts = max(1, math.ceil(emb.count() / max_rows_per_task))
         q = q.repartition(n_parts)
-    return q.select("vec_id", _rp_expr(planes, impl, dim).alias("rp"))
+    return q.select("vec_id", _rp_expr(planes, impl).alias("rp"))
 
 
-def _rp_expr(planes: list[list[int]], impl: str, dim: int = _DIM):
+def _rp_expr(planes: list[list[int]], impl: str):
     if impl == "fold":
         # unrolled per output coordinate (same Spark 4.1 self-join
         # lambda bind rationale as lsh_buckets); poison embedding →
@@ -1560,9 +1584,7 @@ def _rp_expr(planes: list[list[int]], impl: str, dim: int = _DIM):
         for plane in planes:
             plane_lit = f"array({', '.join(str(v) + 'L' for v in plane)})"
             coords.append(F.expr(_DOT.format(a="__q", b=plane_lit)))
-        return _dim_guarded(
-            F.when(coords[0].isNotNull(), F.array(*coords)), dim, "rp_project"
-        )
+        return F.when(coords[0].isNotNull(), F.array(*coords))
     if impl != "arrow":
         raise ValueError(f"unknown impl {impl!r} (arrow | fold)")
     import numpy as np
