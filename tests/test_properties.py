@@ -3406,3 +3406,137 @@ def test_pagerank_converged_mode_near_python_fixpoint(spark, edges):
     l1 = sum(abs(got[v] - r[v]) for v in r)
     assert l1 <= tol * 5.8, (l1, tol)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round 15, wave 3: BPE trainer and int8 quantization vs sequential Python
+# on arbitrary corpora — both are pinned on one fixed corpus in their unit
+# suites; these extend the pin to hypothesis-generated tie-heavy shapes
+# (BPE argmax ties, repeated words, early stop; int8 exact .5 rounding
+# ties, negative values, absmax edge cases).
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.text(alphabet="abc ", max_size=16), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([1, 2]),
+)
+def test_bpe_train_matches_python_on_arbitrary_corpora(
+    spark, texts, n_merges, min_pair
+):
+    """Distributed trainer == driver fast path == pure-Python reference
+    on arbitrary word multisets: same argmax, same lexicographic
+    tie-break, same greedy left-to-right merge application, same early
+    stop on min_pair_count."""
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe.bpe_train(
+        docs, n_merges=n_merges, min_pair_count=min_pair, checkpoint_every=3
+    )
+    wc = Counter()
+    for t in texts:
+        for w in re.split(" +", t.strip()):
+            if w:
+                wc[w] += 1
+    want = bpe.bpe_train_py(dict(wc), n_merges=n_merges, min_pair_count=min_pair)
+    assert got == want, (texts, got, want)
+    assert (
+        bpe.bpe_train_local(docs, n_merges=n_merges, min_pair_count=min_pair)
+        == want
+    )
+
+
+def _round0_like_spark(x: float) -> int:
+    """Spark round(x) on DoubleType: BigDecimal.valueOf(x).setScale(0,
+    HALF_UP) — half-away-from-zero on the shortest-decimal repr.
+    Python's round() is HALF_EVEN and WOULD diverge on the exact .5
+    quotients this fuzz generates (e.g. 1/ (254/127) = 0.5)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), ROUND_HALF_UP))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_clean_vec_st(), min_size=2, max_size=2),
+    st.lists(
+        st.one_of(
+            _clean_vec_st(),
+            # integer-valued vectors make exact .5 code quotients easy
+            st.lists(
+                st.integers(min_value=-254, max_value=254),
+                min_size=_ANN_DIM,
+                max_size=_ANN_DIM,
+            ).map(lambda ks: [float(k) for k in ks]),
+            _any_vec_st(),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_int8_cosine_topk_matches_python_reference(spark, qclean, tail):
+    """int8_cosine_topk == a sequential Python SQ8 walk: per-vector
+    symmetric scale (absmax/127), HALF_UP code rounding (exact .5
+    quotients pinned — Python's banker's round would diverge), all-zero
+    vectors dropped (zero norm), poison vectors NULL-coded and dropped,
+    integer dots with the shared 9-dp cosine and tie-breaks."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    vecs = qclean + tail
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    n_queries, topk = 2, 4
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rn)
+        for r in S.int8_cosine_topk(emb, n_queries=n_queries, topk=topk).collect()
+    )
+
+    def codes_of(v):
+        if v is None:
+            return None
+        fs = [None if x is None else float(x) for x in v]
+        if any(x is None or math.isnan(x) or math.isinf(x) for x in fs):
+            return None
+        absmax = max(abs(x) for x in fs)
+        if absmax == 0:
+            return [0] * len(fs)
+        scale = absmax / 127.0
+        return [_round0_like_spark(x / scale) for x in fs]
+
+    c_by_id = {i: codes_of(v) for i, v in rows}
+    norm = {
+        i: math.sqrt(float(sum(x * x for x in c))) if c is not None else None
+        for i, c in c_by_id.items()
+    }
+    live = {i for i in c_by_id if norm[i] is not None and norm[i] > 0}
+    scored = {}
+    for qid in range(n_queries):
+        if qid not in live:
+            continue
+        qq = c_by_id[qid]
+        cands = []
+        for vid in sorted(live):
+            if vid == qid:
+                continue
+            dot = sum(x * y for x, y in zip(qq, c_by_id[vid]))
+            den = norm[qid] * norm[vid]
+            cands.append(
+                (vid, _round9_like_spark(float(dot) / den) if den != 0 else None)
+            )
+        scored[qid] = cands
+    _assert_ann_rows(got, _py_topk_rows(scored, topk))
