@@ -3540,3 +3540,90 @@ def test_int8_cosine_topk_matches_python_reference(spark, qclean, tail):
             )
         scored[qid] = cands
     _assert_ann_rows(got, _py_topk_rows(scored, topk))
+
+
+def _py_bucket(key, salt=""):
+    hx = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    h = (int(hx[:8], 16) & 0x7FFFFFFF) * 4294967296 + int(hx[8:16], 16)
+    return h % 1_000_000
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", None]),
+            st.sampled_from(
+                [None, float("nan"), 0.0, -1.5, 0.25, 1.0, 3.0, 0.001]
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([0.0, 0.37, 1.0]),
+    st.integers(min_value=1, max_value=3),
+)
+def test_sampler_family_matches_python_md5_walk(spark, rows, rate, n):
+    """deterministic_sample / split_assign / sample_per_group /
+    weighted_sample == a sequential Python replay of the shared
+    md5-bucket arithmetic on arbitrary keys — Bernoulli thresholding,
+    cumulative split bounds, per-group (bucket, key) quota order
+    (NULL groups quota'd together), and the Efraimidis–Spirakis
+    ln(u)/w top-n with NULL/NaN/non-positive weights excluded."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+
+    got_b = sorted(r.id for r in SA.deterministic_sample(df, "id", rate).collect())
+    want_b = sorted(
+        i for i, _, _ in rows if _py_bucket(i, "s1") < int(rate * 1_000_000)
+    )
+    assert got_b == want_b
+
+    got_s = {r.id: r.split for r in SA.split_assign(df, "id").collect()}
+    def py_split(i):
+        b = _py_bucket(i, "split")
+        if b < int(0.8 * 1_000_000):
+            return "train"
+        if b < int(0.9 * 1_000_000):
+            return "val"
+        return "test"
+    assert got_s == {i: py_split(i) for i, _, _ in rows}
+
+    got_q = [
+        (r.grp, r.id) for r in SA.sample_per_group(df, "grp", "id", n).collect()
+    ]
+    from collections import defaultdict
+    by_grp = defaultdict(list)
+    for i, g, _ in rows:
+        by_grp[g].append(i)
+    want_q = sorted(
+        [
+            (g, i)
+            for g, ids in by_grp.items()
+            for i in sorted(ids, key=lambda i: (_py_bucket(i, "grp"), i))[:n]
+        ],
+        key=lambda t: (t[0] is None, t),  # None groups sort last, stably
+    )
+    assert sorted(got_q, key=lambda t: (t[0] is None, t)) == want_q
+
+    got_w = sorted(r.id for r in SA.weighted_sample(df, "id", "w", n).collect())
+    live = [
+        (i, w)
+        for i, _, w in rows
+        if w is not None and not math.isnan(w) and w > 0
+    ]
+    scores = {
+        i: math.log((_py_bucket(i, "w1") + 0.5) / 1_000_000.0) / w
+        for i, w in live
+    }
+    want_w = sorted(
+        sorted(scores, key=lambda i: (-scores[i], i))[:n]
+    )
+    assert got_w == want_w, (got_w, want_w, scores)
