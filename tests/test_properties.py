@@ -3238,6 +3238,50 @@ _NEARDUP_TEXTS = st.lists(
 )
 
 
+def _py_sets_and_bands(docs, k=3):
+    """Shared sequential-LSH pieces: (doc -> shingle set, doc -> set of
+    (band_id, band_hash)) — NULL-text docs excluded, matching
+    shingle_sets' convention."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    sets, bands = {}, {}
+    for d, t in docs:
+        if t is None:
+            continue
+        toks = re.split(" +", t.strip().lower())
+        if len(toks) >= k:
+            sets[d] = set(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+        else:
+            sets[d] = {" ".join(toks)}
+        hs = []
+        for s in sets[d]:
+            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+            h63 = (int(hx[:8], 16) & 0x7FFFFFFF) * 4294967296 + int(hx[8:16], 16)
+            hs.append(h63 % dedup._P31)
+        sig = [
+            min((h * dedup._A[i] + dedup._B[i]) % dedup._P31 for h in hs)
+            for i in range(dedup._N_PERM)
+        ]
+        rpb = dedup._ROWS_PER_BAND
+        bands[d] = {
+            (
+                b,
+                hashlib.md5(
+                    ",".join(str(sig[b * rpb + r]) for r in range(rpb)).encode()
+                ).hexdigest(),
+            )
+            for b in range(dedup._BANDS)
+        }
+    return sets, bands
+
+
+def _py_jaccard(sa, sb):
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def _py_neardup_pairs(docs, k=3, threshold=0.0):
     """Sequential LSH twin: shingle sets -> 16 minhash perms -> 8x2
     band hashes -> bucket-collision candidates -> exact Jaccard."""
@@ -3627,3 +3671,70 @@ def test_sampler_family_matches_python_md5_walk(spark, rows, rate, n):
         sorted(scores, key=lambda i: (-scores[i], i))[:n]
     )
     assert got_w == want_w, (got_w, want_w, scores)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab ", max_size=12)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab ", max_size=12)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+    st.sampled_from([0.0, 0.34, 0.67]),
+)
+def test_neardup_query_matches_python_reference(
+    spark, corpus_texts, batch_texts, intra, threshold
+):
+    """The incremental index/query split == a sequential walk on
+    arbitrary (corpus, batch) shapes: cross pairs are batch×index band
+    collisions, intra pairs are later-dup-of-earlier within the batch,
+    each verified with exact Jaccard against the CORRECT side's
+    shingle sets, thresholded, deduped to best-path per (doc, dup_of).
+    Extends the fixed-shape equivalence pin to hypothesis corpora
+    (including NULL-text docs on both sides)."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    corpus = [(i, t) for i, t in enumerate(corpus_texts)]
+    batch = [(1000 + i, t) for i, t in enumerate(batch_texts)]
+    idx = dedup.neardup_index(
+        spark.createDataFrame(corpus, "doc_id long, text string"), k=3
+    )
+    got = {
+        (r.doc_id, r.dup_of): r.jaccard
+        for r in dedup.neardup_query(
+            idx,
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            k=3,
+            threshold=threshold,
+            include_intra_batch=intra,
+        ).collect()
+    }
+
+    sets_a, bands_a = _py_sets_and_bands(corpus)
+    sets_b, bands_b = _py_sets_and_bands(batch)
+    want = {}
+    for b, bb in bands_b.items():
+        for a, ba in bands_a.items():
+            if bb & ba:
+                j = _py_jaccard(sets_b[b], sets_a[a])
+                if j >= threshold:
+                    want[(b, a)] = j
+        if intra:
+            for b2, bb2 in bands_b.items():
+                if b2 < b and bb & bb2:
+                    j = _py_jaccard(sets_b[b], sets_b[b2])
+                    if j >= threshold:
+                        want[(b, b2)] = j
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for key, j in want.items():
+        assert abs(got[key] - j) < 1e-12, (key, got[key], j)
