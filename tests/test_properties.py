@@ -3738,3 +3738,97 @@ def test_neardup_query_matches_python_reference(
     assert set(got) == set(want), (sorted(got), sorted(want))
     for key, j in want.items():
         assert abs(got[key] - j) < 1e-12, (key, got[key], j)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-5.0,
+                    max_value=15.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=39),  # split point for the merge leg
+    st.sampled_from([1, 3, 8]),
+)
+def test_histogram_quantiles_property(spark, rows, cut, n_bins):
+    """Mergeable-histogram invariants on arbitrary (group, value)
+    data with NULLs and out-of-range mass: (1) exact accounting —
+    sum(bins)+under+over+null == group size; (2) split-merge equals
+    whole-build bit-exactly; (3) every quantile estimate lands within
+    one bin width of the true order statistic; (4) zero-in-range
+    groups yield NULL quantile rows, never vanish."""
+    import math as m
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import histograms as H
+
+    lo, hi = 0.0, 10.0
+    qs = [0.25, 0.5, 0.99]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = H.histogram_table(df, ["g"], "v", lo, hi, n_bins=n_bins)
+    got = {r.g: r for r in hist.collect()}
+
+    from collections import defaultdict
+    vals = defaultdict(list)
+    for g, v in rows:
+        vals[g].append(v)
+    for g, vs in vals.items():
+        r = got[g]
+        assert sum(r.bins) + r.n_under + r.n_over + r.n_null == len(vs)
+        assert r.n_null == sum(1 for v in vs if v is None)
+        assert r.n_under == sum(1 for v in vs if v is not None and v < lo)
+        assert r.n_over == sum(1 for v in vs if v is not None and v >= hi)
+
+    # split-merge == whole-build, bit-exact
+    a, b = rows[:cut], rows[cut:]
+    parts = [
+        H.histogram_table(
+            spark.createDataFrame(part, "g string, v double"),
+            ["g"], "v", lo, hi, n_bins=n_bins,
+        )
+        for part in (a, b)
+        if part
+    ]
+    merged = {
+        r.g: r for r in H.merge_histogram_tables(parts, ["g"]).collect()
+    }
+    assert set(merged) == set(got)
+    for g in got:
+        assert list(merged[g].bins) == list(got[g].bins)
+        assert (merged[g].n_under, merged[g].n_over, merged[g].n_null) == (
+            got[g].n_under, got[g].n_over, got[g].n_null,
+        )
+
+    # quantile error <= one bin width vs the true order statistic
+    width = (hi - lo) / n_bins
+    est = {
+        (r.g, r.q): r.quantile
+        for r in H.quantile_estimate(hist, ["g"], qs).collect()
+    }
+    for g, vs in vals.items():
+        in_range = sorted(v for v in vs if v is not None and lo <= v < hi)
+        for q in qs:
+            key = (g, float(q))
+            assert key in est, key
+            if not in_range:
+                assert est[key] is None
+            else:
+                k = max(1, m.ceil(q * len(in_range)))
+                truth = in_range[k - 1]
+                assert abs(est[key] - truth) <= width + 1e-9, (
+                    g, q, est[key], truth, width,
+                )
