@@ -3832,3 +3832,60 @@ def test_histogram_quantiles_property(spark, rows, cut, n_bins):
                 assert abs(est[key] - truth) <= width + 1e-9, (
                     g, q, est[key], truth, width,
                 )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab ", max_size=20)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([2, 3, 7]),
+)
+def test_misra_gries_interval_guarantee_property(spark, texts, capacity):
+    """frequent_tokens_approx's UNCONDITIONAL interval contract on
+    arbitrary corpora at tiny capacities (forcing decrements): every
+    returned token's true count sits in [count_min, count_max], the
+    interval width is <= N/(capacity+1), and every heavy hitter
+    (true count > width) is PRESENT in the full summary."""
+    from collections import Counter
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import frequency
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = frequency.frequent_tokens_approx(
+        df, topk=None, capacity=capacity
+    ).collect()
+
+    truth = Counter()
+    for _, t in docs:
+        if t is None:
+            continue
+        for w in re.split(" +", t.strip()):
+            if w:
+                truth[w] += 1
+    n = sum(truth.values())
+
+    widths = {r.token: r.count_max - r.count_min for r in out}
+    assert len(set(widths.values())) <= 1  # one global error interval
+    width = next(iter(widths.values()), 0)
+    assert width <= n // (capacity + 1)
+    got_tokens = set()
+    for r in out:
+        assert r.count_min <= truth[r.token] <= r.count_max, (
+            r.token, r.count_min, truth[r.token], r.count_max,
+        )
+        got_tokens.add(r.token)
+    # presence is guaranteed relative to the THEORETICAL decrement
+    # bound N/(capacity+1) (a token can vanish from an EMPTY summary
+    # when every count <= that bound — then width above is
+    # unobservable, not zero)
+    for tok, c in truth.items():
+        if c > n / (capacity + 1):
+            assert tok in got_tokens, (tok, c, n, capacity)
