@@ -1415,7 +1415,8 @@ def test_semantic_contamination_subset_of_brute(spark, corpus_vecs, eval_vecs):
         got = {
             (r.vec_id, r.eval_id)
             for r in similarity.semantic_contamination(
-                corpus, ev, threshold=0.9, n_planes=n_planes, n_probes=p
+                corpus, ev, threshold=0.9, n_planes=n_planes, n_probes=p,
+                dim=8,
             ).collect()
         }
         assert got <= brute
