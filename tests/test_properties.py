@@ -3890,3 +3890,76 @@ def test_misra_gries_interval_guarantee_property(spark, texts, capacity):
     for tok, c in truth.items():
         if c > n / (capacity + 1):
             assert tok in got_tokens, (tok, c, n, capacity)
+
+
+_PII_FRAGMENT = st.one_of(
+    st.text(alphabet="ab 01.-@+()", max_size=12),  # adversarial junk
+    st.builds(
+        lambda u, d: f"{u}@{d}.com",
+        st.text(alphabet="ab01._%+-", min_size=1, max_size=6),
+        st.text(alphabet="ab01.-", min_size=1, max_size=5),
+    ),
+    st.builds(lambda p: f"http://{p}", st.text(alphabet="ab01./", max_size=8)),
+    st.builds(
+        lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+        *([st.integers(min_value=0, max_value=999)] * 4),
+    ),
+    st.builds(
+        lambda a, b, c, s: f"({a}){s}{b}{s}{c}",
+        st.integers(min_value=100, max_value=999),
+        st.integers(min_value=100, max_value=999),
+        st.integers(min_value=1000, max_value=9999),
+        st.sampled_from(["-", ".", " "]),
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(_PII_FRAGMENT, max_size=5).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_scrub_pii_three_way_parity(spark, texts):
+    """scrub_pii == its DuckDB twin == a Python re walk on PII-laced
+    ASCII text (emails, URLs, dotted quads, phone shapes, adversarial
+    junk): same scrubbed output under the email→url→ip→phone
+    replacement order and same independent per-pattern counts. The
+    patterns are constrained to the RE2∩Java∩(ASCII re) dialect — this
+    fuzz is the check that all three engines actually agree on it."""
+    import duckdb
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import text as TX
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_emails, r.n_urls, r.n_ipv4, r.n_phones)
+        for r in TX.scrub_pii(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(TX.scrub_pii_sql()).fetchall()
+    }
+
+    pats = [TX._EMAIL_RE, TX._URL_RE, TX._IPV4_RE, TX._PHONE_RE]
+    reps = ["<EMAIL>", "<URL>", "<IP>", "<PHONE>"]
+    want = {}
+    for i, t in docs:
+        counts = [len(re.findall(p, t)) for p in pats]
+        s = t
+        for p, rep in zip(pats, reps):
+            s = re.sub(p, rep, s)
+        want[i] = (s, *counts)
+    assert got == want, (got, want)
+    assert duck == want, (duck, want)
