@@ -3963,3 +3963,50 @@ def test_scrub_pii_three_way_parity(spark, texts):
         want[i] = (s, *counts)
     assert got == want, (got, want)
     assert duck == want, (duck, want)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="ab ", max_size=10)),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_simhash_neardup_pairs_match_brute_force(spark, texts, max_hamming):
+    """simhash_neardup_pairs == brute force over a pure-Python SimHash
+    on arbitrary corpora: per-occurrence md5 bit votes, sign packing,
+    and the pigeonhole banding contract (no false negatives at
+    max_hamming <= n_bands-1, false positives removed by the exact
+    hamming verify) — so banded output must EQUAL the quadratic walk,
+    pairs and hamming values both."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(
+            df, max_hamming=max_hamming
+        ).collect()
+    }
+
+    def py_simhash(t):
+        votes = [0] * 32
+        for tok in re.split(" +", t.strip().lower()):
+            hx = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            h = (int(hx[:8], 16) & 0x7FFFFFFF) * 4294967296 + int(hx[8:16], 16)
+            for j in range(32):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(2**j for j in range(32) if votes[j] >= 0)
+
+    sims = {i: py_simhash(t) for i, t in docs if t is not None}
+    want = {}
+    for a in sims:
+        for b in sims:
+            if a < b:
+                d = bin(sims[a] ^ sims[b]).count("1")
+                if d <= max_hamming:
+                    want[(a, b)] = d
+    assert got == want, (got, want)
