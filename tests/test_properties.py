@@ -4010,3 +4010,45 @@ def test_simhash_neardup_pairs_match_brute_force(spark, texts, max_hamming):
                 if d <= max_hamming:
                     want[(a, b)] = d
     assert got == want, (got, want)
+
+
+@SLOW
+@given(_NEARDUP_TEXTS, st.integers(min_value=1, max_value=3))
+def test_ngram_jaccard_topk_matches_python_walk(spark, texts, topk):
+    """ngram_jaccard_topk == a quadratic Python walk on arbitrary
+    corpora: only overlap>0 candidates appear (inner shingle join),
+    jaccard over exact shingle sets, (jaccard DESC, doc_id) ranking,
+    row_number <= topk — queries with NULL text emit nothing."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup
+
+    n_queries = 2
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.jaccard, r.rn)
+        for r in dedup.ngram_jaccard_topk(
+            df, n_queries=n_queries, topk=topk
+        ).collect()
+    )
+
+    sets, _ = _py_sets_and_bands(docs)
+    want = []
+    for q in range(n_queries):
+        if q not in sets:
+            continue
+        cands = []
+        for d, sd in sets.items():
+            if d == q:
+                continue
+            inter = len(sets[q] & sd)
+            if inter == 0:
+                continue
+            cands.append((d, inter / (len(sets[q]) + len(sd) - inter)))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rn, (d, j) in enumerate(cands[:topk], 1):
+            want.append((q, d, j, rn))
+    want = sorted(want)
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (got, want)
+        assert abs(g[2] - w[2]) < 1e-12
