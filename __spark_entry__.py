@@ -587,14 +587,38 @@ def q_reference_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of ``get_json_object(props,'$.k').try_cast('int')``
+#: (round 15, found probing the events-JSON poison surface): the
+#: try_cast-to-JSON makes a malformed props row degrade to NULL where
+#: bare ``json_extract_string(props, …)`` KILLS the oracle query, and
+#: the integral-literal guard mirrors Spark's string→int domain —
+#: DuckDB's TRY_CAST alone ROUNDS decimal strings ('3.7'→4, '3.0'→3)
+#: where Spark returns NULL. Cross-engine acceptance is pinned on
+#: adversarial props by test_events_json_prop_parse_three_way_parity.
+_JSON_K_INT_DUCK = (
+    "try_cast(CASE WHEN regexp_matches(trim(json_extract_string("
+    "try_cast(props AS JSON), '$.k')), '^[+-]?[0-9]+$') THEN "
+    "trim(json_extract_string(try_cast(props AS JSON), '$.k')) END AS INT)"
+)
+
+
 def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON prop extraction + grouped agg over the events table."""
+    """JSON prop extraction + grouped agg over the events table.
+
+    ``try_cast`` on the extracted prop (round 15, found probing the
+    events-JSON surface): under ANSI mode a single event whose
+    ``props.k`` is non-integral (``"abc"``, ``3.7``, a bool) used to
+    kill the whole job with CAST_INVALID_INPUT — the malformed-props
+    poison-row class. It now degrades to NULL (ignored by SUM), the
+    same never-matches convention as the embedding/zero-norm guards;
+    the DuckDB twin uses TRY_CAST and a parity fuzz pins the two
+    engines' accepted-literal sets on adversarial props."""
     ev = read_table(spark, sf, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(F.get_json_object("props", "$.k").cast("int"))
+            F.sum(F.get_json_object("props", "$.k").try_cast("int"))
             .cast("long")
             .alias("sum_k"),
             F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
@@ -2147,10 +2171,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_dim_repair": W(
             "SELECT * FROM dim_customer", ("dim_customer",)
         ),
-        "events_json": """
+        "events_json": f"""
             SELECT event_type,
                    count(1) AS event_count,
-                   cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   cast(sum({_JSON_K_INT_DUCK}) AS BIGINT) AS sum_k,
                    cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,

@@ -4052,3 +4052,92 @@ def test_ngram_jaccard_topk_matches_python_walk(spark, texts, topk):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (got, want)
         assert abs(g[2] - w[2]) < 1e-12
+
+
+_JSON_K = st.one_of(
+    st.integers(min_value=-(2**40), max_value=2**40),  # incl. int32 overflow
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.text(alphabet="0123456789+- .ab", max_size=8),
+    st.booleans(),
+    st.none(),
+    st.lists(st.integers(0, 9), max_size=2),
+)
+_PROPS = st.one_of(
+    st.none(),
+    st.just("{}"),
+    st.text(alphabet='{}":abk ', max_size=10),  # mostly-malformed JSON
+    st.builds(
+        lambda k: __import__("json").dumps({"k": k}),
+        _JSON_K,
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_PROPS, min_size=1, max_size=20))
+def test_events_json_prop_parse_three_way_parity(spark, props):
+    """The events_json prop-parse contract on POISON props (round 15 —
+    found probing this surface: under ANSI a single non-integral
+    props.k used to kill the whole Spark job with CAST_INVALID_INPUT,
+    and a single malformed-JSON props row killed the DuckDB ORACLE
+    query): Spark get_json_object+try_cast == the guarded DuckDB twin
+    == a Python reference — malformed JSON, missing/null/bool/array
+    k, decimal strings (DuckDB TRY_CAST alone would round them),
+    padded integral strings, and int32 overflow all degrade to NULL;
+    integral literals parse identically."""
+    import duckdb
+    import json as _json
+
+    import __spark_entry__ as E
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, p) for i, p in enumerate(props)]
+    df = spark.createDataFrame(rows, "i long, props string")
+    got = {
+        r.i: r.k
+        for r in df.select(
+            "i", F.get_json_object("props", "$.k").try_cast("int").alias("k")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (i BIGINT, props VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {E._JSON_K_INT_DUCK} FROM e"
+        ).fetchall()
+    }
+
+    def py_parse(p):
+        if p is None:
+            return None
+        try:
+            obj = _json.loads(p)
+        except ValueError:
+            return None
+        if not isinstance(obj, dict) or "k" not in obj or obj["k"] is None:
+            return None
+        k = obj["k"]
+        if isinstance(k, bool) or isinstance(k, (list, dict)):
+            return None
+        if isinstance(k, float):
+            return None  # serialized with a fraction/exponent -> non-integral
+        if isinstance(k, str):
+            t = k.strip()
+            if not re.fullmatch(r"[+-]?[0-9]+", t):
+                return None
+            k = int(t)
+        if not (-(2**31) <= k < 2**31):
+            return None
+        return int(k)
+
+    want = {i: py_parse(p) for i, p in rows}
+    assert got == want, (got, want, props)
+    assert duck == want, (duck, want, props)
