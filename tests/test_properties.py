@@ -4141,3 +4141,60 @@ def test_events_json_prop_parse_three_way_parity(spark, props):
     want = {i: py_parse(p) for i, p in rows}
     assert got == want, (got, want, props)
     assert duck == want, (duck, want, props)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["en", "fr", "de"]),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["en", "fr"]),
+        st.integers(min_value=0, max_value=6),
+        max_size=2,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_stratified_mix_and_shards_match_python_walk(spark, rows, quotas, n_shards):
+    """stratified_mix == a Python quota walk over the shared md5-bucket
+    hash order (groups absent from the quota map dropped, short groups
+    kept whole); training_shards' shard assignment and within-shard
+    order hash replay the same arithmetic with the salt-decorrelated
+    '#ord' suffix."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r.lang, r.doc_id)
+        for r in SA.stratified_mix(df, "lang", quotas).collect()
+    )
+    from collections import defaultdict
+    by = defaultdict(list)
+    for i, g in rows:
+        by[g].append(i)
+    want = sorted(
+        (g, i)
+        for g, q in quotas.items()
+        for i in sorted(by[g], key=lambda i: (_py_bucket(i, "mix"), i))[:q]
+    )
+    assert got == want, (got, want)
+
+    sh = {
+        r["doc_id"]: (r["shard"], r["__ord"])
+        for r in SA.training_shards(df, n_shards).collect()
+    }
+    for i, _ in rows:
+        assert sh[i] == (
+            _py_bucket(i, "") % n_shards,
+            _py_bucket(i, "#ord"),
+        ), (i, sh[i])
