@@ -595,10 +595,17 @@ def q_reference_rules(spark: SparkSession, sf: str) -> DataFrame:
 #: DuckDB's TRY_CAST alone ROUNDS decimal strings ('3.7'→4, '3.0'→3)
 #: where Spark returns NULL. Cross-engine acceptance is pinned on
 #: adversarial props by test_events_json_prop_parse_three_way_parity.
+#: Spark's string→int cast trims every char <= 0x20 (tab, newline,
+#: NUL — but NOT NBSP); DuckDB's default trim() strips Unicode spaces
+#: (NBSP, ideographic space — but NOT tab), so neither bare trim()
+#: mirrors the Spark domain. The twin strips [\x00-\x20] explicitly.
+_K_TRIMMED_DUCK = (
+    "regexp_replace(json_extract_string(try_cast(props AS JSON), '$.k'), "
+    "'^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+)
 _JSON_K_INT_DUCK = (
-    "try_cast(CASE WHEN regexp_matches(trim(json_extract_string("
-    "try_cast(props AS JSON), '$.k')), '^[+-]?[0-9]+$') THEN "
-    "trim(json_extract_string(try_cast(props AS JSON), '$.k')) END AS INT)"
+    f"try_cast(CASE WHEN regexp_matches({_K_TRIMMED_DUCK}, "
+    f"'^[+-]?[0-9]+$') THEN {_K_TRIMMED_DUCK} END AS INT)"
 )
 
 

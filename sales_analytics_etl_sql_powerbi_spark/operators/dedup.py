@@ -190,7 +190,7 @@ SELECT doc_id, list_sort(list_distinct(
   CASE WHEN len(__tok) >= {k}
        THEN list_transform(range(1, len(__tok) - {k} + 2), i -> {parts})
        ELSE [array_to_string(__tok, ' ')] END)) AS sh_set
-FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS __tok
+FROM (SELECT doc_id, string_split_regex(lower(trim(text, ' ')), ' +') AS __tok
       FROM {source} WHERE text IS NOT NULL) d
 """
 
@@ -812,7 +812,7 @@ def simhash_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), ' +')) AS tok
   FROM documents
 ),
 hashed AS (SELECT doc_id, {h63} AS h FROM toks),
@@ -1212,7 +1212,7 @@ def duplicated_spans_sql(
     a new island when pos − lag(pos) > k, cumulative-summed)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM {source}
+  SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS t FROM {source}
 ),
 g AS (
   SELECT doc_id, i - 1 AS pos,
@@ -1324,7 +1324,7 @@ def cut_duplicated_spans_sql(
     the same whitespace-normalizing tokenize→rebuild round trip."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM {source}
+  SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS t FROM {source}
 ),
 tp AS (
   SELECT doc_id, i - 1 AS pos, t[i] AS tok

@@ -299,8 +299,8 @@ FROM (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS __off
     FROM (
-      SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
-             len(string_split_regex(trim(text), ' +')) AS __n
+      SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS __tok,
+             len(string_split_regex(trim(text, ' '), ' +')) AS __n
       FROM {source} WHERE text IS NOT NULL
     ) t WHERE __n > 0
   ) o

@@ -134,7 +134,7 @@ def _guard_sql(g: Guard) -> str:
         return "TRUE"
     conds: list[str] = []
     conds += [f"{c} IS NULL" for c in g.null]
-    conds += [f"({c} IS NULL OR trim({c}) = '')" for c in g.null_or_blank]
+    conds += [f"({c} IS NULL OR trim({c}, ' ') = '')" for c in g.null_or_blank]
     conds += [f"lower({c}) = '{_sq(v.lower())}'" for c, v in g.eq]
     return " AND ".join(conds)
 

@@ -185,7 +185,7 @@ SELECT doc_id,
     / cast(len(__tok) AS DOUBLE) AS symbol_ratio,
   cast(len(list_filter(__tok, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
     / cast(len(__tok) AS DOUBLE) AS alpha_word_ratio,
-  cast(len(list_filter(__line, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+  cast(len(list_filter(__line, l -> regexp_matches(trim(l, ' '), '^[-*•]'))) AS DOUBLE)
     / cast(len(__line) AS DOUBLE) AS bullet_line_ratio,
   1.0 - cast(len(list_distinct(__line)) AS DOUBLE)
     / cast(len(__line) AS DOUBLE) AS dup_line_ratio,
@@ -201,7 +201,7 @@ FROM (SELECT *,
              list_transform(range(1, len(__tok) - 1),
                             i -> __tok[i] || ' ' || __tok[i + 1] || ' ' || __tok[i + 2])
                AS __g3
-      FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok,
+      FROM (SELECT *, string_split_regex(trim(text, ' '), ' +') AS __tok,
                    string_split(text, chr(10)) AS __line
             FROM documents) t) d
 """
@@ -221,7 +221,7 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
 TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
   cast(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
-  cast(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens
+  cast(len(string_split_regex(trim(text, ' '), ' +')) AS BIGINT) AS n_ws_tokens
 FROM documents
 """
 
@@ -275,7 +275,7 @@ def lang_id_sql(markers: dict[str, tuple[str, ...]] | None = None) -> str:
     return f"""
 SELECT doc_id, lang AS labeled_lang, {pred} AS predicted_lang,
        cast({best} AS BIGINT) AS marker_hits
-FROM (SELECT *, string_split_regex(trim(text), ' +') AS __tok FROM documents) d
+FROM (SELECT *, string_split_regex(trim(text, ' '), ' +') AS __tok FROM documents) d
 """
 
 
@@ -294,7 +294,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
-  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), ' +'))), ' ')) AS fingerprint,
+  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text, ' '), ' +'))), ' ')) AS fingerprint,
   md5(text) AS exact_hash
 FROM documents
 """
@@ -391,8 +391,8 @@ SELECT t.doc_id,
        cast(coalesce(tb.c, 0) AS BIGINT) AS top_bigram_n,
        cast(coalesce(mr.max_run, 0) AS BIGINT) AS max_token_run
 FROM (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
-         len(string_split_regex(trim(text), ' +')) AS n
+  SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS __tok,
+         len(string_split_regex(trim(text, ' '), ' +')) AS n
   FROM documents WHERE text IS NOT NULL
 ) t
 LEFT JOIN (
@@ -405,8 +405,8 @@ LEFT JOIN (
         SELECT doc_id,
                unnest(list_transform(range(1, n),
                       i -> __tok[i] || ' ' || __tok[i + 1])) AS bigram
-        FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok,
-                     len(string_split_regex(trim(text), ' +')) AS n
+        FROM (SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS __tok,
+                     len(string_split_regex(trim(text, ' '), ' +')) AS n
               FROM documents WHERE text IS NOT NULL) b
         WHERE n >= 2) g
       GROUP BY doc_id, bigram) cnt) rk
@@ -423,7 +423,7 @@ LEFT JOIN (
           SELECT doc_id, __tok,
                  unnest(generate_series(1, len(__tok))) AS i
           FROM (SELECT doc_id,
-                       string_split_regex(trim(text), ' +') AS __tok
+                       string_split_regex(trim(text, ' '), ' +') AS __tok
                 FROM documents WHERE text IS NOT NULL) p0) p1) p2) p3
     GROUP BY doc_id, tok, grp) runs
   GROUP BY doc_id
@@ -782,7 +782,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, __tok,
          unnest(range(0, greatest(len(__tok) - {overlap} - 1, 0) + 1, {step})) AS __start
-  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS __tok
+  FROM (SELECT doc_id, string_split_regex(trim(text, ' '), ' +') AS __tok
         FROM documents WHERE text IS NOT NULL) d
 ) e
 ORDER BY doc_id, chunk_id
@@ -808,7 +808,7 @@ def vocab_topk_sql(topk: int = 100) -> str:
     return f"""
 SELECT token, count(1) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM (
-  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), ' +')) AS token
   FROM documents
 ) t
 GROUP BY token
@@ -1023,7 +1023,7 @@ def tfidf_terms_sql(min_df: int = 1, source: str = "documents") -> str:
     tolerance — ln() may differ in the last ulp across libm builds)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), ' +')) AS token
   FROM {source}
 ),
 tf AS (
@@ -1153,7 +1153,7 @@ def bm25_search_sql(
     qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_tokens)
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), ' +')) AS token
   FROM {source}
 ),
 clean AS (
@@ -1258,7 +1258,7 @@ def unigram_logprob_sql(source: str = "documents") -> str:
     tolerance- or quantum-compared — ln may differ in the last ulp)."""
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  SELECT doc_id, unnest(string_split_regex(trim(text, ' '), ' +')) AS token
   FROM {source}
 ),
 clean AS (

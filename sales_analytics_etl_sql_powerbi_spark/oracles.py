@@ -42,10 +42,10 @@ SELECT
   units_raw,
   coalesce(try_cast(trunc(try_cast(units_raw AS DOUBLE)) AS INT), 1) AS units,
   master_sku, alt_sku,
-  coalesce(nullif(trim(master_sku), ''), nullif(trim(alt_sku), '')) AS product_key,
+  coalesce(nullif(trim(master_sku, ' '), ''), nullif(trim(alt_sku, ' '), '')) AS product_key,
   raw_state,
-  CASE WHEN regexp_matches(upper(trim(raw_state)), '^[A-Z]{{2}}$')
-       THEN upper(trim(raw_state)) END AS state_code,
+  CASE WHEN regexp_matches(upper(trim(raw_state, ' ')), '^[A-Z]{{2}}$')
+       THEN upper(trim(raw_state, ' ')) END AS state_code,
   customer_name, address, postal_code,
   {stable_id} AS customer_id,
   volume_raw,
@@ -183,9 +183,9 @@ SELECT cast("Order ID" AS INT) AS order_id,
        coalesce(try_strptime(__ts, '%Y-%m-%d %H:%M:%S'),
                 try_cast(__ts AS TIMESTAMP)) AS submit_ts,
        coalesce(try_cast(trunc(try_cast("Units" AS DOUBLE)) AS INT), 1) AS units,
-       coalesce(nullif(trim("mainSkuCode"), ''), nullif(trim("Second SKU"), '')) AS product_key,
-       CASE WHEN regexp_matches(upper(trim("State")), '^[A-Z]{{2}}$')
-            THEN upper(trim("State")) END AS state_code,
+       coalesce(nullif(trim("mainSkuCode", ' '), ''), nullif(trim("Second SKU", ' '), '')) AS product_key,
+       CASE WHEN regexp_matches(upper(trim("State", ' ')), '^[A-Z]{{2}}$')
+            THEN upper(trim("State", ' ')) END AS state_code,
        substring("Notes", 1, 30) AS notes,
        cast(NULL AS VARCHAR) AS discount_code
 FROM (

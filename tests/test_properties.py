@@ -4057,7 +4057,10 @@ def test_ngram_jaccard_topk_matches_python_walk(spark, texts, topk):
 _JSON_K = st.one_of(
     st.integers(min_value=-(2**40), max_value=2**40),  # incl. int32 overflow
     st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
-    st.text(alphabet="0123456789+- .ab", max_size=8),
+    # \t \x00 (cast-trimmed by Spark) and \xa0 (NOT trimmed by Spark
+    # but stripped by DuckDB's default trim — the divergence the twin's
+    # explicit [\x00-\x20] strip exists to avoid)
+    st.text(alphabet="0123456789+- .ab\t\x00\xa0", max_size=8),
     st.booleans(),
     st.none(),
     st.lists(st.integers(0, 9), max_size=2),
@@ -4130,7 +4133,9 @@ def test_events_json_prop_parse_three_way_parity(spark, props):
         if isinstance(k, float):
             return None  # serialized with a fraction/exponent -> non-integral
         if isinstance(k, str):
-            t = k.strip()
+            # Spark's cast trims chars <= 0x20 (tab, NUL — NOT NBSP);
+            # Python str.strip() would wrongly strip NBSP and keep NUL
+            t = re.sub(r"^[\x00-\x20]+|[\x00-\x20]+$", "", k)
             if not re.fullmatch(r"[+-]?[0-9]+", t):
                 return None
             k = int(t)
