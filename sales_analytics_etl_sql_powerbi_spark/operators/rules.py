@@ -134,7 +134,16 @@ def _guard_sql(g: Guard) -> str:
         return "TRUE"
     conds: list[str] = []
     conds += [f"{c} IS NULL" for c in g.null]
-    conds += [f"({c} IS NULL OR trim({c}, ' ') = '')" for c in g.null_or_blank]
+    # blank = spaces-only, exactly F.trim's ASCII-space semantics. NOT
+    # trim(): bare trim() strips Unicode spaces in DuckDB (NBSP — the
+    # r15 divergence), and the two-arg form flips argument order
+    # between dialects (Spark trim(trimStr, str) vs DuckDB
+    # trim(str, chars) — the fresh-seed rules fuzz caught the Spark
+    # F.expr fast path silently mis-guarding on ''). replace() has
+    # identical semantics in both dialects.
+    conds += [
+        f"({c} IS NULL OR replace({c}, ' ', '') = '')" for c in g.null_or_blank
+    ]
     conds += [f"lower({c}) = '{_sq(v.lower())}'" for c, v in g.eq]
     return " AND ".join(conds)
 
