@@ -216,15 +216,29 @@ def _require_plane_safe_dim(dim: int, ctx: str) -> None:
         )
 
 
-def _peek_dim(emb: DataFrame, col: str, dim: int, ctx: str) -> None:
-    """LOUD width validation at PLAN BUILD (round 15, found by the ANN
-    fuzz): ``zip_with`` pads the shorter array with NULLs, so a corpus
-    whose embeddings are not ``dim`` wide used to fold every
-    hyperplane projection to NULL and SILENTLY collapse the whole
-    corpus into bucket 0 (LSH → brute-force-in-one-bucket — the
-    quadratic-candidate failure mode at scale) or an all-NULL RP
-    shortlist (empty similarity results). A width mismatch is a caller
-    contract bug, not data poison, so it must raise.
+#: rows the width peek is allowed to scan before giving up — an
+#: all-NULL-prefix corpus used to drag the ``isNotNull().first()``
+#: scan arbitrarily far at every plan build (VERDICT r15 finding 2);
+#: past this bound the peek degrades per its documented contract
+#: instead of paying an unbounded scan.
+_PEEK_SCAN_ROWS = 65536
+
+
+def _peek_dim(emb: DataFrame, col: str, dim: int | None, ctx: str) -> int:
+    """Resolve-or-validate the embedding width at PLAN BUILD (rounds
+    15/16, found by the ANN fuzz): ``zip_with`` pads the shorter array
+    with NULLs, so a corpus whose embeddings are not the hyperplane
+    width used to fold every projection to NULL and SILENTLY collapse
+    the whole corpus into bucket 0 (LSH → brute-force-in-one-bucket —
+    the quadratic-candidate failure mode at scale) or an all-NULL RP
+    shortlist (empty similarity results).
+
+    ``dim=None`` (the hyperplane family's default since round 16 —
+    VERDICT r15 item 2) INFERS the width from the first non-NULL
+    embedding and returns it, so a 32-dim corpus works unmodified on
+    every hyperplane path. An EXPLICIT ``dim`` keeps the loud
+    caller-bug contract: a sampled width that disagrees raises at
+    plan build instead of silently single-bucketing.
 
     WHY A DRIVER PEEK AND NOT A PER-ROW GUARD: the first fix wrapped
     the bucket expression in ``when(size(__q)!=dim, raise_error)`` —
@@ -232,25 +246,55 @@ def _peek_dim(emb: DataFrame, col: str, dim: int, ctx: str) -> None:
     monkeypatched): no guard 0.73s, ``when``+NULL 0.89s (+22%, the
     conditional wrapper alone), ``when``+``raise_error`` 1.26s (+73% —
     RaiseError additionally knocks the projection out of codegen).
-    The peek is one ``LocalLimit(1)`` job over the first non-NULL
-    embedding (bounded: one row group of one file however large the
-    corpus) and leaves the hot projection exactly as fast as no guard.
+    The peek is one LocalLimit job over the first non-NULL embedding,
+    now HARD-bounded at ``_PEEK_SCAN_ROWS`` rows (VERDICT r15
+    finding 2: an all-NULL-prefix corpus used to drag the scan
+    arbitrarily far). Past the bound — or on an empty frame — an
+    explicit ``dim`` is trusted unvalidated (the documented degrade:
+    a genuinely mismatched corpus then follows the ragged-row
+    NULL-never-matches path below), while ``dim=None`` raises with
+    instructions to pass one (planes cannot be sized from nothing).
     Residual contract: rows whose width differs FROM OTHER ROWS past
     the sampled one (a corrupt ragged corpus) degrade to the shared
     NULL-never-matches path — NULL folds → bucket-0 bits with NULL
     cosine / NULL rp — the same semantics as poison vectors, not a
     silent whole-corpus collapse."""
     row = (
-        emb.where(F.col(col).isNotNull())
-        .select(F.size(F.col(col)).alias("s"))
+        emb.select(F.col(col).alias("__e"))
+        .limit(_PEEK_SCAN_ROWS)
+        .where(F.col("__e").isNotNull())
+        .select(F.size("__e").alias("s"))
         .first()
     )
-    if row is not None and row.s != dim:
+    if row is None:
+        if dim is None:
+            raise ValueError(
+                f"{ctx}: cannot infer the embedding width — no non-NULL "
+                f"embedding in the first {_PEEK_SCAN_ROWS} rows; pass "
+                "dim=<corpus width> (planes are built per-dim)"
+            )
+        return dim
+    if dim is not None and row.s != dim:
         raise ValueError(
             f"{ctx}: embedding width {row.s} does not match the "
             f"hyperplane dim {dim} — pass dim=<corpus width> (planes "
             "are built per-dim)"
         )
+    return dim if dim is not None else row.s
+
+
+def _resolve_dim(emb: DataFrame, dim: int | None, ctx: str) -> int:
+    """The hyperplane family's full width handshake: envelope-check an
+    explicit ``dim`` BEFORE paying the peek (a caller asking for a
+    width past the quantization gate must hear about the gate, not a
+    corpus mismatch), then infer-or-validate via :func:`_peek_dim`,
+    then envelope-check the INFERRED width (a >64-wide corpus would
+    re-open the ADVICE-r14 overflow window just the same)."""
+    if dim is not None:
+        _require_plane_safe_dim(dim, ctx)
+    dim = _peek_dim(emb, "embedding", dim, ctx)
+    _require_plane_safe_dim(dim, ctx)
+    return dim
 
 
 def quantized(emb: DataFrame, col: str = "embedding", dim: int = _DIM) -> DataFrame:
@@ -400,7 +444,7 @@ def shortlisted_cosine_topk(
     n_queries: int = 5,
     topk: int = 10,
     max_rows_per_task: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-stage similarity search: RP SHORTLIST → EXACT rerank — the
     composition a 100-TB search actually runs, as one operator.
@@ -579,7 +623,7 @@ def rerank_multiplier(
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
     validate_dim: bool = True,
 ) -> DataFrame:
     """Random-hyperplane bucket id per vector (sign-bit concatenation).
@@ -590,18 +634,27 @@ def lsh_buckets(
     growing linearly with it. Pass an explicit count to pin the
     bucketing (e.g. for cross-run comparability).
 
-    ``dim`` is the embedding width the planes are built at (default:
-    the corpus contract ``_DIM``); a mismatched corpus raises at plan
-    build via :func:`_peek_dim` instead of silently single-bucketing
-    (one bounded LocalLimit-1 job — the per-row guard alternative
-    measured +22–73% on the bucket projection, see the peek's
-    docstring). ``validate_dim=False`` skips the peek when the SAME
-    frame's width was already validated earlier in this call chain
-    (e.g. the query slice of a corpus the index build just peeked).
+    ``dim`` is the embedding width the planes are built at.
+    ``None`` (default, round 16 — VERDICT r15 item 2) INFERS it from
+    the corpus via :func:`_peek_dim`'s bounded peek, so any-width
+    corpora work unmodified; an EXPLICIT width keeps the loud
+    mismatch raise at plan build instead of silently single-bucketing
+    (one bounded LocalLimit job either way — the per-row guard
+    alternative measured +22–73% on the bucket projection, see the
+    peek's docstring). ``validate_dim=False`` skips the peek when the
+    SAME frame's width was already resolved earlier in this call
+    chain (e.g. the query slice of a corpus the index build just
+    peeked) — it therefore requires an explicit ``dim``.
     """
-    _require_plane_safe_dim(dim, "lsh_buckets")
     if validate_dim:
-        _peek_dim(emb, "embedding", dim, "lsh_buckets")
+        dim = _resolve_dim(emb, dim, "lsh_buckets")
+    elif dim is None:
+        raise ValueError(
+            "lsh_buckets: validate_dim=False skips the width peek, so "
+            "the resolved width must be passed explicitly (dim=)"
+        )
+    else:
+        _require_plane_safe_dim(dim, "lsh_buckets")
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
@@ -672,7 +725,7 @@ def semantic_contamination(
     threshold: float = 0.9,
     n_planes: int | None = None,
     n_probes: int = 4,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination (beyond-reference) —
     the SEMANTIC sibling of ``text.decontaminate``'s k-gram overlap:
@@ -719,7 +772,12 @@ def semantic_contamination(
     """
     if n_planes is None:
         n_planes = auto_n_planes_eval(eval_emb.count(), threshold=threshold)
-    index = lsh_buckets(corpus_emb, n_planes, dim)
+    # resolve the width once from the corpus side (dim=None infers —
+    # round 16); the eval side still gets a VALIDATING peek, because a
+    # width disagreement between the two frames is exactly the silent
+    # zero-hit collapse the loud contract exists for
+    dim = _resolve_dim(corpus_emb, dim, "semantic_contamination")
+    index = lsh_buckets(corpus_emb, n_planes, dim, validate_dim=False)
     qb = _expand_probes(
         lsh_buckets(eval_emb, n_planes, dim), n_planes, n_probes, dim
     ).select(
@@ -758,7 +816,10 @@ def semantic_decontaminate(
 
 
 def ann_index(
-    emb: DataFrame, n_planes: int | None = None, dim: int = _DIM
+    emb: DataFrame,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Materializable LSH index: the bucketed, quantized corpus.
 
@@ -772,9 +833,11 @@ def ann_index(
 
     Pass an explicit ``n_planes`` (and reuse it in :func:`ann_query`)
     when the index outlives this process; the default auto-sizing is
-    corpus-count-dependent.
+    corpus-count-dependent. ``dim=None`` infers the width from the
+    corpus; ``validate_dim=False`` (explicit ``dim`` required) skips
+    the peek when the caller already resolved this frame's width.
     """
-    return lsh_buckets(emb, n_planes, dim)
+    return lsh_buckets(emb, n_planes, dim, validate_dim)
 
 
 def ann_query(
@@ -783,7 +846,7 @@ def ann_query(
     n_planes: int,
     topk: int = 5,
     n_probes: int = 1,
-    dim: int = _DIM,
+    dim: int | None = None,
     validate_dim: bool = True,
 ) -> DataFrame:
     """Top-k over a prebuilt :func:`ann_index` for a batch of queries.
@@ -806,7 +869,17 @@ def ann_query(
     candidate sets are disjoint because index buckets partition the
     corpus). The standard knob when an LSH index is materialized and
     rebucketing is expensive but a query batch needs better recall.
+
+    ``dim=None`` infers the width from the QUERY batch (human-sized —
+    the peek is trivially bounded); it must of course match the width
+    the index was built at, same contract as ``n_planes``. Explicit
+    ``dim`` + ``validate_dim=True`` keeps the loud mismatch raise.
     """
+    if dim is None:
+        # inference IS the peek — a second validating peek on the same
+        # frame would be a redundant job
+        dim = _resolve_dim(queries, None, "ann_query")
+        validate_dim = False
     qb0 = _expand_probes(
         lsh_buckets(queries, n_planes, dim, validate_dim), n_planes, n_probes, dim
     )
@@ -838,7 +911,7 @@ def ann_lsh_topk(
     topk: int = 5,
     n_planes: int | None = None,
     n_probes: int = 1,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket.
 
@@ -859,16 +932,17 @@ def ann_lsh_topk(
     """
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
+    # one width resolution (infer-or-validate) for the whole pipeline:
+    # the index build and the query slice read the SAME frame, so a
+    # second peek on either would be a redundant job
+    dim = _resolve_dim(emb, dim, "ann_lsh_topk")
     return ann_query(
-        ann_index(emb, n_planes, dim),
+        ann_index(emb, n_planes, dim, validate_dim=False),
         emb.where(F.col("vec_id") < n_queries),
         n_planes,
         topk,
         n_probes,
         dim,
-        # the query slice comes from the corpus the index build just
-        # width-peeked — a second LocalLimit-1 job would re-validate
-        # the same frame
         validate_dim=False,
     )
 
@@ -882,7 +956,10 @@ def ann_lsh_topk_sql(
 ) -> str:
     if n_planes is None:
         n_planes = auto_n_planes(_embeddings_rowcount_parquet(sf_dir))
-    planes = hyperplanes(n_planes)
+    # plane literals built at the declared width (ADVICE r15: parity
+    # for dim<_DIM previously leaned on the md5 family's prefix
+    # stability via [lits][i] indexing — an implicit coupling)
+    planes = hyperplanes(n_planes, dim)
     bits = []
     for j, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
@@ -919,7 +996,7 @@ def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     n_planes: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidates only.
 
@@ -959,7 +1036,7 @@ def embedding_neardup_clusters(
     emb: DataFrame,
     threshold: float = 0.9,
     n_planes: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Semantic dedup: collapse cosine-near-dup embeddings into clusters.
 
@@ -992,7 +1069,9 @@ def embedding_neardup_pairs_sql(
 ) -> str:
     if n_planes is None:
         n_planes = auto_n_planes(_embeddings_rowcount_parquet(sf_dir))
-    planes = hyperplanes(n_planes)
+    # declared-width plane literals (ADVICE r15 — same rationale as
+    # ann_lsh_topk_sql)
+    planes = hyperplanes(n_planes, dim)
     bits = []
     for j, plane in enumerate(planes):
         lit = "[" + ", ".join(str(v) for v in plane) + "]"
@@ -1516,7 +1595,7 @@ def rp_project(
     out_dim: int = 16,
     impl: str = "arrow",
     max_rows_per_task: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003):
     each output coordinate is the dot product of the micro-unit
@@ -1556,8 +1635,7 @@ def rp_project(
     gated paths — the count job is the only cost, but the default
     stays zero-overhead.
     """
-    _require_plane_safe_dim(dim, "rp_project")
-    _peek_dim(emb, "embedding", dim, "rp_project")
+    dim = _resolve_dim(emb, dim, "rp_project")
     planes = hyperplanes(out_dim, dim)
     q = quantized(emb)
     if max_rows_per_task:
@@ -1605,13 +1683,15 @@ def _rp_expr(planes: list[list[int]], impl: str):
                 return None
             arr = np.asarray(a, dtype="float64")
             if arr.shape[0] != mat.shape[0]:
-                # same contract as the fold path's _dim_guarded: a
-                # width mismatch is a caller bug, never silent
-                raise ValueError(
-                    f"rp_project: embedding width {arr.shape[0]} does "
-                    f"not match the hyperplane dim {mat.shape[0]} — "
-                    "pass dim=<corpus width>"
-                )
+                # a RAGGED row past the plan-build peek degrades to
+                # NULL (ADVICE r15 medium): the fold impl's zip_with
+                # NULL padding + __pn>0 filter silently degrades the
+                # same row, and _peek_dim's residual contract promises
+                # the shared NULL-never-matches path — raising here
+                # would let ONE corrupt row kill the whole job, the
+                # poison-row class r14 removed. The loud caller-bug
+                # case (whole-corpus width mismatch) is _peek_dim's.
+                return None
             if np.isnan(arr).any():
                 return None
             return arr.astype(np.int64)  # exact: |elem| <= ~1.9e8 << 2^53
@@ -1636,7 +1716,7 @@ def rp_cosine_topk(
     n_queries: int = 5,
     topk: int = 10,
     max_rows_per_task: int | None = None,
-    dim: int = _DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """:func:`cosine_topk` in the projected space: same query
     broadcast, same 9-dp rounding and tie-break, but every pairwise
@@ -1683,7 +1763,9 @@ def rp_cosine_topk_sql(
     regenerated from the same md5 family and the projection re-derived
     as list folds — integer-exact, so only the final cosine rounds."""
     proj_cols = []
-    for j, plane in enumerate(hyperplanes(out_dim)):
+    # declared-width plane literals (ADVICE r15 — same rationale as
+    # ann_lsh_topk_sql)
+    for j, plane in enumerate(hyperplanes(out_dim, dim)):
         lits = ", ".join(str(v) for v in plane)
         proj_cols.append(
             "list_sum(list_transform(range(1, {n} + 1), "

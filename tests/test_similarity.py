@@ -402,12 +402,14 @@ def test_rp_project_exact_integer_projection(spark):
         for r in S.rp_project(emb, out_dim, impl="fold").collect()
     }
     assert fold == got
-    # NULL embedding -> NULL projection, both impls (convention pin)
+    # NULL embedding -> NULL projection, both impls (convention pin).
+    # An all-NULL frame has no inferable width (round 16), so the
+    # contract requires declaring one.
     withnull = spark.createDataFrame(
         [(9, None)], "vec_id long, embedding array<double>"
     )
     for impl in ("arrow", "fold"):
-        r = S.rp_project(withnull, out_dim, impl=impl).collect()[0]
+        r = S.rp_project(withnull, out_dim, impl=impl, dim=64).collect()[0]
         assert r.rp is None
 
 
@@ -820,23 +822,30 @@ def test_hyperplane_paths_reject_dim_mismatch_loudly(spark):
     """Round 15 (found by the ANN fuzz): a corpus whose embeddings are
     not the hyperplane dim used to fold every projection to NULL via
     zip_with's NULL padding and SILENTLY collapse all of LSH into
-    bucket 0 (and RP shortlists into all-NULL/empty results). Width
-    mismatch is a caller contract bug — it must raise, on every
-    hyperplane path; the matching dim= makes the same corpus work."""
+    bucket 0 (and RP shortlists into all-NULL/empty results). Since
+    round 16 (VERDICT r15 item 2) an UNSPECIFIED dim is INFERRED from
+    the corpus — any-width corpora work unmodified — while an
+    EXPLICIT dim keeps the loud mismatch raise on every hyperplane
+    path (a declared width IS the caller's contract)."""
     emb = spark.createDataFrame(
         [(0, [0.1] * 6), (1, [0.2] * 6), (2, [0.3] * 6)],
         "vec_id long, embedding array<double>",
     )
+    # explicit-but-wrong dim raises at plan build on every path
     with pytest.raises(Exception, match="embedding width"):
-        similarity.ann_lsh_topk(emb, n_queries=1, topk=2).collect()
+        similarity.ann_lsh_topk(emb, n_queries=1, topk=2, dim=64).collect()
     with pytest.raises(Exception, match="width"):
-        similarity.rp_project(emb, out_dim=4, impl="fold").collect()
+        similarity.rp_project(emb, out_dim=4, impl="fold", dim=64).collect()
     with pytest.raises(Exception, match="width"):
-        similarity.rp_project(emb, out_dim=4, impl="arrow").collect()
+        similarity.rp_project(emb, out_dim=4, impl="arrow", dim=64).collect()
     # the quantization-gate envelope is sized at _DIM: wider corpora
     # must be refused at plan build, not overflow at runtime
     with pytest.raises(ValueError, match="safe envelope"):
         similarity.lsh_buckets(emb, 4, dim=128)
+    # skipping the peek without declaring the width it would have
+    # resolved is a caller bug
+    with pytest.raises(ValueError, match="explicit"):
+        similarity.lsh_buckets(emb, 4, validate_dim=False)
     # with the matching dim, the same corpus works on every path
     assert similarity.ann_lsh_topk(emb, n_queries=1, topk=2, dim=6).count() > 0
     assert (
@@ -861,3 +870,71 @@ def test_hyperplane_paths_reject_dim_mismatch_loudly(spark):
     )
     out = similarity.ann_lsh_topk(laced, n_queries=1, topk=2, dim=6).collect()
     assert all(r.cosine is None or r.vec_id == 0 for r in out)
+
+
+def test_hyperplane_dim_inferred_from_corpus(spark):
+    """Round 16 (VERDICT r15 item 2): with no explicit dim, the
+    hyperplane family infers the width from the corpus's first
+    non-NULL embedding — a 32-dim (here 6-dim) corpus works
+    UNMODIFIED on every path, and the inferred plan is identical to
+    the explicitly-declared one."""
+    rows = [(i, [0.1 * (i + 1 + j) for j in range(6)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # ann_lsh_topk: inferred ≡ explicit, row for row
+    inf = similarity.ann_lsh_topk(emb, n_queries=2, topk=3).collect()
+    exp = similarity.ann_lsh_topk(emb, n_queries=2, topk=3, dim=6).collect()
+    assert [tuple(r) for r in inf] == [tuple(r) for r in exp] and inf
+
+    # rp_project, both impls
+    for impl in ("arrow", "fold"):
+        got_inf = {
+            r.vec_id: r.rp
+            for r in similarity.rp_project(emb, out_dim=4, impl=impl).collect()
+        }
+        got_exp = {
+            r.vec_id: r.rp
+            for r in similarity.rp_project(
+                emb, out_dim=4, impl=impl, dim=6
+            ).collect()
+        }
+        assert got_inf == got_exp and all(v is not None for v in got_inf.values())
+
+    # semantic_contamination infers from the corpus side and still
+    # VALIDATES the eval side (a mismatched eval frame raises loudly)
+    eval_emb = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    hits = similarity.semantic_contamination(emb, eval_emb, threshold=0.99)
+    assert hits.count() >= 2  # every vector ~matches itself
+    bad_eval = spark.createDataFrame(
+        [(0, [0.1] * 9)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding width"):
+        similarity.semantic_contamination(emb, bad_eval).count()
+
+    # embedding_neardup_pairs rides the same inference
+    assert (
+        similarity.embedding_neardup_pairs(emb, threshold=0.99).count() > 0
+    )
+
+    # a RAGGED row past the sampled one degrades to NULL on BOTH
+    # rp impls (ADVICE r15 medium: arrow used to kill the job where
+    # fold degraded) — parity-pinned
+    ragged = spark.createDataFrame(
+        [(0, [0.1] * 6), (1, [0.2] * 4), (2, [0.3] * 6)],
+        "vec_id long, embedding array<double>",
+    )
+    for impl in ("arrow", "fold"):
+        got = {
+            r.vec_id: r.rp
+            for r in similarity.rp_project(ragged, out_dim=4, impl=impl).collect()
+        }
+        assert got[1] is None and got[0] is not None and got[2] is not None
+
+    # all-NULL corpus: inference raises with instructions (bounded
+    # peek found nothing), explicit dim is trusted and degrades
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="cannot infer"):
+        similarity.lsh_buckets(nulls, 4)
+    assert similarity.lsh_buckets(nulls, 4, dim=6).count() == 2
