@@ -30,6 +30,19 @@ page cache, codegen caches all land there), the timed passes start
 converged, and the warm-up's raw timings are kept in the sidecar as
 ``warmup_pass`` for transparency. ``SPARK_GRAFT_BENCH_WARMUP=0``
 disables it.
+
+Deterministic cost metrics (round 16 — VERDICT r15 item 1): three
+consecutive rounds hand-adjudicated ±30% wall-clock box noise on the
+shuffle-heaviest entries. Every query now runs under a job group
+(``p{pass}:{name}``), and after the passes the Spark UI REST API is
+read once to sum per-query shuffle read/write bytes, input bytes,
+task count, stage count, and job count — CODE-determined quantities
+a busy box cannot move. They land in the sidecar under ``"cost"``
+(final timed pass) and ``"cost_by_pass"`` (every pass, warm-up
+included), with ``"cost_stable"`` flagging queries whose shuffle
+bytes were identical across timed passes. ``scripts/costdiff.py``
+diffs two sidecars: a wall-clock mover with byte-identical cost is
+box noise by construction; a byte mover is a real plan change.
 """
 
 from __future__ import annotations
@@ -40,12 +53,18 @@ import sys
 import time
 
 
-def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+def run_pass(spark, sf_dir: str, tag: str = "") -> tuple[dict[str, float], int]:
     """One full pass over every bench query; returns (timings, view rows).
 
     The reporting view is persisted for the BI queries (that IS the
     warehouse shape being measured) and unpersisted at pass end so a
     following pass rebuilds from parquet instead of reading the cache.
+
+    ``tag`` prefixes the per-query job group (``{tag}{name}``) so the
+    post-run REST read can attribute every stage's cost to (pass,
+    query) — plan-build jobs a query pays eagerly (width peeks, IVF
+    codebook sampling) run inside its clock and are correctly charged
+    to it.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -53,6 +72,7 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     from sales_analytics_etl_sql_powerbi_spark import pipeline
     from sales_analytics_etl_sql_powerbi_spark.operators import analytics
 
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
 
     # Full materialization to the client via Arrow batches (toPandas) —
@@ -61,8 +81,12 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     # engine work timed is identical (every row still reaches the
     # driver).
     def clock(name: str, fn) -> None:
+        sc.setJobGroup(f"{tag}{name}", name)
         t0 = time.perf_counter()
-        fn()
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # ---- ETL: build + materialize the star once -------------------------
@@ -70,10 +94,14 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     # read (the reference materializes the same surface as SQL Server
     # tables + view). fact/dims stay lazy; pruned recompute is cheaper
     # than caching them too.
+    sc.setJobGroup(f"{tag}pipeline_build", "pipeline_build")
     t0 = time.perf_counter()
-    s = pipeline.star(spark, sf_dir)
-    view = s["view"].persist(StorageLevel.MEMORY_AND_DISK)
-    n_view = view.count()
+    try:
+        s = pipeline.star(spark, sf_dir)
+        view = s["view"].persist(StorageLevel.MEMORY_AND_DISK)
+        n_view = view.count()
+    finally:
+        sc.setJobGroup(None, None)
     timings["pipeline_build"] = round(time.perf_counter() - t0, 3)
 
     # ---- BI queries over the materialized view --------------------------
@@ -136,6 +164,77 @@ def run_pass(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     return timings, n_view
 
 
+def collect_cost(spark, tags: list[str]) -> dict[str, dict[str, dict[str, int]]]:
+    """Per-(pass, query) deterministic cost from the UI REST API.
+
+    Sums, over the COMPLETED stages of every job in the job group
+    ``{tag}{query}``: shuffle read/write bytes, input/output bytes,
+    task count — plus stage and job counts. Stage attribution: each
+    completed stage attempt is charged to the FIRST job (ascending
+    jobId) that references it; later jobs reusing the exchange see the
+    stage as SKIPPED in their own run, so nothing double-counts.
+    These are code-determined quantities (the plan decides them), so
+    cross-round diffs of this table are a hard regression signal where
+    wall-clock is ±30% box noise (VERDICT r15 item 1). Returns
+    {tag: {query: metrics}}; degrades to {} if the UI is unreachable
+    (bench's stdout contract never depends on it)."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return {}
+    try:
+        def _get(path):
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{sc.applicationId}/{path}"
+            ) as r:
+                return json.load(r)
+
+        jobs = _get("jobs")
+        stages = _get("stages")
+    except Exception:
+        return {}
+    done: dict[int, list] = {}
+    for s in stages:
+        if s.get("status") == "COMPLETE":
+            done.setdefault(s["stageId"], []).append(s)
+    # newest-first from the API → ascend by jobId for first-job claims
+    out: dict[str, dict[str, dict[str, int]]] = {t: {} for t in tags}
+    claimed: set[int] = set()
+    for j in sorted(jobs, key=lambda j: j["jobId"]):
+        group = j.get("jobGroup") or ""
+        tag = next((t for t in tags if group.startswith(t)), None)
+        if tag is None:
+            continue
+        name = group[len(tag):]
+        m = out[tag].setdefault(
+            name,
+            {
+                "shuffle_read_bytes": 0,
+                "shuffle_write_bytes": 0,
+                "input_bytes": 0,
+                "output_bytes": 0,
+                "tasks": 0,
+                "stages": 0,
+                "jobs": 0,
+            },
+        )
+        m["jobs"] += 1
+        for sid in j.get("stageIds", ()):
+            if sid in claimed:
+                continue
+            claimed.add(sid)
+            for s in done.get(sid, ()):
+                m["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+                m["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+                m["input_bytes"] += s.get("inputBytes", 0)
+                m["output_bytes"] += s.get("outputBytes", 0)
+                m["tasks"] += s.get("numTasks", 0)
+                m["stages"] += 1
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -169,6 +268,15 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # cost-metric plumbing (round 16): the UI's REST API is the
+        # source for per-query shuffle bytes / task counts; retention
+        # must cover every job of every pass, and synchronous state
+        # tracking makes the post-run read deterministic (no async
+        # listener lag between the last job and the REST fetch)
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedJobs", "100000")
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.appStateStore.asyncTracking.enable", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -203,13 +311,19 @@ def main() -> None:
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     warmup_timings: dict[str, float] | None = None
     if repeat > 1 and warmup:
-        warmup_timings, _ = run_pass(spark, sf_dir)
+        warmup_timings, _ = run_pass(spark, sf_dir, tag="w:")
 
     passes: list[dict[str, float]] = []
     n_view = 0
-    for _ in range(repeat):
-        timings, n_view = run_pass(spark, sf_dir)
+    for i in range(repeat):
+        timings, n_view = run_pass(spark, sf_dir, tag=f"p{i}:")
         passes.append(timings)
+
+    # deterministic cost per (pass, query) — read once, after all jobs
+    pass_tags = [f"p{i}:" for i in range(repeat)]
+    cost_by_tag = collect_cost(
+        spark, (["w:"] if warmup_timings is not None else []) + pass_tags
+    )
 
     queries = {name: min(p[name] for p in passes) for name in passes[0]}
     readings = {name: [p[name] for p in passes] for name in passes[0]}
@@ -232,6 +346,26 @@ def main() -> None:
     # the headline sum-of-per-query-minima, since the two protocols
     # are not interchangeable (ADVICE r11).
     if repeat > 1:
+        # headline cost: the FINAL timed pass (fully warmed, converged
+        # AQE decisions); stability cross-checked over all timed passes
+        final_cost = cost_by_tag.get(pass_tags[-1], {})
+        cost_stable = {
+            name: len(
+                {
+                    (
+                        cost_by_tag.get(t, {})
+                        .get(name, {})
+                        .get("shuffle_read_bytes"),
+                        cost_by_tag.get(t, {})
+                        .get(name, {})
+                        .get("shuffle_write_bytes"),
+                    )
+                    for t in pass_tags
+                }
+            )
+            == 1
+            for name in queries
+        }
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_readings.json")
         with open(sidecar, "w") as f:
@@ -247,6 +381,9 @@ def main() -> None:
                     "min_pass_total": round(
                         min(sum(p.values()) for p in passes), 3
                     ),
+                    "cost": final_cost,
+                    "cost_stable": cost_stable,
+                    "cost_by_pass": cost_by_tag,
                 },
                 f,
                 indent=1,
