@@ -31,9 +31,25 @@ from sales_analytics_etl_sql_powerbi_spark.operators.dims import (
 )
 from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
     read_input,
-    read_table,
+    read_table as _read_table_uncached,
 )
 from sales_analytics_etl_sql_powerbi_spark.streaming import windows as stream_win
+
+#: per-session DataFrame memo for the read-only testdata tables
+#: (round 16 — VERDICT r15 item 8): ``spark.read.parquet`` pays a
+#: file-listing job per call, so repeat invocations of an entry paid
+#: one eager job each just to re-list an immutable directory. The
+#: cached object is a LAZY plan (no data pinned); keying on the
+#: applicationId drops dead-session plans. The library read_table
+#: stays uncached — general tables grow, the driver's testdata do not.
+_TABLE_CACHE: dict = {}
+
+
+def read_table(spark, sf: str, name: str):
+    key = (spark.sparkContext.applicationId, sf, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = _read_table_uncached(spark, sf, name)
+    return _TABLE_CACHE[key]
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -607,6 +623,15 @@ _JSON_K_INT_DUCK = (
     f"try_cast(CASE WHEN regexp_matches({_K_TRIMMED_DUCK}, "
     f"'^[+-]?[0-9]+$') THEN {_K_TRIMMED_DUCK} END AS INT)"
 )
+#: the same accepted-integer domain over a PRE-HOISTED trimmed column
+#: (ADVICE r15 low: inlining ``_K_TRIMMED_DUCK`` twice made the oracle
+#: JSON-parse + regexp-trim every props row twice; the gated oracle
+#: hoists the trim into a subquery column named ``__kt`` and applies
+#: this form once per row)
+_JSON_K_INT_HOISTED_DUCK = (
+    "try_cast(CASE WHEN regexp_matches(__kt, "
+    "'^[+-]?[0-9]+$') THEN __kt END AS INT)"
+)
 
 
 def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
@@ -1101,6 +1126,30 @@ _RP_DIM = 32
 _RERANK_MULT = 5
 
 
+#: session-scoped plan-parameter memo (round 16 — VERDICT r15 item 8):
+#: several similarity entries used to pay eager plan-build jobs on
+#: EVERY invocation (auto-plane count(), width peek, IVF codebook
+#: sample+train). (n_planes, dim) derive from the table's own parquet
+#: metadata driver-side (zero Spark jobs, same values the jobs would
+#: return); the IVF codebook is trained once per (sf, params) and
+#: reused — training is deterministic, so results are identical.
+_PLAN_CACHE: dict = {}
+
+
+def _emb_plan(sf: str) -> tuple[int, int]:
+    """(n_planes, dim) for sf's embeddings table — metadata-derived,
+    memoized, zero Spark jobs."""
+    key = ("emb", sf)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = (
+            similarity.auto_n_planes(
+                similarity._embeddings_rowcount_parquet(sf)
+            ),
+            similarity.embedding_dim_parquet(sf),
+        )
+    return _PLAN_CACHE[key]
+
+
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine baseline + its int8-quantized twin (round
     7) in one discriminated frame: kind='exact' is the float (micro-
@@ -1119,33 +1168,51 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # exact long-integer projection (same md5 plane family as LSH), so
     # the hash pins the projection itself; the oracle re-derives the
     # planes and projects independently
-    rp = similarity.rp_cosine_topk(emb, out_dim=_RP_DIM).select(
-        F.lit("rp").alias("kind"), "query_id", "vec_id", "cosine", "rn"
-    )
+    _, dim = _emb_plan(sf)
+    rp = similarity.rp_cosine_topk(
+        emb, out_dim=_RP_DIM, dim=dim, validate_dim=False
+    ).select(F.lit("rp").alias("kind"), "query_id", "vec_id", "cosine", "rn")
     # kind='rerank' (round 11): the composed two-stage pipeline — RP
     # shortlist (multiplier×topk survivors) then EXACT full-width
     # rerank; the hash pins shortlist membership AND the true cosines,
     # so the gate covers the composition a 100-TB search actually runs
     rerank = similarity.shortlisted_cosine_topk(
-        emb, out_dim=_RP_DIM, multiplier=_RERANK_MULT
+        emb, out_dim=_RP_DIM, multiplier=_RERANK_MULT, dim=dim, validate_dim=False
     ).select(F.lit("rerank").alias("kind"), "query_id", "vec_id", "cosine", "rn")
     return exact.unionByName(int8).unionByName(rp).unionByName(rerank)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.ann_lsh_topk(read_table(spark, sf, "embeddings"))
+    n_planes, dim = _emb_plan(sf)
+    return similarity.ann_lsh_topk(
+        read_table(spark, sf, "embeddings"),
+        n_planes=n_planes,
+        dim=dim,
+        validate_dim=False,
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN — deterministic driver-trained codebook; the DuckDB twin
     retrains the identical codebook from the same parquet sample and
-    inlines it as literals, so this is fully hash-checked."""
-    return similarity.ann_ivf_topk(read_table(spark, sf, "embeddings"))
+    inlines it as literals, so this is fully hash-checked. The codebook
+    is trained once per (sf) and memoized (training is deterministic —
+    repeat invocations skip the sample+train job, VERDICT r15 item 8)."""
+    emb = read_table(spark, sf, "embeddings")
+    key = ("ivf_centroids", sf)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE[key] = similarity.ivf_codebook(emb)
+    return similarity.ann_ivf_topk(emb, centroids=_PLAN_CACHE[key])
 
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    n_planes, dim = _emb_plan(sf)
     return similarity.embedding_neardup_pairs(
-        read_table(spark, sf, "embeddings"), threshold=0.5
+        read_table(spark, sf, "embeddings"),
+        threshold=0.5,
+        n_planes=n_planes,
+        dim=dim,
+        validate_dim=False,
     )
 
 
@@ -2181,9 +2248,11 @@ def oracle_sql() -> dict[str, str]:
         "events_json": f"""
             SELECT event_type,
                    count(1) AS event_count,
-                   cast(sum({_JSON_K_INT_DUCK}) AS BIGINT) AS sum_k,
+                   cast(sum({_JSON_K_INT_HOISTED_DUCK}) AS BIGINT) AS sum_k,
                    cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM (SELECT event_type, value, {_K_TRIMMED_DUCK} AS __kt
+                  FROM events) e
+            GROUP BY event_type ORDER BY event_type
         """,
         "text_stats": text.text_stats_sql(),
         "doc_profile": text.doc_profile_sql(),

@@ -47,6 +47,7 @@ __all__ = [
     "hyperplanes",
     "auto_n_planes",
     "auto_n_planes_eval",
+    "embedding_dim_parquet",
     "train_ivf_codebook",
     "ivf_codebook",
     "codebook_from_parquet",
@@ -283,18 +284,59 @@ def _peek_dim(emb: DataFrame, col: str, dim: int | None, ctx: str) -> int:
     return dim if dim is not None else row.s
 
 
-def _resolve_dim(emb: DataFrame, dim: int | None, ctx: str) -> int:
+def _resolve_dim(
+    emb: DataFrame, dim: int | None, ctx: str, validate: bool = True
+) -> int:
     """The hyperplane family's full width handshake: envelope-check an
     explicit ``dim`` BEFORE paying the peek (a caller asking for a
     width past the quantization gate must hear about the gate, not a
     corpus mismatch), then infer-or-validate via :func:`_peek_dim`,
     then envelope-check the INFERRED width (a >64-wide corpus would
-    re-open the ADVICE-r14 overflow window just the same)."""
+    re-open the ADVICE-r14 overflow window just the same).
+
+    ``validate=False`` (requires an explicit ``dim``) skips the peek
+    entirely — the zero-job path for callers that already resolved
+    this frame's width, or derived it from the table's own parquet
+    metadata (:func:`embedding_dim_parquet`)."""
     if dim is not None:
         _require_plane_safe_dim(dim, ctx)
+        if not validate:
+            return dim
+    elif not validate:
+        raise ValueError(
+            f"{ctx}: validate_dim=False skips the width peek, so "
+            "the resolved width must be passed explicitly (dim=)"
+        )
     dim = _peek_dim(emb, "embedding", dim, ctx)
     _require_plane_safe_dim(dim, ctx)
     return dim
+
+
+def embedding_dim_parquet(sf_dir: str, col: str = "embedding") -> int:
+    """Driver-side twin of :func:`_peek_dim`'s inference — the width
+    of the first non-NULL embedding straight from the parquet footer's
+    row groups, NO Spark job (round 16 — VERDICT r15 item 8: the
+    gated entries derive (n_planes, dim) once per session from table
+    metadata instead of paying a peek job per invocation). Bounded at
+    the same ``_PEEK_SCAN_ROWS`` as the Spark-side peek."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    seen = 0
+    for batch in pf.iter_batches(batch_size=4096, columns=[col]):
+        arr = batch.column(0)
+        for i in range(len(arr)):
+            if arr[i].is_valid:
+                return len(arr[i].as_py())
+        seen += len(arr)
+        if seen >= _PEEK_SCAN_ROWS:
+            break
+    raise ValueError(
+        f"embedding_dim_parquet: no non-NULL {col!r} in the first "
+        f"{max(seen, _PEEK_SCAN_ROWS)} rows of {sf_dir}/embeddings.parquet"
+    )
 
 
 def quantized(emb: DataFrame, col: str = "embedding", dim: int = _DIM) -> DataFrame:
@@ -445,6 +487,7 @@ def shortlisted_cosine_topk(
     topk: int = 10,
     max_rows_per_task: int | None = None,
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Two-stage similarity search: RP SHORTLIST → EXACT rerank — the
     composition a 100-TB search actually runs, as one operator.
@@ -488,6 +531,7 @@ def shortlisted_cosine_topk(
         topk=multiplier * topk,
         max_rows_per_task=max_rows_per_task,
         dim=dim,
+        validate_dim=validate_dim,
     ).select("query_id", "vec_id")
     q = quantized(emb)
     queries = q.where(F.col("vec_id") < n_queries).select(
@@ -646,15 +690,7 @@ def lsh_buckets(
     chain (e.g. the query slice of a corpus the index build just
     peeked) — it therefore requires an explicit ``dim``.
     """
-    if validate_dim:
-        dim = _resolve_dim(emb, dim, "lsh_buckets")
-    elif dim is None:
-        raise ValueError(
-            "lsh_buckets: validate_dim=False skips the width peek, so "
-            "the resolved width must be passed explicitly (dim=)"
-        )
-    else:
-        _require_plane_safe_dim(dim, "lsh_buckets")
+    dim = _resolve_dim(emb, dim, "lsh_buckets", validate_dim)
     if n_planes is None:
         n_planes = auto_n_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
@@ -912,6 +948,7 @@ def ann_lsh_topk(
     n_planes: int | None = None,
     n_probes: int = 1,
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket.
 
@@ -934,8 +971,9 @@ def ann_lsh_topk(
         n_planes = auto_n_planes(emb.count())
     # one width resolution (infer-or-validate) for the whole pipeline:
     # the index build and the query slice read the SAME frame, so a
-    # second peek on either would be a redundant job
-    dim = _resolve_dim(emb, dim, "ann_lsh_topk")
+    # second peek on either would be a redundant job;
+    # validate_dim=False (explicit dim required) makes it zero jobs
+    dim = _resolve_dim(emb, dim, "ann_lsh_topk", validate_dim)
     return ann_query(
         ann_index(emb, n_planes, dim, validate_dim=False),
         emb.where(F.col("vec_id") < n_queries),
@@ -997,6 +1035,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     n_planes: int | None = None,
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidates only.
 
@@ -1010,7 +1049,7 @@ def embedding_neardup_pairs(
     twin replicates the bucketing exactly, so the oracle checks the
     implementation, not a stricter ideal.
     """
-    b = lsh_buckets(emb, n_planes, dim)
+    b = lsh_buckets(emb, n_planes, dim, validate_dim)
     a = b.select(
         F.col("vec_id").alias("vec_a"),
         F.col("__q").alias("__qa"),
@@ -1324,6 +1363,7 @@ def ann_ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_n: int = _IVF_SAMPLE,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: search only the ``nprobe`` nearest cells per query.
 
@@ -1349,8 +1389,16 @@ def ann_ivf_topk(
     trains the identical codebook from the same parquet sample and
     replicates assignment, probing, and scoring in exact integer
     arithmetic.
+
+    ``centroids`` (round 16 — VERDICT r15 item 8) supplies a
+    pre-trained codebook (:func:`ivf_codebook` /
+    :func:`codebook_from_parquet`), skipping the per-call training
+    job — the session-memoization hook for repeat invocations over
+    the same corpus; training is deterministic, so the results are
+    identical either way.
     """
-    centroids = ivf_codebook(emb, n_clusters, sample_n)
+    if centroids is None:
+        centroids = ivf_codebook(emb, n_clusters, sample_n)
     return ivf_query(
         ivf_index(emb, centroids),
         emb.where(F.col("vec_id") < n_queries),
@@ -1596,6 +1644,7 @@ def rp_project(
     impl: str = "arrow",
     max_rows_per_task: int | None = None,
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Johnson–Lindenstrauss SIGN random projection (Achlioptas 2003):
     each output coordinate is the dot product of the micro-unit
@@ -1635,7 +1684,7 @@ def rp_project(
     gated paths — the count job is the only cost, but the default
     stays zero-overhead.
     """
-    dim = _resolve_dim(emb, dim, "rp_project")
+    dim = _resolve_dim(emb, dim, "rp_project", validate_dim)
     planes = hyperplanes(out_dim, dim)
     q = quantized(emb)
     if max_rows_per_task:
@@ -1717,6 +1766,7 @@ def rp_cosine_topk(
     topk: int = 10,
     max_rows_per_task: int | None = None,
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """:func:`cosine_topk` in the projected space: same query
     broadcast, same 9-dp rounding and tie-break, but every pairwise
@@ -1733,7 +1783,13 @@ def rp_cosine_topk(
     # → ~2s at 2000 vectors; at scale this is the build-once/query-
     # many split ann_index already documents)
     p = (
-        rp_project(emb, out_dim, max_rows_per_task=max_rows_per_task, dim=dim)
+        rp_project(
+            emb,
+            out_dim,
+            max_rows_per_task=max_rows_per_task,
+            dim=dim,
+            validate_dim=validate_dim,
+        )
         .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
         .where(F.col("__pn") > 0)
         .localCheckpoint(eager=True)
