@@ -177,9 +177,25 @@ def csv_roundtrip_sql(csv_path: str) -> str:
     whitespace pre-strip uses the 'g' flag — Spark's regexp_replace
     replaces all matches.
     """
+    # Spark-side ids are try_cast (round 16 — poison ids degrade to
+    # NULL instead of killing the scan); the twin mirrors Spark's
+    # string→int acceptance exactly, NOT DuckDB's (whose bare
+    # try_cast ROUNDS decimal strings and whose trim() strips NBSP —
+    # the r15 events_json lessons): strip [\\x00-\\x20], then require
+    # an integral literal before casting.
+    def _int_guard(col: str) -> str:
+        t = (
+            f"regexp_replace({col}, "
+            "'^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')"
+        )
+        return (
+            f"try_cast(CASE WHEN regexp_matches({t}, "
+            f"'^[+-]?[0-9]+$') THEN {t} END AS INT)"
+        )
+
     return f"""
-SELECT cast("Order ID" AS INT) AS order_id,
-       cast("Line-Number" AS INT) AS line_number,
+SELECT {_int_guard('"Order ID"')} AS order_id,
+       {_int_guard('"Line-Number"')} AS line_number,
        coalesce(try_strptime(__ts, '%Y-%m-%d %H:%M:%S'),
                 try_cast(__ts AS TIMESTAMP)) AS submit_ts,
        coalesce(try_cast(trunc(try_cast("Units" AS DOUBLE)) AS INT), 1) AS units,

@@ -169,8 +169,15 @@ def clean_order_export(raw: DataFrame) -> DataFrame:
     raw = ensure_columns(raw, {"Discount_Code": T.StringType()})
     raw = truncate_to_widths(raw, {"Notes": 30})
     return raw.select(
-        F.col("Order_ID").cast("int").alias("order_id"),
-        F.col("Line_Number").cast("int").alias("line_number"),
+        # try_cast (round 16, found by the ingest split fuzz): under
+        # ANSI a single malformed id in a partner feed killed the whole
+        # scan (batch AND stream) with CAST_INVALID_INPUT — the
+        # poison-row class. The reference never even types these
+        # (order_id VARCHAR(100), etl/order_info_etl.py:397); the typed
+        # staging contract here degrades a malformed id to NULL, the
+        # same never-matches convention as every other guard.
+        F.col("Order_ID").try_cast("int").alias("order_id"),
+        F.col("Line_Number").try_cast("int").alias("line_number"),
         parse_timestamp("Submit_Time").alias("submit_ts"),
         int_with_default("Units", 1).alias("units"),
         coalesce_product_key("masterSku", "sku").alias("product_key"),
