@@ -44,6 +44,8 @@ __all__ = [
     "bpe_train_local",
     "bpe_encode",
     "bpe_train_py",
+    "bpe_train_py_fast",
+    "bpe_apply_py",
     "bpe_vocab_ids",
     "bpe_encode_ids",
 ]
@@ -183,30 +185,75 @@ def bpe_train_local(
         wc = {r["token"]: r["__wc"] for r in counts.collect()}
     finally:
         counts.unpersist()
-    return bpe_train_py(wc, n_merges=n_merges, min_pair_count=min_pair_count)
+    return bpe_train_py_fast(wc, n_merges=n_merges, min_pair_count=min_pair_count)
+
+
+#: merge-count boundary for bpe_encode's impl="auto": at or below,
+#: the pure-JVM expression chain (cross-engine witness, zero Python);
+#: above, the chain's costs compound — one fold EXPRESSION per merge
+#: on the vocab plan plus a localCheckpoint job every
+#: ``checkpoint_every`` merges (a 32k-merge model would pay ~4000
+#: eager jobs just building the vocab table) — so the vocab-sized
+#: Arrow rank-map application takes over (measured at 32k merges:
+#: see PLAN_AUDIT round 16).
+_EXPR_MERGE_BOUND = 256
 
 
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     checkpoint_every: int = 8,
+    impl: str = "auto",
 ) -> DataFrame:
     """Encode the corpus with a learned merge list: (doc_id, token,
     subwords array<string>, n_subwords) — one row per corpus token
     occurrence. The merge chain is applied to the DISTINCT token
     table only; the corpus pays one tokenize and one key equi-join
     however many merges the model has.
+
+    TWO PHYSICAL PATHS, identical output (hypothesis-pinned):
+    ``impl="expr"`` chains one greedy-fold expression per merge on
+    the vocab table — all-JVM, the cross-engine witness, but plan
+    size and checkpoint-job count grow linearly in merges.
+    ``impl="arrow"`` applies the rank-map greedy loop
+    (:func:`bpe_apply_py`) per DISTINCT token in one Arrow-batched
+    pandas_udf — the real-vocabulary path (a 32k-merge model is one
+    ~MB ranks dict shipped once per worker, and the corpus-sized join
+    is unchanged). ``"auto"`` picks expr at ≤ ``_EXPR_MERGE_BOUND``
+    merges, arrow beyond.
     """
+    if impl == "auto":
+        impl = "expr" if len(merges) <= _EXPR_MERGE_BOUND else "arrow"
     toks = exploded_tokens(docs)
-    vocab = toks.select("token").distinct().withColumn(
-        "subwords", _chars_with_eow(F.col("token"))
-    )
-    for i, (a, b) in enumerate(merges):
-        vocab = vocab.withColumn(
-            "subwords", _apply_merge(F.col("subwords"), a, b)
-        )
-        if (i + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+    vocab = toks.select("token").distinct()
+    if impl == "expr":
+        vocab = vocab.withColumn("subwords", _chars_with_eow(F.col("token")))
+        for i, (a, b) in enumerate(merges):
+            vocab = vocab.withColumn(
+                "subwords", _apply_merge(F.col("subwords"), a, b)
+            )
+            if (i + 1) % checkpoint_every == 0:
+                vocab = vocab.localCheckpoint(eager=True)
+    elif impl == "arrow":
+        import pandas as pd
+
+        merges_local = list(merges)
+        ranks = {p: i for i, p in enumerate(merges_local)}
+
+        def _apply(tokens):
+            return pd.Series(
+                [
+                    None
+                    if t is None
+                    else _bpe_apply_ranked(t, merges_local, ranks)
+                    for t in tokens
+                ]
+            )
+
+        apply_udf = F.pandas_udf(_apply, "array<string>")
+        vocab = vocab.withColumn("subwords", apply_udf(F.col("token")))
+    else:
+        raise ValueError(f"unknown impl {impl!r} (auto | expr | arrow)")
     return toks.join(vocab, "token").select(
         "doc_id",
         "token",
@@ -246,6 +293,125 @@ def bpe_train_py(
                     out.append(s)
             vocab[w] = out
     return merges
+
+
+def bpe_train_py_fast(
+    word_counts: dict[str, int], n_merges: int = 50, min_pair_count: int = 2
+) -> list[tuple[str, str]]:
+    """Incremental twin of :func:`bpe_train_py` for REAL merge counts
+    (round 16 — VERDICT r15 item 4): the reference trainer rescans
+    EVERY word's pairs on EVERY merge (O(vocab·len) per merge — hours
+    at 32k merges), which is why the 32k production shape had never
+    been run end to end. This trainer maintains the classic
+    incremental structures (Sennrich et al.'s released subword-nmt
+    does the same): a pair→count table, a pair→containing-words
+    index, and a lazy max-heap keyed (−count, pair) — each merge
+    touches only the words that contain the merged pair, and the
+    argmax is a heap pop with staleness re-checks.
+
+    Output is IDENTICAL to :func:`bpe_train_py` by construction —
+    same (count desc, pair asc) argmax tie-break, same greedy
+    left-to-right application, same ``min_pair_count`` stop —
+    and parity is hypothesis-pinned (tests/test_bpe.py)."""
+    import heapq
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words: list[list[str]] = []
+    wcs: list[int] = []
+    for w, c in word_counts.items():
+        words.append(list(w) + [_EOW])
+        wcs.append(c)
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, syms in enumerate(words):
+        c = wcs[idx]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(idx)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best: tuple[str, str] | None = None
+        while heap:
+            negn, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negn and -negn > 0:
+                best = p
+                break
+        if best is None or pair_counts[best] < min_pair_count:
+            break
+        a, b = best
+        merges.append(best)
+        touched: dict[tuple[str, str], int] = {}
+        for idx in pair_words.pop(best, ()):  # only containing words
+            syms = words[idx]
+            c = wcs[idx]
+            for i in range(len(syms) - 1):
+                q = (syms[i], syms[i + 1])
+                touched[q] = touched.get(q, 0) - c
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            words[idx] = out
+            for i in range(len(out) - 1):
+                q = (out[i], out[i + 1])
+                touched[q] = touched.get(q, 0) + c
+                pair_words.setdefault(q, set()).add(idx)
+        for q, d in touched.items():
+            if d == 0:
+                continue
+            n = pair_counts.get(q, 0) + d
+            if n <= 0:
+                pair_counts.pop(q, None)
+            else:
+                pair_counts[q] = n
+                heapq.heappush(heap, (-n, q))
+        pair_counts.pop(best, None)
+    return merges
+
+
+def bpe_apply_py(token: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python greedy BPE application of a trained merge list to
+    ONE token — the per-token twin of :func:`bpe_encode`'s expression
+    chain (parity-pinned). Applies the lowest-RANK pair present, all
+    occurrences left-to-right, until none applies; because a merge's
+    operands can only be base characters or products of EARLIER
+    merges, the rank loop is exactly sequential in-order application
+    without paying a pass per merge the token never contains."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    return _bpe_apply_ranked(token, merges, ranks)
+
+
+def _bpe_apply_ranked(
+    token: str, merges: list[tuple[str, str]], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    syms = list(token) + [_EOW]
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = merges[best_rank]
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
 
 
 def bpe_vocab_ids(
@@ -295,6 +461,7 @@ def bpe_encode_ids(
     alphabet: list[str] | None = None,
     checkpoint_every: int = 8,
     max_map_literal: int = 1024,
+    impl: str = "auto",
 ) -> DataFrame:
     """:func:`bpe_encode` + id assignment: (doc_id, token, subword_ids
     array<int>, n_oov). Unknown symbols (characters absent from every
@@ -321,7 +488,7 @@ def bpe_encode_ids(
     the 1024 default.
     """
     vocab_ids = bpe_vocab_ids(merges, alphabet=alphabet)
-    enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every)
+    enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every, impl=impl)
     if len(vocab_ids) <= max_map_literal:
         mapping = F.create_map(
             *[F.lit(x) for kv in vocab_ids.items() for x in kv]

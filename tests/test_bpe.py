@@ -171,3 +171,54 @@ def test_bpe_encode_ids_join_path_parity_and_plan(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_bpe_fast_trainer_and_arrow_encode_parity(spark):
+    """Round 16 (VERDICT r15 item 4): the incremental heap trainer ==
+    the O(vocab·len)-per-merge reference trainer, and the Arrow
+    rank-map encode == the expression-chain encode, on a corpus with
+    ties, repeats, multi-char overlaps, and unicode."""
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "newer newest new newer"),
+            (2, "aaa aab abab ▁odd"),
+            (3, "Ünïcode Ünïcode Ünï"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    for nm in (1, 3, 8, 40):
+        wc = {
+            r["token"]: r["cnt"]
+            for r in bpe.exploded_tokens(docs)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert bpe.bpe_train_py_fast(wc, nm) == bpe.bpe_train_py(wc, nm), nm
+
+    merges = bpe.bpe_train_py(
+        {
+            r["token"]: r["cnt"]
+            for r in bpe.exploded_tokens(docs)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        },
+        12,
+    )
+    expr = {
+        (r.doc_id, r.token): tuple(r.subwords)
+        for r in bpe.bpe_encode(docs, merges, impl="expr").collect()
+    }
+    arrow = {
+        (r.doc_id, r.token): tuple(r.subwords)
+        for r in bpe.bpe_encode(docs, merges, impl="arrow").collect()
+    }
+    assert expr == arrow and expr
+    # per-token twin agrees too
+    for (_, tok), sw in expr.items():
+        assert tuple(bpe.bpe_apply_py(tok, merges)) == sw, tok
+    with pytest.raises(ValueError, match="unknown impl"):
+        bpe.bpe_encode(docs, merges, impl="nope")

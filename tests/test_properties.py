@@ -4455,3 +4455,61 @@ def test_stream_ingest_arbitrary_file_splits_fuzz(
     assert sorted(map(tuple, got.collect()), key=_key) == sorted(
         map(tuple, batch.collect()), key=_key
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE fast-trainer / arrow-encode twins (round 16 — VERDICT r15 item
+# 4): the incremental heap trainer and the rank-map application are
+# NEW cross-implementation pairs, so they get the same adversarial
+# agreement coverage as every other twin.
+# ---------------------------------------------------------------------------
+
+_BPE_WORD = st.text(alphabet="abcdéあ", min_size=1, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(_BPE_WORD, st.integers(1, 9), min_size=1, max_size=12),
+    st.integers(1, 40),
+    st.integers(1, 3),
+)
+def test_bpe_fast_trainer_parity_fuzz(word_counts, n_merges, min_pair):
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe
+
+    assert bpe.bpe_train_py_fast(
+        word_counts, n_merges, min_pair
+    ) == bpe.bpe_train_py(word_counts, n_merges, min_pair)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_BPE_WORD, min_size=1, max_size=10),  # corpus words
+    st.integers(1, 25),                            # merges to learn
+)
+def test_bpe_encode_impl_parity_fuzz(spark, words, n_merges):
+    """arrow rank-map encode == expr fold-chain encode == per-token
+    Python twin, on merges learned from the same arbitrary corpus."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    wc: dict = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges = bpe.bpe_train_py(wc, n_merges, min_pair_count=1)
+    expr = {
+        (r.doc_id, r.token): tuple(r.subwords)
+        for r in bpe.bpe_encode(docs, merges, impl="expr").collect()
+    }
+    arrow = {
+        (r.doc_id, r.token): tuple(r.subwords)
+        for r in bpe.bpe_encode(docs, merges, impl="arrow").collect()
+    }
+    assert expr == arrow
+    for (_, tok), sw in expr.items():
+        assert tuple(bpe.bpe_apply_py(tok, merges)) == sw
