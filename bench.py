@@ -267,6 +267,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # default 1g, overridable for scale sweeps whose result sets
+        # legitimately grow with SF (the bench clocks FULL client
+        # materialization by contract)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # cost-metric plumbing (round 16): the UI's REST API is the
         # source for per-query shuffle bytes / task counts; retention

@@ -19,6 +19,19 @@ quadratically across replicas:
   ``~r{r}``. In-replica shingle sets (and therefore MinHash/SimHash/
   Jaccard relations) are preserved 1:1 under the consistent rewrite;
   cross-replica Jaccard is 0.
+- ``part``: replica r tags ``p_brand`` (``~r{r}``), so the entity-
+  resolution blocking key (brand, name-prefix) stays replica-local
+  and block DENSITY stays constant — verbatim replication made
+  blocks 10× denser and the within-block pairwise verification 100×
+  heavier, which blew entity_match's result past
+  spark.driver.maxResultSize on the first sweep attempt. (TPC-H
+  proper holds brand cardinality FIXED as SF grows, so rising block
+  density is a real high-SF regime — it is probed separately by
+  scripts/stress.py --entity-zipf at 10M rows; this fixture scales
+  density linearly so the OTHER 39 queries' ratios stay readable.)
+  ``p_partkey`` shifts by 100M, clear of the entity entry's +10M
+  perturbed-twin offset (verbatim 10M shifts made twin keys collide
+  with the next replica's real keys).
 
 region/nation stay 1× (fixed dimensions, as in TPC-H). Everything is
 pure SQL over the source parquet — rerunnable, seedless, byte-stable.
@@ -38,11 +51,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHIFTS = {
     "c_custkey": 10_000_000,
     "s_suppkey": 1_000_000,
-    "p_partkey": 10_000_000,
+    "p_partkey": 100_000_000,
     "o_orderkey": 100_000_000,
     "o_custkey": 10_000_000,
     "l_orderkey": 100_000_000,
-    "l_partkey": 10_000_000,
+    "l_partkey": 100_000_000,
     "l_suppkey": 1_000_000,
     "event_id": 100_000_000,
     "user_id": 10_000_000,
@@ -103,12 +116,14 @@ def main() -> None:
     )
     emit(
         "part",
-        _replicated(
-            "part",
-            ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
-            n,
-            src,
-        ),
+        f"""
+        SELECT p_partkey + r.r * {SHIFTS['p_partkey']} AS p_partkey,
+               p_name,
+               CASE WHEN r.r = 0 THEN p_brand
+                    ELSE p_brand || '~r' || r.r END AS p_brand,
+               p_type, p_size, p_retailprice
+        FROM '{src}/part.parquet', (SELECT unnest(range({n})) AS r) r
+        """,
     )
     emit(
         "orders",

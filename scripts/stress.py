@@ -2281,6 +2281,78 @@ def bpe_main() -> None:
     )
 
 
+def bpe_32k_main() -> None:
+    """The 32k-merge PRODUCTION shape end to end (round 16 — VERDICT
+    r15 item 4): train a real-size vocabulary with the local fast
+    path, then encode a multi-million-token corpus with the id-table
+    JOIN path and the Arrow rank-map subword application, and GUARD
+    the plan (broadcast id join, no create_map literal, no fold
+    chain).
+
+    The gate corpus can't drive this (its whitespace vocabulary is
+    ~31 types — merges exhaust in the hundreds), so the probe corpus
+    is a compositional synthetic with a rich surface vocabulary:
+    ~500k docs × 8 tokens whose type count (~190k) supports well over
+    32k distinct merges.
+
+    Usage: python scripts/stress.py --bpe-32k [n_docs] [n_merges]
+    """
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    n_merges = int(sys.argv[3]) if len(sys.argv) > 3 else 32_000
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-bpe-32k")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe
+
+    # compositional vocabulary: md5-mixed syllable trigrams → ~19e4
+    # distinct 9-char types at 500k docs, zipf-ish reuse via the
+    # modulus families
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "concat(" + ", ' ', ".join(
+            f"substring(md5(cast((id * {i + 1}) % {m} AS string)), 1, 9)"
+            for i, m in enumerate(
+                (190_001, 97_003, 53_089, 29_009, 9_973, 997, 97, 7)
+            )
+        ) + ") AS text",
+    ).persist()
+    n_tokens = docs.count() * 8
+    t0 = time.time()
+    merges = bpe.bpe_train_local(
+        docs, n_merges=n_merges, min_pair_count=2, max_vocab_rows=4_000_000
+    )
+    t_train = time.time() - t0
+    print(
+        f"bpe_train_local(fast): {len(merges)} merges from ~{n_tokens} "
+        f"tokens in {t_train:.1f}s"
+    )
+
+    t0 = time.time()
+    out = bpe.bpe_encode_ids(docs, merges)  # auto → arrow + join path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "create_map" not in plan.lower(), "id literal leaked into plan"
+    joins = plan.count("BroadcastHashJoin")
+    total = out.selectExpr(
+        "sum(size(subword_ids)) AS s", "sum(n_oov) AS o"
+    ).collect()[0]
+    t_enc = time.time() - t0
+    print(
+        f"bpe_encode_ids(arrow+join): {total['s']} subword ids, "
+        f"{total['o']} oov, {joins} broadcast joins, {t_enc:.1f}s"
+    )
+
+
 def lsh_cap_main() -> None:
     """LSH candidate-blowup guard at scale (round 13 — the measured
     companion to VERDICT r12 item 4's unit tests): a mostly-unique
@@ -2548,6 +2620,8 @@ def entity_zipf_main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--bpe":
         bpe_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bpe-32k":
+        bpe_32k_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--docs":
         docs_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
