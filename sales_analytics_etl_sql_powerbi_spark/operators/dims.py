@@ -375,6 +375,7 @@ def entity_match_pairs(
 
     base = _blocked(dim)
     join_keys = [*block_cols, "__prefix"]
+    auto_regime: str | None = None  # set only when max_cell_size="auto"
     if isinstance(max_cell_size, str):
         if max_cell_size != "auto":
             raise ValueError(
@@ -387,6 +388,7 @@ def entity_match_pairs(
             # probe side's partitions already; salting measured 2-4×
             # WORSE (r7)
             max_cell_size = None
+            auto_regime = "broadcast"
             if audit is not None:
                 audit.update(
                     {
@@ -458,6 +460,7 @@ def entity_match_pairs(
                 and mx * (mx - 1) / 2 > 0.5 * total_pairs / max(parts, 1)
             )
             max_cell_size = _AUTO_CELL_SIZE if hot_dominates else None
+            auto_regime = "shuffle"
             if audit is not None:
                 audit.update(
                     {
@@ -549,6 +552,31 @@ def entity_match_pairs(
         n_part = max(base.sparkSession.sparkContext.defaultParallelism, 2)
         a = a.repartition(n_part, *join_keys)
         b = b.repartition(n_part, *join_keys).hint("shuffle_hash")
+    elif auto_regime is not None:
+        # VERIFICATION-PARALLELISM FLOOR (round 16, found by the sf1
+        # scale sweep): the pair verification is CPU-bound (bounded
+        # levenshtein per candidate) but byte-TINY, so both unsalted
+        # auto regimes used to serialize it onto 1-2 tasks of a
+        # 32-core box —
+        # - broadcast regime: parallelism inherits the probe side's
+        #   SCAN splits, and a ≤10MB dim parquet is 1-2 splits;
+        # - unsalted shuffle regime: AQE coalesces the post-shuffle
+        #   partitions by INPUT bytes (~tens of MB → 1-2 partitions)
+        #   while the join OUTPUT is quadratic — the same defect the
+        #   salted path already pins with its explicit repartition.
+        # The floor costs one dim-projection-sized shuffle (≤ tens of
+        # MB in these regimes by definition). Explicit int/None modes
+        # keep their documented plans untouched. Measured at sf1:
+        # entity_match 60.4s → see PLAN_AUDIT round 16.
+        n_part = max(base.sparkSession.sparkContext.defaultParallelism, 2)
+        if auto_regime == "broadcast":
+            # pin the build side so the repartitioned probe side's
+            # parallelism is what the verification actually runs at
+            a = a.repartition(n_part)
+            b = F.broadcast(b)
+        else:
+            a = a.repartition(n_part, *join_keys)
+            b = b.repartition(n_part, *join_keys).hint("shuffle_hash")
     # bounded levenshtein (3-arg form): the JVM computes with an early
     # exit and returns −1 past the bound — on candidate-heavy blocks
     # most pairs exceed max_distance, so the bound does the least work
