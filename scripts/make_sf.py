@@ -91,7 +91,16 @@ def main() -> None:
 
     def emit(name: str, sql: str) -> None:
         dest = os.path.join(out, f"{name}.parquet")
-        con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
+        # small row groups so Spark's byte-range splits actually land
+        # on row-group boundaries: DuckDB's default 122880-row groups
+        # left documents/embeddings as ONE group, which pinned every
+        # scan-bound query to ONE task however many cores the box has
+        # (found by the round-16 sf1 sweep: doc_profile ran 24.5s on
+        # 1 of 32 threads). A real lake writes many files/row groups;
+        # 8192 rows reproduces that here.
+        con.execute(
+            f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+        )
         rows = con.execute(f"SELECT count(*) FROM '{dest}'").fetchone()[0]
         print(f"{name}: {rows} rows")
 
