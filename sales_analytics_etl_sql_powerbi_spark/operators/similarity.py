@@ -842,6 +842,7 @@ def semantic_decontaminate(
     threshold: float = 0.9,
     n_planes: int | None = None,
     n_probes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """The rewrite side: the corpus with every
     :func:`semantic_contamination` hit REMOVED (one anti-join on
@@ -849,7 +850,7 @@ def semantic_decontaminate(
     otherwise). Same contract discipline as ``text.corpus_clean``:
     drop, don't mutate."""
     hits = semantic_contamination(
-        corpus_emb, eval_emb, threshold, n_planes, n_probes
+        corpus_emb, eval_emb, threshold, n_planes, n_probes, dim
     ).select("vec_id")
     return corpus_emb.join(hits, "vec_id", "left_anti")
 
