@@ -938,3 +938,24 @@ def test_hyperplane_dim_inferred_from_corpus(spark):
     with pytest.raises(ValueError, match="cannot infer"):
         similarity.lsh_buckets(nulls, 4)
     assert similarity.lsh_buckets(nulls, 4, dim=6).count() == 2
+
+
+def test_rp_index_shared_across_shortlist_and_rerank(spark):
+    """Round 16: a prebuilt rp_index passed via index= must give
+    byte-identical results to the self-built path for BOTH consumers
+    (the projection is deterministic), while skipping the second
+    eager materialization the composed gate used to pay."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    emb, _ = emb_frame(spark, n=60)
+    idx = S.rp_index(emb, out_dim=8)
+    for fn, kw in (
+        (S.rp_cosine_topk, dict(out_dim=8, n_queries=2, topk=5)),
+        (
+            S.shortlisted_cosine_topk,
+            dict(out_dim=8, multiplier=2, n_queries=2, topk=5),
+        ),
+    ):
+        plain = [tuple(r) for r in fn(emb, **kw).collect()]
+        shared = [tuple(r) for r in fn(emb, index=idx, **kw).collect()]
+        assert plain == shared and plain
