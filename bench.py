@@ -195,6 +195,14 @@ def collect_cost(spark, tags: list[str]) -> dict[str, dict[str, dict[str, int]]]
         stages = _get("stages")
     except Exception:
         return {}
+    return _aggregate_cost(jobs, stages, tags)
+
+
+def _aggregate_cost(
+    jobs: list, stages: list, tags: list[str]
+) -> dict[str, dict[str, dict[str, int]]]:
+    """Pure attribution core of :func:`collect_cost` (unit-testable on
+    canned REST payloads)."""
     done: dict[int, list] = {}
     for s in stages:
         if s.get("status") == "COMPLETE":

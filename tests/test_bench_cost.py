@@ -1,0 +1,112 @@
+"""The round-16 deterministic-cost plumbing: job-group attribution in
+bench.collect_cost (live, against the session's UI REST API) and the
+costdiff flagging rules (pure function). The bench harness is the
+driver's per-round feedback loop — a silent break here would turn the
+cost tables into noise exactly when a regression needs them."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from scripts.costdiff import diff  # noqa: E402
+
+
+def _stage(sid, status="COMPLETE", tasks=4, sr=10, sw=20, inp=30, out=0):
+    return {
+        "stageId": sid,
+        "attemptId": 0,
+        "status": status,
+        "numTasks": tasks,
+        "shuffleReadBytes": sr,
+        "shuffleWriteBytes": sw,
+        "inputBytes": inp,
+        "outputBytes": out,
+    }
+
+
+def test_aggregate_cost_first_job_claims_and_skipped_exclusion():
+    """Attribution rules on canned REST payloads: a completed stage is
+    charged to the FIRST job (ascending jobId) that lists it; SKIPPED
+    attempts carry no cost; untagged jobs are ignored; metrics sum."""
+    jobs = [
+        # listed newest-first, as the REST API returns them
+        {"jobId": 3, "jobGroup": "p0:beta", "stageIds": [2, 1]},  # 1 reused
+        {"jobId": 2, "stageIds": [9]},                  # untagged: ignored
+        {"jobId": 1, "jobGroup": "p0:alpha", "stageIds": [0, 1]},
+        {"jobId": 0, "jobGroup": "w:alpha", "stageIds": [5]},
+    ]
+    stages = [
+        _stage(0, tasks=4, sr=10, sw=20, inp=30),
+        _stage(1, tasks=8, sr=1, sw=2, inp=3),
+        _stage(2, tasks=2, sr=100, sw=0, inp=0),
+        _stage(1, status="SKIPPED"),  # beta's reuse of alpha's exchange
+        _stage(9, tasks=99),          # belongs to the untagged job
+        _stage(5, tasks=7, sr=5, sw=5, inp=5),
+    ]
+    out = bench._aggregate_cost(jobs, stages, ["p0:", "w:"])
+    alpha = out["p0:"]["alpha"]
+    beta = out["p0:"]["beta"]
+    assert alpha == {
+        "shuffle_read_bytes": 11, "shuffle_write_bytes": 22,
+        "input_bytes": 33, "output_bytes": 0,
+        "tasks": 12, "stages": 2, "jobs": 1,
+    }
+    # beta gets ONLY stage 2 — stage 1 was claimed by the earlier job
+    assert beta["tasks"] == 2 and beta["shuffle_read_bytes"] == 100
+    assert beta["stages"] == 1 and beta["jobs"] == 1
+    assert out["w:"]["alpha"]["tasks"] == 7
+    assert "9" not in str(out)  # untagged job's stage attributed nowhere
+
+
+def test_collect_cost_attributes_stages_to_job_groups(spark):
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        pytest.skip("Spark UI disabled in this session")
+    sc.setJobGroup("p0:alpha", "alpha")
+    spark.range(10_000).selectExpr("id % 7 k").groupBy("k").count().collect()
+    sc.setJobGroup("p0:beta", "beta")
+    spark.range(1_000).count()
+    sc.setJobGroup(None, None)
+    spark.range(5).count()  # untagged — must not be attributed
+
+    out = bench.collect_cost(spark, ["p0:"])
+    got = out["p0:"]
+    assert set(got) >= {"alpha", "beta"}
+    # the groupBy shuffled; the count did not
+    assert got["alpha"]["shuffle_write_bytes"] > 0
+    assert got["alpha"]["stages"] >= 2
+    assert got["beta"]["shuffle_write_bytes"] == 0
+    assert got["beta"]["jobs"] >= 1
+    # every metric is a non-negative int
+    for m in got.values():
+        for v in m.values():
+            assert isinstance(v, int) and v >= 0
+
+
+def test_costdiff_flags_counts_exactly_and_bytes_by_ratio():
+    old = {
+        "q1": {"tasks": 10, "stages": 3, "jobs": 3, "shuffle_read_bytes": 1000,
+               "shuffle_write_bytes": 1000, "input_bytes": 0, "output_bytes": 0},
+        "q2": {"tasks": 5, "stages": 2, "jobs": 2, "shuffle_read_bytes": 100,
+               "shuffle_write_bytes": 100, "input_bytes": 50, "output_bytes": 0},
+    }
+    import copy
+
+    new = copy.deepcopy(old)
+    assert diff(old, new, 1.05) == []
+    new["q1"]["tasks"] = 11  # any count change flags
+    new["q2"]["shuffle_read_bytes"] = 104  # 1.04x — inside tolerance
+    flags = diff(old, new, 1.05)
+    assert len(flags) == 1 and flags[0].startswith("q1:")
+    new["q2"]["shuffle_read_bytes"] = 200  # 2x — flags
+    assert len(diff(old, new, 1.05)) == 2
+    # 0 -> nonzero is infinite ratio, always flagged
+    new2 = copy.deepcopy(old)
+    new2["q2"]["output_bytes"] = 7
+    assert any(f.startswith("q2:") for f in diff(old, new2, 1.05))
+    # asymmetric presence flags
+    assert diff(old, {"q1": old["q1"]}, 1.05) == ["q2: only in OLD"]
