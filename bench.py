@@ -203,10 +203,18 @@ def _aggregate_cost(
 ) -> dict[str, dict[str, dict[str, int]]]:
     """Pure attribution core of :func:`collect_cost` (unit-testable on
     canned REST payloads)."""
-    done: dict[int, list] = {}
+    # one attempt per stageId — the LATEST complete one (ADVICE r16:
+    # summing every COMPLETE attempt double-counted retried stages'
+    # bytes/tasks, which would break the byte-identical == box-noise
+    # invariant costdiff relies on exactly when a run retries)
+    done: dict[int, dict] = {}
     for s in stages:
-        if s.get("status") == "COMPLETE":
-            done.setdefault(s["stageId"], []).append(s)
+        if s.get("status") != "COMPLETE":
+            continue
+        sid = s["stageId"]
+        prev = done.get(sid)
+        if prev is None or s.get("attemptId", 0) > prev.get("attemptId", 0):
+            done[sid] = s
     # newest-first from the API → ascend by jobId for first-job claims
     out: dict[str, dict[str, dict[str, int]]] = {t: {} for t in tags}
     claimed: set[int] = set()
@@ -233,7 +241,8 @@ def _aggregate_cost(
             if sid in claimed:
                 continue
             claimed.add(sid)
-            for s in done.get(sid, ()):
+            s = done.get(sid)
+            if s is not None:
                 m["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
                 m["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
                 m["input_bytes"] += s.get("inputBytes", 0)
@@ -363,24 +372,32 @@ def main() -> None:
     if repeat > 1:
         # headline cost: the FINAL timed pass (fully warmed, converged
         # AQE decisions); stability cross-checked over all timed passes
-        final_cost = cost_by_tag.get(pass_tags[-1], {})
-        cost_stable = {
-            name: len(
-                {
-                    (
-                        cost_by_tag.get(t, {})
-                        .get(name, {})
-                        .get("shuffle_read_bytes"),
-                        cost_by_tag.get(t, {})
-                        .get(name, {})
-                        .get("shuffle_write_bytes"),
-                    )
-                    for t in pass_tags
-                }
-            )
-            == 1
-            for name in queries
-        }
+        if cost_by_tag:
+            final_cost = cost_by_tag.get(pass_tags[-1], {})
+            cost_stable = {
+                name: len(
+                    {
+                        (
+                            cost_by_tag.get(t, {})
+                            .get(name, {})
+                            .get("shuffle_read_bytes"),
+                            cost_by_tag.get(t, {})
+                            .get(name, {})
+                            .get("shuffle_write_bytes"),
+                        )
+                        for t in pass_tags
+                    }
+                )
+                == 1
+                for name in queries
+            }
+        else:
+            # UI unreachable — collect_cost degraded to {} (ADVICE
+            # r16: evaluating stability over all-None tuples reported
+            # every query byte-stable with NO cost data read); null
+            # marks a failed REST read as distinct from stability
+            final_cost = None
+            cost_stable = None
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_readings.json")
         with open(sidecar, "w") as f:

@@ -199,6 +199,28 @@ def bpe_train_local(
 _EXPR_MERGE_BOUND = 256
 
 
+def _validate_merges(merges: list[tuple[str, str]]) -> None:
+    """Reject ill-formed merge lists up front (ADVICE r16): the arrow
+    rank-map path and the expr fold chain are only equivalent when
+    every pair's operands are DERIVABLE — a single character (incl.
+    the end-of-word marker) or the product of an EARLIER merge, which
+    every trained list satisfies by construction. A hand-ordered list
+    crossing the auto impl bound used to change output with no
+    diagnostic. Driver-side, O(total merge chars)."""
+    derived: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for op in (a, b):
+            if len(op) > 1 and op not in derived:
+                raise ValueError(
+                    f"ill-formed merge list: pair {i} operand {op!r} is "
+                    "neither a single character nor the product of an "
+                    "earlier merge — trained merge lists (bpe_train / "
+                    "bpe_train_local) satisfy this by construction; "
+                    "reorder or retrain a hand-built list"
+                )
+        derived.add(a + b)
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -220,8 +242,11 @@ def bpe_encode(
     pandas_udf — the real-vocabulary path (a 32k-merge model is one
     ~MB ranks dict shipped once per worker, and the corpus-sized join
     is unchanged). ``"auto"`` picks expr at ≤ ``_EXPR_MERGE_BOUND``
-    merges, arrow beyond.
+    merges, arrow beyond — safe because the merge list is validated
+    well-formed first (:func:`_validate_merges`), the precondition
+    under which the two paths are hypothesis-pinned identical.
     """
+    _validate_merges(merges)
     if impl == "auto":
         impl = "expr" if len(merges) <= _EXPR_MERGE_BOUND else "arrow"
     toks = exploded_tokens(docs)

@@ -1,5 +1,6 @@
 """Diff two bench sidecars' deterministic cost tables (round 16 —
-VERDICT r15 item 1).
+VERDICT r15 item 1; argparse + per-entry byte tolerance round 17 —
+VERDICT r16 items 2/ADVICE).
 
 Wall-clock on this box swings ±30% on the shuffle-heaviest entries
 (three rounds of hand-adjudicated scd2/pagerank drift), but shuffle
@@ -19,14 +20,21 @@ Compares the ``"cost"`` tables (final timed pass) of two
 stage count changed at all, or whose byte metrics moved by more than
 the threshold ratio (default 1.05 — byte metrics are near-exact; the
 tolerance absorbs AQE's input-split jitter on cached/compacted
-inputs). Exit code 1 if anything is flagged, so a round-close script
-can gate on it.
+inputs). Entries that EITHER sidecar's own ``cost_stable`` marks
+byte-unstable across same-code passes (AQE input-split jitter —
+events_asof / entity_match / chunk_documents on the r16 baseline) get
+their byte moves demoted to notes: their bytes vary run-to-run with
+identical code, so a byte move there carries no signal — but their
+COUNT moves still flag (counts stay exact even for those entries).
+Exit code 1 if anything is flagged, so a round-close script can gate
+on it.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import sys
+from collections.abc import Iterable
 
 _BYTES = ("shuffle_read_bytes", "shuffle_write_bytes", "input_bytes", "output_bytes")
 _COUNTS = ("tasks", "stages", "jobs")
@@ -40,58 +48,96 @@ def _ratio(old: int, new: int) -> float:
     return max(old, new) / min(old, new)
 
 
-def diff(old: dict, new: dict, threshold: float) -> list[str]:
+def diff(
+    old: dict,
+    new: dict,
+    threshold: float,
+    byte_tolerant: Iterable[str] = (),
+) -> tuple[list[str], list[str]]:
+    """(flags, notes): flags are real moves — presence changes, ANY
+    count change, or byte moves past ``threshold`` on byte-stable
+    entries; notes are byte moves on ``byte_tolerant`` entries (their
+    bytes vary across same-code passes, so the move is not evidence
+    of a plan change — count moves on them still flag)."""
+    tolerant = set(byte_tolerant)
     flags: list[str] = []
+    notes: list[str] = []
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
         if o is None or n is None:
             flags.append(f"{name}: only in {'NEW' if o is None else 'OLD'}")
             continue
-        moved = []
-        for k in _COUNTS:
-            if o.get(k, 0) != n.get(k, 0):
-                moved.append(f"{k} {o.get(k, 0)}→{n.get(k, 0)}")
+        count_moves = [
+            f"{k} {o.get(k, 0)}→{n.get(k, 0)}"
+            for k in _COUNTS
+            if o.get(k, 0) != n.get(k, 0)
+        ]
+        byte_moves = []
         for k in _BYTES:
             r = _ratio(o.get(k, 0), n.get(k, 0))
             if r > threshold:
-                moved.append(f"{k} {o.get(k, 0)}→{n.get(k, 0)} ({r:.2f}x)")
-        if moved:
-            flags.append(f"{name}: " + "; ".join(moved))
-    return flags
+                byte_moves.append(f"{k} {o.get(k, 0)}→{n.get(k, 0)} ({r:.2f}x)")
+        if name in tolerant and byte_moves and not count_moves:
+            notes.append(
+                f"{name}: " + "; ".join(byte_moves) + " [byte-unstable entry]"
+            )
+        elif count_moves or byte_moves:
+            flags.append(f"{name}: " + "; ".join(count_moves + byte_moves))
+    return flags, notes
+
+
+def _unstable_entries(*docs: dict) -> set[str]:
+    """Entries EITHER sidecar's own cost_stable marks byte-unstable
+    across its same-code passes."""
+    out: set[str] = set()
+    for doc in docs:
+        for name, ok in (doc.get("cost_stable") or {}).items():
+            if not ok:
+                out.add(name)
+    return out
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 1.05
-    if "--threshold" in sys.argv:
-        threshold = float(sys.argv[sys.argv.index("--threshold") + 1])
-        args = [a for a in args if a != str(threshold)]
-    if len(args) != 2:
-        print(__doc__)
-        raise SystemExit(2)
-    old_doc = json.load(open(args[0]))
-    new_doc = json.load(open(args[1]))
+    ap = argparse.ArgumentParser(
+        description="Diff two bench sidecars' deterministic cost tables."
+    )
+    ap.add_argument("old_sidecar")
+    ap.add_argument("new_sidecar")
+    ap.add_argument(
+        "--threshold",
+        type=float,
+        default=1.05,
+        help="byte-metric ratio above which a byte-stable entry flags "
+        "(counts always compare exactly; default 1.05)",
+    )
+    args = ap.parse_args()
+    old_doc = json.load(open(args.old_sidecar))
+    new_doc = json.load(open(args.new_sidecar))
     old, new = old_doc.get("cost") or {}, new_doc.get("cost") or {}
     if not old or not new:
-        missing = args[0] if not old else args[1]
-        print(f"no 'cost' table in {missing} (pre-round-16 sidecar?)")
+        missing = args.old_sidecar if not old else args.new_sidecar
+        print(
+            f"no 'cost' table in {missing} "
+            "(pre-round-16 sidecar, or the run's UI REST read failed)"
+        )
         raise SystemExit(2)
-    flags = diff(old, new, threshold)
+    tolerant = _unstable_entries(old_doc, new_doc)
+    flags, notes = diff(old, new, args.threshold, tolerant)
     shared = sorted(set(old) & set(new))
-    stable = [n for n in shared if f"{n}:" not in "\n".join(flags)]
+    flagged_names = {f.split(":", 1)[0] for f in flags}
+    stable = [n for n in shared if n not in flagged_names]
     print(
         f"{len(shared)} shared queries; {len(stable)} cost-identical "
-        f"(≤{threshold}x bytes, exact counts); {len(flags)} flagged"
+        f"(≤{args.threshold}x bytes, exact counts); {len(flags)} flagged"
     )
     for f in flags:
         print("  MOVED", f)
-    unstable_new = [
-        n for n, ok in (new_doc.get("cost_stable") or {}).items() if not ok
-    ]
-    if unstable_new:
+    for m in notes:
+        print("  note ", m)
+    if tolerant:
         print(
-            "note: queries with pass-to-pass byte variance in NEW "
-            f"(AQE/runtime-dependent plans): {unstable_new}"
+            "byte-tolerant entries (pass-to-pass byte variance in their "
+            f"own sidecar): {sorted(tolerant)}"
         )
     raise SystemExit(1 if flags else 0)
 

@@ -89,6 +89,29 @@ def main() -> None:
 
     con = duckdb.connect()
 
+    # Embedding-rotation collision guard (ADVICE r16), BEFORE any table
+    # is written: distinct replicas must get distinct cyclic rotations —
+    # 7r ≡ 7r' (mod dim) for r != r' would hand two replicas IDENTICAL
+    # vectors (cross-replica cosine-1 duplicate pairs), the quadratic
+    # blowup the fixture's linear-scaling claim depends on avoiding.
+    # Distinctness holds iff n <= dim / gcd(7, dim), checked against the
+    # SOURCE table's actual width, not an assumed 64.
+    import math
+
+    emb_dim = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()[0]
+    max_replicas = emb_dim // math.gcd(7, emb_dim)
+    if n > max_replicas:
+        raise SystemExit(
+            f"replicas={n} > {max_replicas} distinct stride-7 rotations "
+            f"at embedding dim {emb_dim}: replica pairs r, r+{max_replicas} "
+            "would carry identical vectors (cross-replica cosine-1 "
+            "duplicates) — pick a stride coprime with the width or fewer "
+            "replicas"
+        )
+
     def emit(name: str, sql: str) -> None:
         dest = os.path.join(out, f"{name}.parquet")
         # small row groups so Spark's byte-range splits actually land

@@ -97,16 +97,134 @@ def test_costdiff_flags_counts_exactly_and_bytes_by_ratio():
     import copy
 
     new = copy.deepcopy(old)
-    assert diff(old, new, 1.05) == []
+    assert diff(old, new, 1.05) == ([], [])
     new["q1"]["tasks"] = 11  # any count change flags
     new["q2"]["shuffle_read_bytes"] = 104  # 1.04x — inside tolerance
-    flags = diff(old, new, 1.05)
-    assert len(flags) == 1 and flags[0].startswith("q1:")
+    flags, notes = diff(old, new, 1.05)
+    assert len(flags) == 1 and flags[0].startswith("q1:") and notes == []
     new["q2"]["shuffle_read_bytes"] = 200  # 2x — flags
-    assert len(diff(old, new, 1.05)) == 2
+    assert len(diff(old, new, 1.05)[0]) == 2
     # 0 -> nonzero is infinite ratio, always flagged
     new2 = copy.deepcopy(old)
     new2["q2"]["output_bytes"] = 7
-    assert any(f.startswith("q2:") for f in diff(old, new2, 1.05))
+    assert any(f.startswith("q2:") for f in diff(old, new2, 1.05)[0])
     # asymmetric presence flags
-    assert diff(old, {"q1": old["q1"]}, 1.05) == ["q2: only in OLD"]
+    assert diff(old, {"q1": old["q1"]}, 1.05) == (["q2: only in OLD"], [])
+
+
+def test_costdiff_byte_tolerant_entries_demote_bytes_keep_counts():
+    """Round 17 (VERDICT r16 item 3 / ADVICE): entries a sidecar's own
+    cost_stable marks byte-unstable get byte moves as NOTES (no
+    exit-1), but a count move on the same entry still flags."""
+    old = {
+        "q1": {"tasks": 10, "stages": 3, "jobs": 3, "shuffle_read_bytes": 1000,
+               "shuffle_write_bytes": 0, "input_bytes": 0, "output_bytes": 0},
+    }
+    import copy
+
+    new = copy.deepcopy(old)
+    new["q1"]["shuffle_read_bytes"] = 3000  # 3x byte move
+    flags, notes = diff(old, new, 1.05, byte_tolerant={"q1"})
+    assert flags == [] and len(notes) == 1 and "q1" in notes[0]
+    # but a count move on a tolerant entry is a real plan change
+    new["q1"]["tasks"] = 12
+    flags, notes = diff(old, new, 1.05, byte_tolerant={"q1"})
+    assert len(flags) == 1 and "tasks 10→12" in flags[0]
+    # unstable-set derivation: either sidecar's cost_stable counts
+    from scripts.costdiff import _unstable_entries
+
+    assert _unstable_entries(
+        {"cost_stable": {"a": True, "b": False}},
+        {"cost_stable": {"c": False}},
+        {},
+    ) == {"b", "c"}
+
+
+def test_costdiff_cli_parses_threshold(tmp_path):
+    """ADVICE r16: `--threshold 1.10` used to be mis-stripped from
+    positionals (str(1.1) != '1.10') and exit 2 with usage; argparse
+    now handles it."""
+    import json
+    import subprocess
+    import sys
+
+    row = {"tasks": 1, "stages": 1, "jobs": 1, "shuffle_read_bytes": 100,
+           "shuffle_write_bytes": 0, "input_bytes": 0, "output_bytes": 0}
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps({"cost": {"q": row}}))
+    b.write_text(json.dumps({"cost": {"q": {**row, "shuffle_read_bytes": 108}}}))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "scripts/costdiff.py", str(a), str(b),
+         "--threshold", "1.10"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    # 1.08x < 1.10 threshold: nothing flagged, exit 0
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "1 cost-identical" in r.stdout
+
+
+def test_aggregate_cost_counts_one_attempt_per_stage():
+    """ADVICE r16: a retried stage (two COMPLETE attempts) must charge
+    ONE attempt — the latest — not the sum, or a run with retries
+    breaks the byte-identical == box-noise invariant."""
+    jobs = [{"jobId": 1, "jobGroup": "p0:alpha", "stageIds": [0]}]
+    stages = [
+        _stage(0, tasks=4, sr=10, sw=20, inp=30),
+        {**_stage(0, tasks=4, sr=11, sw=21, inp=31), "attemptId": 1},
+    ]
+    out = bench._aggregate_cost(jobs, stages, ["p0:"])
+    m = out["p0:"]["alpha"]
+    assert m["tasks"] == 4 and m["stages"] == 1
+    assert (m["shuffle_read_bytes"], m["shuffle_write_bytes"]) == (11, 21)
+    assert m["input_bytes"] == 31
+
+
+def test_fresh_fuzz_k_expression_covers_every_cross_engine_suite():
+    """Round 17 (VERDICT r16 item 6): fresh_fuzz re-runs the
+    cross-engine hypothesis suites under fresh seeds — but only
+    tests/test_properties.py filtered by DEFAULT_K. A new suite whose
+    name misses the pattern (or that lands in another file) would
+    silently get no fresh-seed coverage. This meta-test enumerates
+    every hypothesis test whose source touches a *_sql twin or DuckDB
+    and asserts fresh_fuzz would run it."""
+    import ast
+    import re
+
+    from scripts.fresh_fuzz import DEFAULT_K
+
+    # DEFAULT_K is a pure OR of bare words; pytest -k matches bare
+    # words as substrings of the test id, so this mirror is faithful.
+    # Guard the assumption so a future expression change re-surfaces
+    # here instead of silently diverging from pytest's semantics.
+    assert not re.search(r"\bnot\b|\band\b|[()]", DEFAULT_K), DEFAULT_K
+    k_tokens = [t.strip() for t in DEFAULT_K.split(" or ")]
+
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    missed = []
+    for fname in sorted(os.listdir(tests_dir)):
+        if not (fname.startswith("test_") and fname.endswith(".py")):
+            continue
+        src = open(os.path.join(tests_dir, fname)).read()
+        for node in ast.walk(ast.parse(src)):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            if not any(
+                "given" in ast.unparse(d) for d in node.decorator_list
+            ):
+                continue  # not a hypothesis suite
+            seg = ast.get_source_segment(src, node) or ""
+            cross_engine = "duckdb" in seg.lower() or re.search(
+                r"\w+_sql\s*\(", seg
+            )
+            if not cross_engine:
+                continue
+            if fname != "test_properties.py" or not any(
+                t in node.name for t in k_tokens
+            ):
+                missed.append(f"{fname}::{node.name}")
+    assert not missed, (
+        "cross-engine hypothesis suites outside fresh_fuzz's sweep "
+        f"(file must be test_properties.py, name must match -k "
+        f"{DEFAULT_K!r}): {missed}"
+    )

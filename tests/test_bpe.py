@@ -259,3 +259,20 @@ def test_bpe_encode_auto_switches_to_arrow_and_stays_join_based(spark):
     }
     got = {(r.doc_id, r.token): tuple(r.subwords) for r in enc.collect()}
     assert got == expr
+
+
+def test_bpe_encode_rejects_ill_formed_merge_list(spark):
+    """ADVICE r16: an operand that is neither a single char nor the
+    product of an earlier merge would make the expr and arrow paths
+    diverge silently across the auto impl bound — now a loud raise."""
+    from sales_analytics_etl_sql_powerbi_spark.operators import bpe as B
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="ill-formed merge list"):
+        B.bpe_encode(docs, [("ab", "c")])  # 'ab' never derived
+    # well-formed: second pair's operand is the first pair's product
+    ok = B.bpe_encode(docs, [("a", "b"), ("ab", B._EOW)])
+    assert ok.count() == 2
+    # validation is impl-independent
+    with pytest.raises(ValueError, match="ill-formed"):
+        B.bpe_encode(docs, [("xy", "z")], impl="arrow")
