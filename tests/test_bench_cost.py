@@ -228,3 +228,38 @@ def test_fresh_fuzz_k_expression_covers_every_cross_engine_suite():
         f"(file must be test_properties.py, name must match -k "
         f"{DEFAULT_K!r}): {missed}"
     )
+
+
+def test_sfratio_table_and_diff(tmp_path):
+    """Round 17 (VERDICT r16 item 5): the scale-sweep ratio protocol —
+    ratio table, worst-entry, and cross-round ratio-move flagging."""
+    import json
+    import subprocess
+    import sys
+
+    from scripts.sfratio import ratios
+
+    small = {"sf": 0.1, "value": 10.0, "queries": {"a": 1.0, "b": 2.0}}
+    big = {"sf": 1.0, "value": 33.0, "queries": {"a": 3.0, "b": 16.0}}
+    assert ratios(small, big) == {"a": 3.0, "b": 8.0}
+    s, b, out = tmp_path / "s.json", tmp_path / "b.json", tmp_path / "r.json"
+    s.write_text(json.dumps(small))
+    b.write_text(json.dumps(big))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "scripts/sfratio.py", str(s), str(b), "--out", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "worst per-query ratio: 8.0" in r.stdout
+    doc = json.loads(out.read_text())
+    assert doc["total_ratio"] == 3.3 and doc["ratios"]["b"] == 8.0
+    # next round: b's complexity moved 8x -> 20x — flags, exit 1
+    big2 = {"sf": 1.0, "value": 43.0, "queries": {"a": 3.0, "b": 40.0}}
+    b2 = tmp_path / "b2.json"
+    b2.write_text(json.dumps(big2))
+    r2 = subprocess.run(
+        [sys.executable, "scripts/sfratio.py", str(s), str(b2), "--prev", str(out)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r2.returncode == 1 and "b: 8.0× → 20.0×" in r2.stdout
