@@ -238,7 +238,10 @@ def test_bpe_encode_auto_switches_to_arrow_and_stays_join_based(spark):
     # dedupe while preserving order (a merge list never repeats)
     seen = set()
     merges = [m for m in merges if not (m in seen or seen.add(m))]
-    merges += [(f"x{i}", f"y{i}") for i in range(260)]  # inert filler
+    # inert filler must be WELL-FORMED (round 17: bpe_encode validates
+    # merge-list derivability): single-char pairs always are, and CJK
+    # chars never occur in the corpus so they stay inert
+    merges += [(chr(0x4E00 + i), chr(0x4E00 + i)) for i in range(260)]
     assert len(merges) > bpe._EXPR_MERGE_BOUND
     enc = bpe.bpe_encode(docs, merges)  # auto
     plan = enc._jdf.queryExecution().executedPlan().toString()
