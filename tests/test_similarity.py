@@ -1052,3 +1052,27 @@ class TestIndexBuildStamps:
         assert similarity.ivf_query(
             disk, df.where("vec_id < 2"), cb, nprobe=2
         ).count() > 0
+
+    def test_ann_stamp_survives_bucketed_catalog_roundtrip(self, spark):
+        """The docstring's production path — write_bucketed(..., by=
+        ['bucket']) + spark.table() — must carry the stamp through the
+        catalog, so even the co-located-join deployment stays
+        validated."""
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            write_bucketed,
+        )
+
+        df, _ = emb_frame(spark, n=40)
+        idx = similarity.ann_index(df, n_planes=4)
+        spark.sql("drop table if exists t_ann_idx_stamp")
+        try:
+            write_bucketed(idx, "t_ann_idx_stamp", ["bucket"], n_buckets=4)
+            back = spark.table("t_ann_idx_stamp")
+            assert similarity._read_stamp(back, "bucket") == {
+                "n_planes": 4,
+                "dim": 64,
+            }
+            with pytest.raises(ValueError, match="n_planes"):
+                similarity.ann_query(back, df.where("vec_id < 2"), n_planes=8)
+        finally:
+            spark.sql("drop table if exists t_ann_idx_stamp")
