@@ -38,6 +38,7 @@ __all__ = [
     "cosine_topk_sql",
     "lsh_buckets",
     "ann_index",
+    "ann_index_append",
     "ann_query",
     "ann_lsh_topk",
     "ann_lsh_topk_sql",
@@ -54,6 +55,7 @@ __all__ = [
     "codebook_from_parquet",
     "with_cells",
     "ivf_index",
+    "ivf_index_append",
     "ivf_query",
     "ann_ivf_topk",
     "ann_ivf_topk_sql",
@@ -1082,6 +1084,93 @@ def ann_lsh_topk(
         dim,
         validate_dim=False,
     )
+
+
+def ann_index_append(new_emb: DataFrame, path: str) -> None:
+    """Grow a MATERIALIZED :func:`ann_index` in place — bucket only the
+    new batch and upsert it, never rebucketing the corpus (round 17).
+
+    The index's own build-param stamp is the source of truth: the
+    batch is hashed with the STAMPED (n_planes, dim) — there is no
+    parameter for the caller to get wrong — and the batch's width is
+    validated against the stamped dim (bounded peek), so a
+    wrong-width batch raises instead of polluting the index. The
+    write is the idempotent key-upsert
+    (:func:`~sales_analytics_etl_sql_powerbi_spark.streaming.sinks.upsert_batch_into_parquet`
+    on ``vec_id``): a replayed batch (at-least-once delivery, failure
+    recovery) inserts nothing, and the sink's crash contract
+    (staging sweep, torn-commit replay) applies — index maintenance
+    IS the streaming upsert primitive.
+
+    Scale shape: cost is batch-sized (one bucket projection + one
+    key anti-join against the index's vec_id column), never
+    corpus-sized; bucketing is per-vector-deterministic, so the grown
+    index is row-identical to a from-scratch rebuild over the union.
+    Appended files carry the same stamp, so later reads stay
+    validated whichever file the reader samples. Requires a stamped
+    index — for a hand-built one, bucket and append manually.
+    """
+    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    spark = new_emb.sparkSession
+    existing = spark.read.parquet(path)
+    stamp = _read_stamp(existing, "bucket")
+    if not stamp or "n_planes" not in stamp or "dim" not in stamp:
+        raise ValueError(
+            f"ann_index_append: no build-param stamp on {path!r} — only "
+            "indexes materialized by ann_index (round 17+) can be grown "
+            "in place; rebuild once with ann_index, or bucket the batch "
+            "with the original (n_planes, dim) and append manually"
+        )
+    n_planes, dim = stamp["n_planes"], stamp["dim"]
+    # width handshake: the batch must match the index's corpus width
+    _resolve_dim(new_emb, dim, "ann_index_append")
+    batch = _stamp_index(
+        lsh_buckets(new_emb, n_planes, dim, validate_dim=False),
+        "bucket",
+        {"n_planes": n_planes, "dim": dim},
+    ).select(*existing.columns)
+    upsert_batch_into_parquet(batch, path, ["vec_id"])
+
+
+def ivf_index_append(
+    new_emb: DataFrame, path: str, centroids: list[list[int]]
+) -> None:
+    """Grow a MATERIALIZED :func:`ivf_index` in place (round 17) —
+    assign cells to the new batch with the SAME codebook and upsert.
+
+    The handed-in ``centroids`` are validated against the index's
+    stamped shape + content digest (a different codebook — even
+    same-shape — raises; cells are codebook-relative, so appending
+    under a drifted codebook would silently corrupt probe routing).
+    Same idempotent-upsert write shape as :func:`ann_index_append`.
+    The codebook itself stays driver-sized state alongside the index,
+    exactly as :func:`ivf_index` documents.
+    """
+    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    spark = new_emb.sparkSession
+    existing = spark.read.parquet(path)
+    stamp = _read_stamp(existing, "cell")
+    if not stamp or "codebook_md5" not in stamp:
+        raise ValueError(
+            f"ivf_index_append: no build-param stamp on {path!r} — only "
+            "indexes materialized by ivf_index (round 17+) can be grown "
+            "in place"
+        )
+    _check_stamp(
+        stamp,
+        "ivf_index_append",
+        n_clusters=len(centroids),
+        dim=len(centroids[0]) if centroids else 0,
+        codebook_md5=_codebook_digest(centroids),
+    )
+    batch = ivf_index(new_emb, centroids).select(*existing.columns)
+    upsert_batch_into_parquet(batch, path, ["vec_id"])
 
 
 def ann_lsh_topk_sql(

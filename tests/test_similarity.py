@@ -1076,3 +1076,76 @@ class TestIndexBuildStamps:
                 similarity.ann_query(back, df.where("vec_id < 2"), n_planes=8)
         finally:
             spark.sql("drop table if exists t_ann_idx_stamp")
+
+
+class TestIndexAppend:
+    """Round 17: incremental index maintenance — grow a materialized
+    index batch-sized (stamp-derived params + idempotent key-upsert),
+    row-identical to a from-scratch rebuild over the union."""
+
+    def test_ann_append_equals_rebuild_and_replay_is_noop(
+        self, spark, tmp_path
+    ):
+        a, _ = emb_frame(spark, n=40, seed=7)
+        b_rows, _ = emb_frame(spark, n=60, seed=7)
+        b = b_rows.where("vec_id >= 40")  # disjoint ids, same generator
+        p = str(tmp_path / "ann")
+        similarity.ann_index(a, n_planes=4).write.parquet(p)
+        similarity.ann_index_append(b, p)
+        grown = spark.read.parquet(p)
+        want = similarity.ann_index(a.unionByName(b), n_planes=4)
+        assert sorted(map(tuple, grown.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # the grown index still carries the stamp and serves queries
+        assert similarity._read_stamp(grown, "bucket") == {
+            "n_planes": 4,
+            "dim": 64,
+        }
+        got = similarity.ann_query(
+            grown, a.where("vec_id < 2"), n_planes=4, topk=5
+        )
+        ref = similarity.ann_query(want, a.where("vec_id < 2"), 4, topk=5)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in ref.collect()
+        ]
+        # replaying the SAME batch inserts nothing (idempotent upsert)
+        n_before = grown.count()
+        similarity.ann_index_append(b, p)
+        assert spark.read.parquet(p).count() == n_before
+
+    def test_ann_append_raises_on_width_mismatch_and_unstamped(
+        self, spark, tmp_path
+    ):
+        a, _ = emb_frame(spark, n=40, dim=64)
+        narrow, _ = emb_frame(spark, n=10, dim=32)
+        p = str(tmp_path / "ann")
+        similarity.ann_index(a, n_planes=4).write.parquet(p)
+        with pytest.raises(ValueError, match="width 32"):
+            similarity.ann_index_append(narrow, p)
+        # unstamped target: refuse rather than guess params
+        p2 = str(tmp_path / "raw")
+        similarity.lsh_buckets(a, 4).write.parquet(p2)
+        with pytest.raises(ValueError, match="no build-param stamp"):
+            similarity.ann_index_append(a, p2)
+
+    def test_ivf_append_equals_rebuild_and_rejects_drifted_codebook(
+        self, spark, tmp_path
+    ):
+        a, _ = emb_frame(spark, n=40, seed=7)
+        b_rows, _ = emb_frame(spark, n=60, seed=7)
+        b = b_rows.where("vec_id >= 40")
+        cb = similarity.ivf_codebook(a, n_clusters=4)
+        p = str(tmp_path / "ivf")
+        similarity.ivf_index(a, cb).write.parquet(p)
+        similarity.ivf_index_append(b, p, cb)
+        grown = spark.read.parquet(p)
+        want = similarity.ivf_index(a.unionByName(b), cb)
+        assert sorted(map(tuple, grown.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # drifted codebook: cells would be routed wrong — loud raise
+        cb_mut = [list(c) for c in cb]
+        cb_mut[0][0] += 1
+        with pytest.raises(ValueError, match="codebook_md5"):
+            similarity.ivf_index_append(b, p, cb_mut)
