@@ -28,6 +28,7 @@ __all__ = [
     "int8_cosine_topk",
     "rp_project",
     "rp_index",
+    "rp_index_append",
     "rp_cosine_topk",
     "rp_cosine_topk_sql",
     "shortlisted_cosine_topk",
@@ -2016,6 +2017,50 @@ def rp_index(
         .localCheckpoint(eager=True)
     )
     return _stamp_index(built, "rp", {"out_dim": out_dim, "dim": dim})
+
+
+def rp_index_append(
+    new_emb: DataFrame, path: str, max_rows_per_task: int | None = None
+) -> None:
+    """Grow a parquet-MATERIALIZED :func:`rp_index` in place (round
+    17) — project only the new batch with the STAMPED (out_dim, dim)
+    and upsert on ``vec_id``; same contract as
+    :func:`ann_index_append` (stamp is the source of truth, batch
+    width validated, replays are no-ops, grown index row-identical to
+    a from-scratch rebuild because the projection is deterministic).
+    The in-session localCheckpoint shape needs no append — this is
+    for the cross-job parquet deployment of the shortlist index.
+    """
+    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    spark = new_emb.sparkSession
+    existing = spark.read.parquet(path)
+    stamp = _read_stamp(existing, "rp")
+    if not stamp or "out_dim" not in stamp or "dim" not in stamp:
+        raise ValueError(
+            f"rp_index_append: no build-param stamp on {path!r} — only "
+            "indexes materialized by rp_index (round 17+) can be grown "
+            "in place"
+        )
+    out_dim, dim = stamp["out_dim"], stamp["dim"]
+    _resolve_dim(new_emb, dim, "rp_index_append")
+    batch = (
+        rp_project(
+            new_emb,
+            out_dim,
+            max_rows_per_task=max_rows_per_task,
+            dim=dim,
+            validate_dim=False,
+        )
+        .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
+        .where(F.col("__pn") > 0)
+    )
+    batch = _stamp_index(batch, "rp", {"out_dim": out_dim, "dim": dim}).select(
+        *existing.columns
+    )
+    upsert_batch_into_parquet(batch, path, ["vec_id"])
 
 
 def rp_cosine_topk(

@@ -46,6 +46,24 @@ def clear_stale_staging(path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def preserve_column_metadata(df: DataFrame) -> DataFrame:
+    """Re-assert every column's schema metadata as the plan's
+    OUTERMOST projection (round 17). The parquet writer records the
+    schema of the PHYSICAL plan's output attributes in the footer;
+    metadata riding an upstream node (e.g. a stamped index column
+    that then went through a dedup + anti-join) can be optimized away
+    before the write, leaving the appended files unstamped — and a
+    directory read samples ONE file's footer, so a mixed directory
+    loses the stamp nondeterministically (measured: the ivf append's
+    new file dropped the stamp while the original files kept it). An
+    explicit outermost ``withMetadata`` alias survives optimization.
+    No-op for frames with no column metadata."""
+    for f in df.schema.fields:
+        if f.metadata:
+            df = df.withMetadata(f.name, f.metadata)
+    return df
+
+
 def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S5 — batch append sink (reference etl/order_info_etl.py:68-102,351).
 
@@ -59,9 +77,12 @@ def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None
     leaves the table unchanged, and a dead writer's leftover staging
     is swept before the write (:func:`clear_stale_staging` — without
     the sweep the next job would publish the dead writer's files).
+    Column schema metadata is re-asserted at the write
+    (:func:`preserve_column_metadata`) so appended files carry the
+    same footer schema as the originals.
     """
     clear_stale_staging(path)
-    w = df.write.mode("append")
+    w = preserve_column_metadata(df).write.mode("append")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

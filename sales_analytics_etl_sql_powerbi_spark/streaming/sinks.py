@@ -109,6 +109,7 @@ def upsert_batch_into_parquet(
     the contract the shared staging root already imposes."""
     from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
         clear_stale_staging,
+        preserve_column_metadata,
     )
 
     spark = batch_df.sparkSession
@@ -119,6 +120,14 @@ def upsert_batch_into_parquet(
     ):
         existing_keys = spark.read.parquet(path).select(*key_cols)
         fresh = fresh.join(existing_keys, on=key_cols, how="left_anti")
+    # re-assert the batch's column metadata as the outermost projection
+    # — the writer records the PHYSICAL output schema, and the
+    # dedup/anti-join above can optimize upstream metadata away,
+    # leaving this batch's files with a different footer schema than
+    # the table's (a directory read samples one footer, so a stamped
+    # index grown through this sink would lose its stamp
+    # nondeterministically)
+    fresh = preserve_column_metadata(fresh)
     fresh.write.mode("append").parquet(path)
 
 

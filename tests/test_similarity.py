@@ -1149,3 +1149,68 @@ class TestIndexAppend:
         cb_mut[0][0] += 1
         with pytest.raises(ValueError, match="codebook_md5"):
             similarity.ivf_index_append(b, p, cb_mut)
+
+    def test_rp_append_equals_rebuild_and_serves_consumers(
+        self, spark, tmp_path
+    ):
+        a, _ = emb_frame(spark, n=40, seed=7)
+        b_rows, _ = emb_frame(spark, n=60, seed=7)
+        b = b_rows.where("vec_id >= 40")
+        p = str(tmp_path / "rp")
+        similarity.rp_index(a, out_dim=8).write.parquet(p)
+        similarity.rp_index_append(b, p)
+        grown = spark.read.parquet(p)
+        want = similarity.rp_index(a.unionByName(b), out_dim=8)
+        assert sorted(map(tuple, grown.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        union = a.unionByName(b)
+        got = similarity.rp_cosine_topk(
+            union, out_dim=8, n_queries=2, topk=5, index=grown
+        )
+        ref = similarity.rp_cosine_topk(union, out_dim=8, n_queries=2, topk=5)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in ref.collect()
+        ]
+        # replay is a no-op; unstamped target refuses
+        n = grown.count()
+        similarity.rp_index_append(b, p)
+        assert spark.read.parquet(p).count() == n
+        p2 = str(tmp_path / "raw")
+        similarity.rp_project(a, 8).write.parquet(p2)
+        with pytest.raises(ValueError, match="no build-param stamp"):
+            similarity.rp_index_append(a, p2)
+
+    @staticmethod
+    def _all_footers_stamped(path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        key = b"org.apache.spark.sql.parquet.row.metadata"
+        return all(
+            b"spark_graft_index_build"
+            in ((pq.ParquetFile(f).metadata.metadata or {}).get(key, b""))
+            for f in glob.glob(path + "/part-*.parquet")
+        )
+
+    def test_append_stamps_every_file_footer(self, spark, tmp_path):
+        """The parquet writer records the PHYSICAL plan's output
+        schema; the upsert's dedup/anti-join used to optimize the
+        stamp away on appended files, and a directory read samples
+        ONE footer — so the grown index lost its stamp
+        NONDETERMINISTICALLY (caught as an order-dependent test
+        failure). The sinks now re-assert column metadata at the
+        write; every file's footer must carry the stamp."""
+        a, _ = emb_frame(spark, n=40, seed=7)
+        b_rows, _ = emb_frame(spark, n=60, seed=7)
+        b = b_rows.where("vec_id >= 40")
+        cb = similarity.ivf_codebook(a, n_clusters=4)
+        p = str(tmp_path / "ivf")
+        similarity.ivf_index(a, cb).write.parquet(p)
+        similarity.ivf_index_append(b, p, cb)
+        assert self._all_footers_stamped(p)
+        p2 = str(tmp_path / "ann")
+        similarity.ann_index(a, n_planes=4).write.parquet(p2)
+        similarity.ann_index_append(b, p2)
+        assert self._all_footers_stamped(p2)
