@@ -472,7 +472,11 @@ def compact_parquet(
         df = df.repartition(n_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
-    w = df.write.mode("overwrite")
+    # the writer records the PHYSICAL plan's schema; the repartition
+    # exchange can strip column metadata the source footers carried
+    # (e.g. a similarity index's build-param stamp), silently
+    # de-stamping the compacted table — same hazard as the upsert sink
+    w = preserve_column_metadata(df).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(dst_path)

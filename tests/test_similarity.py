@@ -1214,3 +1214,25 @@ class TestIndexAppend:
         similarity.ann_index(a, n_planes=4).write.parquet(p2)
         similarity.ann_index_append(b, p2)
         assert self._all_footers_stamped(p2)
+
+    def test_compaction_preserves_index_stamp(self, spark, tmp_path):
+        """Compacting a grown index (the natural follow-up to many
+        small upsert appends) must keep the build-param stamp in
+        every output footer — the repartition exchange used to be
+        able to strip it."""
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            compact_parquet,
+        )
+
+        a, _ = emb_frame(spark, n=40, seed=7)
+        b_rows, _ = emb_frame(spark, n=60, seed=7)
+        b = b_rows.where("vec_id >= 40")
+        p = str(tmp_path / "ann")
+        similarity.ann_index(a, n_planes=4).write.parquet(p)
+        similarity.ann_index_append(b, p)
+        dst = str(tmp_path / "ann_compact")
+        compact_parquet(spark, p, dst)
+        assert self._all_footers_stamped(dst)
+        assert similarity._read_stamp(
+            spark.read.parquet(dst), "bucket"
+        ) == {"n_planes": 4, "dim": 64}
