@@ -4513,3 +4513,62 @@ def test_bpe_encode_impl_parity_fuzz(spark, words, n_merges):
     assert expr == arrow
     for (_, tok), sw in expr.items():
         assert tuple(bpe.bpe_apply_py(tok, merges)) == sw
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    splits=st.lists(st.integers(0, 3), min_size=8, max_size=24),
+    replays=st.lists(st.integers(0, 3), min_size=0, max_size=3),
+)
+def test_ann_index_append_arbitrary_splits_replays_match_rebuild(
+    spark, tmp_path_factory, splits, replays
+):
+    """Round 17: the grown-index invariant under ARBITRARY batch
+    splits, append order, and replays — the same simulator-fuzz
+    discipline the CDC/ingest sinks got in r16. Vectors are split
+    into up to 4 batches by a generated assignment, appended in
+    order with generated mid-stream replays; the final materialized
+    index must be row-identical to a one-shot ann_index over the
+    whole corpus (bucketing is per-vector deterministic + the upsert
+    is insert-if-missing on vec_id, so order and replays must not
+    matter)."""
+    from pyspark.sql import functions as F
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import similarity as S
+
+    tmp = tmp_path_factory.mktemp("annfuzz")
+    p = str(tmp / "idx")
+    n = len(splits)
+    rows = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) for j in range(8)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    batches = [
+        emb.where(
+            F.col("vec_id").isin(
+                [i for i, g in enumerate(splits) if g == grp]
+            )
+        )
+        for grp in sorted(set(splits))
+    ]
+    # seed the index with the first non-empty batch, append the rest
+    first, rest = batches[0], batches[1:]
+    S.ann_index(first, n_planes=3, dim=8).write.parquet(p)
+    schedule = list(enumerate(rest))
+    for r in replays:  # replay a generated subset mid-stream
+        if r < len(rest):
+            schedule.append((r, rest[r]))
+    schedule.sort(key=lambda t: t[0])
+    for _, b in schedule:
+        if b.limit(1).count():
+            S.ann_index_append(b, p)
+    got = sorted(map(tuple, spark.read.parquet(p).collect()))
+    want = sorted(
+        map(tuple, S.ann_index(emb, n_planes=3, dim=8).collect())
+    )
+    assert got == want
