@@ -561,6 +561,14 @@ def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
     that a sets⋈signatures self-join would cost. Parity with the
     grouped minhash path is pinned by
     ``test_dedup.py::test_index_bands_match_grouped_minhash_bands``.
+
+    The build params — shingle width ``k`` plus the module's
+    (n_perm, bands) signature shape — are stamped into the ``bands``
+    column's schema metadata (round 17, same mechanism as
+    ``similarity.ann_index``); :func:`neardup_query` validates against
+    the stamp at plan build, closing the documented-but-silent
+    mixed-``k`` contract (and a version drift of the signature shape)
+    for materialized indexes. Survives persist / parquet round-trips.
     """
     sets = shingle_sets(docs, k)
     # hash array in its own projection: referenced by 16 permutations,
@@ -599,7 +607,13 @@ def neardup_index(docs: DataFrame, k: int = 3) -> DataFrame:
             for b in range(_BANDS)
         ]
     )
-    return with_hs.select("doc_id", "sh_set", bands.alias("bands"))
+    from .similarity import _stamp_index
+
+    return _stamp_index(
+        with_hs.select("doc_id", "sh_set", bands.alias("bands")),
+        "bands",
+        {"k": k, "n_perm": _N_PERM, "bands": _BANDS},
+    )
 
 
 def neardup_query(
@@ -617,14 +631,26 @@ def neardup_query(
     threshold``. The ingest decision is then one anti-join: batch docs
     absent from this result are genuinely new.
 
-    ``k`` must match the value the index was built with (caller's
-    contract — mixed shingle widths silently miss everything).
+    ``k`` must match the value the index was built with — an index
+    materialized by :func:`neardup_index` carries (k, n_perm, bands)
+    in its schema-metadata stamp and a mismatch RAISES here at plan
+    build (round 17; a hand-built unstamped index keeps the old
+    silent caller contract — mixed shingle widths miss everything).
     Candidates come from the band equi-join only — batch bands vs
     index bands (and batch-self for intra-batch pairs, oriented
     later-dups-earlier) — so per-batch cost scales with batch size ×
     band collision rate, not corpus size. Verification reuses the
     index's stored ``sh_set``; corpus text is never touched.
     """
+    from .similarity import _check_stamp, _read_stamp
+
+    _check_stamp(
+        _read_stamp(index, "bands"),
+        "neardup_query",
+        k=k,
+        n_perm=_N_PERM,
+        bands=_BANDS,
+    )
     # batch is batch-sized: persist its index so the band explode and
     # both verify sides share one minhash computation
     from pyspark.storagelevel import StorageLevel

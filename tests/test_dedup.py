@@ -596,3 +596,37 @@ def test_neardup_pairs_bucket_cap_threads_through(spark):
     counters = dedup.lsh_cap_audit(audit)
     assert counters["oversized_buckets"] == 8
     assert counters["dropped_entries"] == 8 * 16
+
+
+def test_neardup_index_stamp_validates_k(spark, tmp_path):
+    """Round 17: the materialized near-dup index carries (k, n_perm,
+    bands) in schema metadata; a mixed-k query — which silently
+    missed everything — now raises at plan build, including across a
+    parquet round-trip. Unstamped indexes keep the old contract."""
+    import pytest
+
+    from sales_analytics_etl_sql_powerbi_spark.operators import dedup as D
+    from sales_analytics_etl_sql_powerbi_spark.operators.similarity import (
+        _read_stamp,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = D.neardup_index(docs, k=3)
+    assert _read_stamp(idx, "bands") == {"k": 3, "n_perm": 16, "bands": 8}
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon 0")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="k: index was built with 3"):
+        D.neardup_query(idx, batch, k=5)
+    # parquet round-trip keeps the stamp (and the raise)
+    p = str(tmp_path / "nd_idx")
+    idx.write.parquet(p)
+    disk = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="k: index was built with 3"):
+        D.neardup_query(disk, batch, k=5)
+    # matching k over the round-tripped index still finds the dup
+    hits = D.neardup_query(disk, batch, k=3, threshold=0.5)
+    assert hits.count() >= 1
