@@ -76,6 +76,12 @@ def _sweep_dead_sessions(cache: dict, app_key: str) -> None:
 def read_table(spark, sf: str, name: str):
     app = _app_key(spark)
     _sweep_dead_sessions(_TABLE_CACHE, app)
+    # _PLAN_CACHE holds the heavier handle (a localCheckpointed
+    # rp_index frame); sweeping it only at its creation site would let
+    # a session that never runs the cosine entry keep a dead session's
+    # frame alive — every entry funnels through read_table, so sweep
+    # both here (r17 review)
+    _sweep_dead_sessions(_PLAN_CACHE, app)
     key = (app, sf, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = _read_table_uncached(spark, sf, name)

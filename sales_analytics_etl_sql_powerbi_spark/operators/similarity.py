@@ -130,6 +130,45 @@ def _codebook_digest(centroids: list[list[int]]) -> str:
     return h.hexdigest()[:16]
 
 
+def _codebook_stamp(centroids: list[list[int]]) -> dict:
+    """The IVF stamp payload — built in ONE place so the builder, the
+    query validator, and the append all agree on its shape."""
+    return {
+        "n_clusters": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "codebook_md5": _codebook_digest(centroids),
+    }
+
+
+def _grow_index(new_emb: DataFrame, path: str, col: str, ctx: str,
+                required: tuple, rebuild) -> None:
+    """Shared skeleton of the three ``*_index_append`` ops (round 17):
+    read the materialized index, require its build-param stamp,
+    width-handshake the batch against the stamped corpus width (a
+    wrong-width batch must RAISE, not upsert NULL-scored rows that a
+    later corrective replay can never repair — insert-if-missing
+    keeps the first row per vec_id), rebuild only the batch with the
+    stamped params, and write through the idempotent key-upsert. One
+    body so the three appends cannot drift."""
+    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    spark = new_emb.sparkSession
+    existing = spark.read.parquet(path)
+    stamp = _read_stamp(existing, col)
+    if not stamp or any(k not in stamp for k in required):
+        raise ValueError(
+            f"{ctx}: no build-param stamp on {path!r} — only indexes "
+            "materialized by the stamping builders (round 17+) can be "
+            "grown in place; rebuild once with the builder, or derive "
+            "the batch with the original params and append manually"
+        )
+    _resolve_dim(new_emb, stamp["dim"], ctx)
+    batch = rebuild(stamp).select(*existing.columns)
+    upsert_batch_into_parquet(batch, path, ["vec_id"])
+
+
 def auto_n_planes(
     n_rows: int,
     target_bucket_size: int = _TARGET_BUCKET,
@@ -546,7 +585,7 @@ ORDER BY query_id, rn
 
 def shortlisted_cosine_topk(
     emb: DataFrame,
-    out_dim: int = 16,
+    out_dim: int | None = None,
     multiplier: int | None = 5,
     n_queries: int = 5,
     topk: int = 10,
@@ -586,6 +625,16 @@ def shortlisted_cosine_topk(
     vec_id, so the shortlist SET and the final ranking are identical
     cross-engine — the driver hash pins the whole pipeline.
     """
+    # out_dim=None resolves from a stamped index (same rationale as
+    # rp_cosine_topk — the default must not be validated as if the
+    # caller chose it), else falls back to 16; resolved BEFORE the
+    # multiplier law, which is out_dim-dependent
+    if out_dim is None and index is not None:
+        _s = _read_stamp(index, "rp")
+        if _s and "out_dim" in _s:
+            out_dim = _s["out_dim"]
+    if out_dim is None:
+        out_dim = 16
     if multiplier is None:
         multiplier = rerank_multiplier(emb.count(), topk=topk, out_dim=out_dim)
     if multiplier < 1:
@@ -1111,29 +1160,18 @@ def ann_index_append(new_emb: DataFrame, path: str) -> None:
     validated whichever file the reader samples. Requires a stamped
     index — for a hand-built one, bucket and append manually.
     """
-    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
-        upsert_batch_into_parquet,
-    )
-
-    spark = new_emb.sparkSession
-    existing = spark.read.parquet(path)
-    stamp = _read_stamp(existing, "bucket")
-    if not stamp or "n_planes" not in stamp or "dim" not in stamp:
-        raise ValueError(
-            f"ann_index_append: no build-param stamp on {path!r} — only "
-            "indexes materialized by ann_index (round 17+) can be grown "
-            "in place; rebuild once with ann_index, or bucket the batch "
-            "with the original (n_planes, dim) and append manually"
-        )
-    n_planes, dim = stamp["n_planes"], stamp["dim"]
-    # width handshake: the batch must match the index's corpus width
-    _resolve_dim(new_emb, dim, "ann_index_append")
-    batch = _stamp_index(
-        lsh_buckets(new_emb, n_planes, dim, validate_dim=False),
+    _grow_index(
+        new_emb,
+        path,
         "bucket",
-        {"n_planes": n_planes, "dim": dim},
-    ).select(*existing.columns)
-    upsert_batch_into_parquet(batch, path, ["vec_id"])
+        "ann_index_append",
+        ("n_planes", "dim"),
+        lambda s: _stamp_index(
+            lsh_buckets(new_emb, s["n_planes"], s["dim"], validate_dim=False),
+            "bucket",
+            {"n_planes": s["n_planes"], "dim": s["dim"]},
+        ),
+    )
 
 
 def ivf_index_append(
@@ -1145,33 +1183,27 @@ def ivf_index_append(
     The handed-in ``centroids`` are validated against the index's
     stamped shape + content digest (a different codebook — even
     same-shape — raises; cells are codebook-relative, so appending
-    under a drifted codebook would silently corrupt probe routing).
+    under a drifted codebook would silently corrupt probe routing),
+    and the batch's embedding width is handshaken against the stamped
+    corpus width — a wrong-width batch used to quantize to NULL cells
+    and upsert rows no corrective replay could repair (r17 review).
     Same idempotent-upsert write shape as :func:`ann_index_append`.
     The codebook itself stays driver-sized state alongside the index,
     exactly as :func:`ivf_index` documents.
     """
-    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
-        upsert_batch_into_parquet,
-    )
 
-    spark = new_emb.sparkSession
-    existing = spark.read.parquet(path)
-    stamp = _read_stamp(existing, "cell")
-    if not stamp or "codebook_md5" not in stamp:
-        raise ValueError(
-            f"ivf_index_append: no build-param stamp on {path!r} — only "
-            "indexes materialized by ivf_index (round 17+) can be grown "
-            "in place"
-        )
-    _check_stamp(
-        stamp,
+    def rebuild(stamp: dict) -> DataFrame:
+        _check_stamp(stamp, "ivf_index_append", **_codebook_stamp(centroids))
+        return ivf_index(new_emb, centroids)
+
+    _grow_index(
+        new_emb,
+        path,
+        "cell",
         "ivf_index_append",
-        n_clusters=len(centroids),
-        dim=len(centroids[0]) if centroids else 0,
-        codebook_md5=_codebook_digest(centroids),
+        ("codebook_md5", "dim"),
+        rebuild,
     )
-    batch = ivf_index(new_emb, centroids).select(*existing.columns)
-    upsert_batch_into_parquet(batch, path, ["vec_id"])
 
 
 def ann_lsh_topk_sql(
@@ -1500,15 +1532,7 @@ def ivf_index(emb: DataFrame, centroids: list[list[int]]) -> DataFrame:
     idx = with_cells(quantized(emb), centroids).select(
         "vec_id", "cell", "__q", "__norm"
     )
-    return _stamp_index(
-        idx,
-        "cell",
-        {
-            "n_clusters": len(centroids),
-            "dim": len(centroids[0]) if centroids else 0,
-            "codebook_md5": _codebook_digest(centroids),
-        },
-    )
+    return _stamp_index(idx, "cell", _codebook_stamp(centroids))
 
 
 def ivf_query(
@@ -1533,11 +1557,7 @@ def ivf_query(
     probes to wrong cells.
     """
     _check_stamp(
-        _read_stamp(index, "cell"),
-        "ivf_query",
-        n_clusters=len(centroids),
-        dim=len(centroids[0]) if centroids else 0,
-        codebook_md5=_codebook_digest(centroids),
+        _read_stamp(index, "cell"), "ivf_query", **_codebook_stamp(centroids)
     )
     qz = quantized(queries).select(
         F.col("vec_id").alias("query_id"),
@@ -2031,41 +2051,31 @@ def rp_index_append(
     The in-session localCheckpoint shape needs no append — this is
     for the cross-job parquet deployment of the shortlist index.
     """
-    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
-        upsert_batch_into_parquet,
-    )
 
-    spark = new_emb.sparkSession
-    existing = spark.read.parquet(path)
-    stamp = _read_stamp(existing, "rp")
-    if not stamp or "out_dim" not in stamp or "dim" not in stamp:
-        raise ValueError(
-            f"rp_index_append: no build-param stamp on {path!r} — only "
-            "indexes materialized by rp_index (round 17+) can be grown "
-            "in place"
+    def rebuild(s: dict) -> DataFrame:
+        batch = (
+            rp_project(
+                new_emb,
+                s["out_dim"],
+                max_rows_per_task=max_rows_per_task,
+                dim=s["dim"],
+                validate_dim=False,
+            )
+            .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
+            .where(F.col("__pn") > 0)
         )
-    out_dim, dim = stamp["out_dim"], stamp["dim"]
-    _resolve_dim(new_emb, dim, "rp_index_append")
-    batch = (
-        rp_project(
-            new_emb,
-            out_dim,
-            max_rows_per_task=max_rows_per_task,
-            dim=dim,
-            validate_dim=False,
+        return _stamp_index(
+            batch, "rp", {"out_dim": s["out_dim"], "dim": s["dim"]}
         )
-        .withColumn("__pn", F.sqrt(_dot("rp", "rp").cast("double")))
-        .where(F.col("__pn") > 0)
+
+    _grow_index(
+        new_emb, path, "rp", "rp_index_append", ("out_dim", "dim"), rebuild
     )
-    batch = _stamp_index(batch, "rp", {"out_dim": out_dim, "dim": dim}).select(
-        *existing.columns
-    )
-    upsert_batch_into_parquet(batch, path, ["vec_id"])
 
 
 def rp_cosine_topk(
     emb: DataFrame,
-    out_dim: int = 16,
+    out_dim: int | None = None,
     n_queries: int = 5,
     topk: int = 10,
     max_rows_per_task: int | None = None,
@@ -2088,14 +2098,22 @@ def rp_cosine_topk(
     ``out_dim`` would silently score in the wrong-width projected
     space, a different ``dim`` means the index was built over a
     different-width corpus than the caller believes.
+
+    ``out_dim=None`` (the default) resolves FROM the stamp when an
+    index is given (nothing for the caller to restate — r17 review:
+    validating the bare default 16 against a stamp-8 index turned
+    previously-correct `rp_cosine_topk(emb, index=idx)` calls into
+    spurious raises) and falls back to 16 on the self-built path or
+    an unstamped index; an EXPLICIT out_dim keeps the loud mismatch
+    raise.
     """
     if index is not None:
-        _check_stamp(
-            _read_stamp(index, "rp"),
-            "rp_cosine_topk",
-            out_dim=out_dim,
-            dim=dim,
-        )
+        stamp = _read_stamp(index, "rp")
+        if out_dim is None and stamp and "out_dim" in stamp:
+            out_dim = stamp["out_dim"]
+        _check_stamp(stamp, "rp_cosine_topk", out_dim=out_dim, dim=dim)
+    if out_dim is None:
+        out_dim = 16
     # the projected frame IS the shortlist index (out_dim longs/row —
     # 4× smaller than the input at 32-from-64): materialize it once so
     # the query and candidate branches of the self-join read it

@@ -111,8 +111,12 @@ def main() -> None:
         "(counts always compare exactly; default 1.05)",
     )
     args = ap.parse_args()
-    old_doc = json.load(open(args.old_sidecar))
-    new_doc = json.load(open(args.new_sidecar))
+    try:
+        old_doc = json.load(open(args.old_sidecar))
+        new_doc = json.load(open(args.new_sidecar))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"cannot read sidecar JSON: {e}")
+        raise SystemExit(2) from None
     old, new = old_doc.get("cost") or {}, new_doc.get("cost") or {}
     if not old or not new:
         missing = args.old_sidecar if not old else args.new_sidecar
@@ -125,10 +129,17 @@ def main() -> None:
     flags, notes = diff(old, new, args.threshold, tolerant)
     shared = sorted(set(old) & set(new))
     flagged_names = {f.split(":", 1)[0] for f in flags}
-    stable = [n for n in shared if n not in flagged_names]
+    noted_names = {m.split(":", 1)[0] for m in notes}
+    # a noted entry's bytes DID move past the threshold — it is
+    # exempted, not verified; counting it as "cost-identical" would
+    # misstate what the gate checked (r17 review)
+    stable = [
+        n for n in shared if n not in flagged_names and n not in noted_names
+    ]
     print(
         f"{len(shared)} shared queries; {len(stable)} cost-identical "
-        f"(≤{args.threshold}x bytes, exact counts); {len(flags)} flagged"
+        f"(≤{args.threshold}x bytes, exact counts); {len(flags)} flagged; "
+        f"{len(notes)} byte-exempt"
     )
     for f in flags:
         print("  MOVED", f)

@@ -44,9 +44,22 @@ def main() -> None:
     ap.add_argument("--out", help="write this round's ratio map here")
     ap.add_argument("--tolerance", type=float, default=1.5)
     args = ap.parse_args()
-    small = json.load(open(args.small_bench))
-    big = json.load(open(args.big_bench))
+    try:
+        small = json.load(open(args.small_bench))
+        big = json.load(open(args.big_bench))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"cannot read bench JSON: {e}")
+        raise SystemExit(2) from None
+    for label, doc in (("small", small), ("big", big)):
+        if "queries" not in doc or "value" not in doc:
+            print(f"no bench summary shape in the {label} file "
+                  "(expected bench.py's JSON line with 'queries'/'value')")
+            raise SystemExit(2)
     r = ratios(small, big)
+    if not r:
+        print("no shared queries with nonzero small-run timings — "
+              "nothing to ratio (disjoint suites, or a zeroed run?)")
+        raise SystemExit(2)
     scale = big["sf"] / small["sf"] if small.get("sf") else float("nan")
     total = round(big["value"] / small["value"], 2)
     print(

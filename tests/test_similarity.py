@@ -1236,3 +1236,42 @@ class TestIndexAppend:
         assert similarity._read_stamp(
             spark.read.parquet(dst), "bucket"
         ) == {"n_planes": 4, "dim": 64}
+
+    def test_ivf_append_raises_on_width_mismatch(self, spark, tmp_path):
+        """r17 review finding: a wrong-width batch used to pass the
+        codebook check, quantize to NULL cells, and upsert rows no
+        corrective replay could repair — must raise like the other
+        two appends."""
+        a, _ = emb_frame(spark, n=40, dim=64)
+        narrow, _ = emb_frame(spark, n=10, dim=32)
+        cb = similarity.ivf_codebook(a, n_clusters=4)
+        p = str(tmp_path / "ivf")
+        similarity.ivf_index(a, cb).write.parquet(p)
+        with pytest.raises(ValueError, match="width 32"):
+            similarity.ivf_index_append(narrow, p, cb)
+        # the table is untouched by the refused append
+        assert spark.read.parquet(p).count() == 40
+
+    def test_rp_defaulted_out_dim_resolves_from_stamp(self, spark):
+        """r17 review finding: rp_cosine_topk(emb, index=idx) with the
+        DEFAULT out_dim must adopt the stamp's out_dim (8), not
+        validate the bare default 16 against it and raise."""
+        emb, _ = emb_frame(spark, n=40)
+        idx = similarity.rp_index(emb, out_dim=8)
+        got = similarity.rp_cosine_topk(
+            emb, index=idx, n_queries=2, topk=5
+        ).collect()
+        want = similarity.rp_cosine_topk(
+            emb, out_dim=8, index=idx, n_queries=2, topk=5
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+        got2 = similarity.shortlisted_cosine_topk(
+            emb, index=idx, multiplier=2, n_queries=2, topk=5
+        ).collect()
+        want2 = similarity.shortlisted_cosine_topk(
+            emb, out_dim=8, index=idx, multiplier=2, n_queries=2, topk=5
+        ).collect()
+        assert [tuple(r) for r in got2] == [tuple(r) for r in want2] and got2
+        # an EXPLICIT mismatching out_dim still raises
+        with pytest.raises(ValueError, match="out_dim"):
+            similarity.rp_cosine_topk(emb, out_dim=16, index=idx)
