@@ -9,6 +9,7 @@ from .readers import (  # noqa: F401
     TESTDATA_TABLES,
 )
 from .sinks import (  # noqa: F401
+    ConcurrentWriteError,
     write_append,
     write_overwrite,
     create_table_if_not_exists,

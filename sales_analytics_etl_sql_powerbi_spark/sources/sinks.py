@@ -14,36 +14,306 @@ is non-semantic; what must survive is:
 
 from __future__ import annotations
 
+import json
 import os
+import socket
+import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def clear_stale_staging(path: str) -> None:
-    """Remove a dead writer's leftover ``_temporary/`` staging dir
-    before appending (round 17 — VERDICT r16 item 3).
+class ConcurrentWriteError(RuntimeError):
+    """A LIVE concurrent writer holds the table's upsert lock.
 
-    The v1 FileOutputCommitter stages committed TASK output under
-    ``<path>/_temporary/0/task_*`` and publishes it at JOB commit. A
-    writer killed between task commit and job commit leaves those
-    task dirs behind — invisible to readers (underscore-prefixed paths
-    are hidden), but the NEXT append job reuses the same
-    ``_temporary/0`` staging root and its job commit publishes the
-    dead writer's files alongside its own (measured: planted stale
-    task output leaked straight into the table). Appends therefore
-    clear the staging dir first.
+    Raised instead of proceeding because the upsert's read-keys →
+    anti-join → append sequence is check-then-act: two interleaved
+    upserts can both miss a key and both insert it. Plain appends
+    (:func:`write_append`) are commutative and do NOT take the lock —
+    each writer stages in isolation and publishes by rename."""
 
-    SINGLE-WRITER CONTRACT: only safe because at most one job appends
-    to a table at a time — the same assumption the shared
-    ``_temporary/0`` staging root already imposes on concurrent
-    writers. (Overwrite mode deletes the whole directory and needs no
-    sweep.)"""
-    import shutil
 
-    tmp = os.path.join(path, "_temporary")
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp, ignore_errors=True)
+#: isolated per-writer staging dirs live under the table root as
+#: ``_staging_<token>/`` with a sibling ``_staging_<token>.writer``
+#: liveness marker — underscore-prefixed, so invisible to readers.
+_STAGING_PREFIX = "_staging_"
+_LOCK_NAME = "_UPSERT_LOCK"
+
+
+def _hfs(spark, path: str):
+    """(FileSystem, qualified Path) via the Hadoop FS API — the same
+    resolver Spark's reads use, so any supported URI scheme works
+    (file:/, hdfs://, s3a://), not just driver-local paths (round 18 —
+    ADVICE r17: the os.path sweep silently skipped scheme-qualified
+    tables, quietly reopening the dead-writer leak off-box)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(hpath)
+
+
+def _child(spark, parent, name: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(parent, name)
+
+
+def _read_small_file(fs, hpath) -> bytes:
+    """Whole tiny file (lock / writer marker — tens of bytes) through
+    the Hadoop stream, one byte per py4j call."""
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                return bytes(data)
+            data.append(b)
+    finally:
+        stream.close()
+
+
+def _write_small_file(fs, hpath, payload: bytes, overwrite: bool) -> None:
+    out = fs.create(hpath, overwrite)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _writer_info() -> dict:
+    return {"pid": os.getpid(), "host": socket.gethostname()}
+
+
+def _writer_alive(info: dict) -> bool:
+    """Liveness of a marker/lock owner. Only a SAME-HOST pid can be
+    probed; a foreign host's writer is conservatively treated as alive
+    (never sweep what might be mid-flight — a cross-host deployment
+    cleans another box's leftovers manually or via TTL policy)."""
+    if info.get("host") != socket.gethostname():
+        return True
+    try:
+        pid = int(info["pid"])
+    except (KeyError, TypeError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
+
+
+def clear_stale_staging(spark, path: str) -> None:
+    """Garbage-collect DEAD writers' leftover staging under a table
+    root. Safe under live concurrency (round 18 — VERDICT r17 item 1):
+
+    - ``_temporary/`` (the v1 committer's shared staging root) is
+      removed unconditionally — no writer stages there any more
+      (appends stage under isolated ``_staging_<token>/`` dirs), so a
+      leftover can only be a pre-round-18 dead writer's, and removing
+      it cannot race a live job. Without the sweep the torn state is
+      real: a writer killed between task commit and job commit leaves
+      task dirs that a LEGACY append's job commit would publish
+      alongside its own (measured in round 17).
+    - each ``_staging_<token>/`` dir is attributed via its sibling
+      ``.writer`` marker (pid + host, written BEFORE the staging
+      write): a dead same-host writer's staging is deleted; a live
+      writer's — or any foreign host's — is left untouched.
+
+    All file ops go through the Hadoop FS API, so scheme-qualified
+    table paths (hdfs://, s3a://) are swept too, not silently skipped
+    (ADVICE r17)."""
+    fs, root = _hfs(spark, path)
+    if not fs.exists(root):
+        return
+    tmp = _child(spark, root, "_temporary")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    try:
+        entries = list(fs.listStatus(root))
+    except Exception:
+        return
+    names = {st.getPath().getName(): st for st in entries}
+    for name, st in names.items():
+        if not name.startswith(_STAGING_PREFIX):
+            continue
+        if name.endswith(".writer"):
+            continue  # markers are handled with (or after) their dir
+        marker = names.get(name + ".writer")
+        try:
+            if marker is not None:
+                info = json.loads(
+                    _read_small_file(fs, marker.getPath()).decode()
+                )
+                if _writer_alive(info):
+                    continue
+            # dead writer (or unattributable dir — a crash mid-cleanup
+            # deletes the dir before the marker, never the reverse)
+            fs.delete(st.getPath(), True)
+            if marker is not None:
+                fs.delete(marker.getPath(), False)
+        except Exception:
+            continue  # owner finished cleanup mid-scan — nothing to do
+    # orphan markers whose dir is already gone (crash between the dir
+    # delete and the marker delete)
+    for name, st in names.items():
+        if (
+            name.startswith(_STAGING_PREFIX)
+            and name.endswith(".writer")
+            and name[: -len(".writer")] not in names
+        ):
+            try:
+                info = json.loads(_read_small_file(fs, st.getPath()).decode())
+                if not _writer_alive(info):
+                    fs.delete(st.getPath(), False)
+            except Exception:
+                continue
+
+
+def _append_isolated(df: DataFrame, path: str, partition_by: list[str] | None) -> None:
+    """Append by ISOLATED staging + publish-by-rename (round 18 —
+    VERDICT r17 item 1: the mechanical single-writer fix).
+
+    The plain ``mode("append")`` committer stages every concurrent
+    writer under ONE shared ``<table>/_temporary/0``, which makes a
+    second appender's in-flight task output sweepable/publishable by
+    the first — the silent-row-loss seam. Here each writer:
+
+    1. writes its ``.writer`` liveness marker (pid + host),
+    2. writes the batch to its OWN ``_staging_<token>/`` dir (the
+       committer's ``_temporary`` lives INSIDE it — fully isolated),
+    3. publishes each data file into the table by rename (atomic per
+       file on local/HDFS; part names carry the job UUID, so names
+       cannot collide),
+    4. removes the staging dir, then the marker.
+
+    Concurrent appends therefore compose: no shared mutable staging,
+    every published file complete, final table = union of the batches.
+    A crash before (3) leaves only invisible staging that
+    :func:`clear_stale_staging` attributes by marker liveness and
+    GCs; a crash DURING (3) leaves a complete-file prefix of the batch
+    — the same guarantee as the v1 committer's sequential job-commit
+    renames (the upsert sink's replay anti-join repairs exactly this
+    state). A FAILED staging write cleans its own staging + marker
+    before re-raising, so a long-lived driver does not accumulate
+    same-pid leftovers no sweep may touch."""
+    spark = df.sparkSession
+    fs, root = _hfs(spark, path)
+    fs.mkdirs(root)
+    token = uuid.uuid4().hex
+    staging = _child(spark, root, _STAGING_PREFIX + token)
+    marker = _child(spark, root, _STAGING_PREFIX + token + ".writer")
+    _write_small_file(
+        fs, marker, json.dumps(_writer_info()).encode(), overwrite=False
+    )
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging.toString())
+        _publish_staging(spark, fs, staging, root)
+    except BaseException:
+        try:
+            fs.delete(staging, True)
+            fs.delete(marker, False)
+        except Exception:
+            pass
+        raise
+    fs.delete(staging, True)
+    fs.delete(marker, False)
+
+
+def _publish_staging(spark, fs, staging, root) -> None:
+    """Move every data file from the staging dir into the table,
+    preserving partition subdirectories; carry ``_SUCCESS`` over only
+    if the table has none yet."""
+    staging_str = staging.toString().rstrip("/") + "/"
+    it = fs.listFiles(staging, True)
+    while it.hasNext():
+        f = it.next()
+        src = f.getPath()
+        full = src.toString()
+        if not full.startswith(staging_str):  # defensive: FS returned
+            continue  # a path outside the staging root — never publish it
+        rel = full[len(staging_str):]
+        parts = rel.split("/")
+        name = parts[-1]
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS / committer leftovers — handled below
+        if any(p.startswith("_") or p.startswith(".") for p in parts[:-1]):
+            continue  # files under hidden dirs (_temporary) never publish
+        dest = root
+        for p in parts[:-1]:
+            dest = _child(spark, dest, p)
+        fs.mkdirs(dest)
+        dest_file = _child(spark, dest, name)
+        if not fs.rename(src, dest_file):
+            raise OSError(
+                f"publish failed: could not rename {full} to "
+                f"{dest_file.toString()} (destination exists?)"
+            )
+    success_src = _child(spark, staging, "_SUCCESS")
+    success_dst = _child(spark, root, "_SUCCESS")
+    if fs.exists(success_src) and not fs.exists(success_dst):
+        fs.rename(success_src, success_dst)
+
+
+def table_has_parquet(spark, path: str) -> bool:
+    """True when the table root holds at least one VISIBLE parquet
+    file (hidden/staging subtrees excluded) — scheme-aware."""
+    return next(iter(_hadoop_parquet_files(spark, path)), None) is not None
+
+
+def acquire_upsert_lock(spark, path: str, ctx: str) -> None:
+    """Take the table's upsert lock or raise :class:`ConcurrentWriteError`.
+
+    The lock file ``_UPSERT_LOCK`` records (pid, host). Creation uses
+    the Hadoop FS ``create(overwrite=false)`` — atomic on HDFS; on the
+    local FS the exists-check/create window is microseconds, against a
+    failure mode (interleaved check-then-act upserts inserting
+    duplicate keys) that previously went entirely unchecked. A lock
+    whose same-host owner is dead is reclaimed (crash recovery); a
+    live owner — or any foreign-host owner — raises loudly instead of
+    silently corrupting (round 18 — VERDICT r17 item 1)."""
+    fs, root = _hfs(spark, path)
+    fs.mkdirs(root)
+    lock = _child(spark, root, _LOCK_NAME)
+    payload = json.dumps(_writer_info()).encode()
+    for _ in range(2):
+        try:
+            _write_small_file(fs, lock, payload, overwrite=False)
+            return
+        except Exception:
+            try:
+                info = json.loads(_read_small_file(fs, lock).decode())
+            except Exception:
+                continue  # holder released between create and read — retry
+            if _writer_alive(info):
+                raise ConcurrentWriteError(
+                    f"{ctx}: table {path!r} is locked by a live writer "
+                    f"(pid {info.get('pid')} on {info.get('host')}). "
+                    "Concurrent upserts into one table interleave their "
+                    "read-keys/append windows and can insert duplicate "
+                    "keys — serialize the writers. A crashed writer's "
+                    "lock is reclaimed automatically; a foreign host's "
+                    "must be removed manually (_UPSERT_LOCK)."
+                ) from None
+            fs.delete(lock, False)  # dead owner — reclaim and retry
+    raise ConcurrentWriteError(
+        f"{ctx}: could not acquire the upsert lock on {path!r} after "
+        "reclaiming a dead writer's lock — another writer is racing; "
+        "serialize the writers"
+    )
+
+
+def release_upsert_lock(spark, path: str) -> None:
+    fs, root = _hfs(spark, path)
+    try:
+        fs.delete(_child(spark, root, _LOCK_NAME), False)
+    except Exception:
+        pass
 
 
 def preserve_column_metadata(df: DataFrame) -> DataFrame:
@@ -71,21 +341,22 @@ def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None
     date column turns every date-range query into partition pruning
     instead of a full scan.
 
-    Crash consistency (round 17 — VERDICT r16 item 3): visible
-    ``.parquet`` files are always COMPLETE (the committer writes to
-    ``_temporary/`` and publishes by rename), a failed job's abort
-    leaves the table unchanged, and a dead writer's leftover staging
-    is swept before the write (:func:`clear_stale_staging` — without
-    the sweep the next job would publish the dead writer's files).
-    Column schema metadata is re-asserted at the write
+    Crash consistency (round 17 — VERDICT r16 item 3) and CONCURRENT
+    writers (round 18 — VERDICT r17 item 1): the batch is staged in a
+    per-writer isolated dir and published by per-file rename
+    (:func:`_append_isolated`), so visible ``.parquet`` files are
+    always COMPLETE, a failed job leaves the table unchanged, and two
+    concurrent appends compose — no shared staging for one writer to
+    sweep or publish out from under the other. Dead writers' leftover
+    staging (marker-attributed) and legacy ``_temporary/`` dirs are
+    GC'd first (:func:`clear_stale_staging` — safe under concurrency:
+    only provably-dead same-host writers are swept). Column schema
+    metadata is re-asserted at the write
     (:func:`preserve_column_metadata`) so appended files carry the
     same footer schema as the originals.
     """
-    clear_stale_staging(path)
-    w = preserve_column_metadata(df).write.mode("append")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    clear_stale_staging(df.sparkSession, path)
+    _append_isolated(preserve_column_metadata(df), path, partition_by)
 
 
 def write_overwrite(
@@ -484,19 +755,29 @@ def compact_parquet(
 
 
 def _hadoop_parquet_files(spark, path: str):
-    """(path, length) for every ``*.parquet`` under ``path`` via the
-    Hadoop FileSystem API — works for any URI scheme Spark can read
-    (driver-local glob would find zero bytes on an object store)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
+    """(path, length) for every VISIBLE ``*.parquet`` under ``path``
+    via the Hadoop FileSystem API — works for any URI scheme Spark can
+    read (driver-local glob would find zero bytes on an object store).
+    Files under hidden subtrees (``_staging_*``, ``_temporary``, dot
+    dirs) are excluded, matching Spark's own read-side path filter —
+    a live writer's staged-but-unpublished files must not count as
+    table bytes (round 18)."""
+    fs, root = _hfs(spark, path)
+    if not fs.exists(root):
         return
-    it = fs.listFiles(hpath, True)
+    prefix = root.toString().rstrip("/") + "/"
+    it = fs.listFiles(root, True)
     while it.hasNext():
         f = it.next()
-        if f.getPath().getName().endswith(".parquet"):
-            yield f.getPath().toString(), f.getLen()
+        full = f.getPath().toString()
+        if not full.endswith(".parquet") or not full.startswith(prefix):
+            continue
+        if any(
+            p.startswith("_") or p.startswith(".")
+            for p in full[len(prefix):].split("/")
+        ):
+            continue
+        yield full, f.getLen()
 
 
 def _parquet_bytes(spark, path: str) -> int:

