@@ -630,3 +630,13 @@ def test_neardup_index_stamp_validates_k(spark, tmp_path):
     # matching k over the round-tripped index still finds the dup
     hits = D.neardup_query(disk, batch, k=3, threshold=0.5)
     assert hits.count() >= 1
+    # round 18 (VERDICT r17 item 2): a TRUNCATED stamp — present but
+    # missing keys the builder always writes — raises instead of
+    # validating the partial key set as if complete
+    from sales_analytics_etl_sql_powerbi_spark.operators.similarity import (
+        _STAMP_KEY,
+    )
+
+    cut = idx.withMetadata("bands", {_STAMP_KEY: {"k": 3}})
+    with pytest.raises(ValueError, match="missing key.*bands.*n_perm"):
+        D.neardup_query(cut, batch, k=3)

@@ -1005,6 +1005,43 @@ class TestIndexBuildStamps:
         out = similarity.ann_query(idx, df.where("vec_id < 2"), n_planes=4)
         assert out.count() > 0
 
+    def test_truncated_stamp_raises_in_every_consumer(self, spark):
+        """Round 18 (VERDICT r17 item 2): a PRESENT stamp missing keys
+        its builder always writes is truncated/hand-stripped — every
+        stamped consumer must raise instead of validating the partial
+        key set as if complete (only a fully ABSENT stamp keeps the
+        unvalidated hand-built contract)."""
+        df, _ = emb_frame(spark, n=60)
+        q = df.where("vec_id < 2")
+
+        idx = similarity.ann_index(df, n_planes=4)
+        cut = idx.withMetadata(
+            "bucket", {similarity._STAMP_KEY: {"n_planes": 4}}  # dim gone
+        )
+        with pytest.raises(ValueError, match="missing key.*dim"):
+            similarity.ann_query(cut, q, n_planes=4)
+
+        rp = similarity.rp_index(df, out_dim=8)
+        cut = rp.withMetadata(
+            "rp", {similarity._STAMP_KEY: {"out_dim": 8}}  # dim gone
+        )
+        with pytest.raises(ValueError, match="missing key.*dim"):
+            similarity.rp_cosine_topk(df, out_dim=8, index=cut)
+
+        cb = similarity.ivf_codebook(df, n_clusters=4)
+        ivf = similarity.ivf_index(df, cb)
+        cut = ivf.withMetadata(
+            "cell",
+            {
+                similarity._STAMP_KEY: {
+                    "n_clusters": 4,
+                    "dim": 64,  # codebook_md5 gone — the content check
+                }
+            },
+        )
+        with pytest.raises(ValueError, match="missing key.*codebook_md5"):
+            similarity.ivf_query(cut, q, cb)
+
     def test_rp_consumers_raise_on_out_dim_and_width_mismatch(self, spark):
         df, _ = emb_frame(spark, n=40, dim=64)
         idx = similarity.rp_index(df, out_dim=8)
