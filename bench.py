@@ -252,6 +252,29 @@ def _aggregate_cost(
     return out
 
 
+def cost_stability(
+    cost_by_tag: dict, pass_tags: list[str], name: str
+) -> bool | None:
+    """Per-query shuffle-byte stability across timed passes.
+
+    True = byte-identical in every pass; False = varied; None = NO
+    pass carried a cost entry for this query (job-group tag mismatch /
+    UI eviction) — unknown, not stable (round 18, ADVICE r17: the
+    all-None tuple used to report stable with zero data behind it). A
+    PARTIAL gap (entry in some passes only) counts as unstable — the
+    attribution itself wobbled."""
+    tuples = [
+        (
+            cost_by_tag.get(t, {}).get(name, {}).get("shuffle_read_bytes"),
+            cost_by_tag.get(t, {}).get(name, {}).get("shuffle_write_bytes"),
+        )
+        for t in pass_tags
+    ]
+    if all(t == (None, None) for t in tuples):
+        return None
+    return len(set(tuples)) == 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -375,20 +398,7 @@ def main() -> None:
         if cost_by_tag:
             final_cost = cost_by_tag.get(pass_tags[-1], {})
             cost_stable = {
-                name: len(
-                    {
-                        (
-                            cost_by_tag.get(t, {})
-                            .get(name, {})
-                            .get("shuffle_read_bytes"),
-                            cost_by_tag.get(t, {})
-                            .get(name, {})
-                            .get("shuffle_write_bytes"),
-                        )
-                        for t in pass_tags
-                    }
-                )
-                == 1
+                name: cost_stability(cost_by_tag, pass_tags, name)
                 for name in queries
             }
         else:

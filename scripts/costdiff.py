@@ -53,19 +53,22 @@ def diff(
     new: dict,
     threshold: float,
     byte_tolerant: Iterable[str] = (),
-) -> tuple[list[str], list[str]]:
-    """(flags, notes): flags are real moves — presence changes, ANY
-    count change, or byte moves past ``threshold`` on byte-stable
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """(flags, notes), each a list of ``(query_name, message)`` pairs
+    (structured — formatting happens at print time only, so a query
+    name containing ':' cannot be misparsed back out of the message;
+    round 18, ADVICE r17). Flags are real moves — presence changes,
+    ANY count change, or byte moves past ``threshold`` on byte-stable
     entries; notes are byte moves on ``byte_tolerant`` entries (their
     bytes vary across same-code passes, so the move is not evidence
     of a plan change — count moves on them still flag)."""
     tolerant = set(byte_tolerant)
-    flags: list[str] = []
-    notes: list[str] = []
+    flags: list[tuple[str, str]] = []
+    notes: list[tuple[str, str]] = []
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
         if o is None or n is None:
-            flags.append(f"{name}: only in {'NEW' if o is None else 'OLD'}")
+            flags.append((name, f"only in {'NEW' if o is None else 'OLD'}"))
             continue
         count_moves = [
             f"{k} {o.get(k, 0)}→{n.get(k, 0)}"
@@ -79,10 +82,10 @@ def diff(
                 byte_moves.append(f"{k} {o.get(k, 0)}→{n.get(k, 0)} ({r:.2f}x)")
         if name in tolerant and byte_moves and not count_moves:
             notes.append(
-                f"{name}: " + "; ".join(byte_moves) + " [byte-unstable entry]"
+                (name, "; ".join(byte_moves) + " [byte-unstable entry]")
             )
         elif count_moves or byte_moves:
-            flags.append(f"{name}: " + "; ".join(count_moves + byte_moves))
+            flags.append((name, "; ".join(count_moves + byte_moves)))
     return flags, notes
 
 
@@ -128,8 +131,8 @@ def main() -> None:
     tolerant = _unstable_entries(old_doc, new_doc)
     flags, notes = diff(old, new, args.threshold, tolerant)
     shared = sorted(set(old) & set(new))
-    flagged_names = {f.split(":", 1)[0] for f in flags}
-    noted_names = {m.split(":", 1)[0] for m in notes}
+    flagged_names = {name for name, _ in flags}
+    noted_names = {name for name, _ in notes}
     # a noted entry's bytes DID move past the threshold — it is
     # exempted, not verified; counting it as "cost-identical" would
     # misstate what the gate checked (r17 review)
@@ -141,10 +144,10 @@ def main() -> None:
         f"(≤{args.threshold}x bytes, exact counts); {len(flags)} flagged; "
         f"{len(notes)} byte-exempt"
     )
-    for f in flags:
-        print("  MOVED", f)
-    for m in notes:
-        print("  note ", m)
+    for name, msg in flags:
+        print(f"  MOVED {name}: {msg}")
+    for name, msg in notes:
+        print(f"  note  {name}: {msg}")
     if tolerant:
         print(
             "byte-tolerant entries (pass-to-pass byte variance in their "

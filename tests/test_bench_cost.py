@@ -101,15 +101,16 @@ def test_costdiff_flags_counts_exactly_and_bytes_by_ratio():
     new["q1"]["tasks"] = 11  # any count change flags
     new["q2"]["shuffle_read_bytes"] = 104  # 1.04x — inside tolerance
     flags, notes = diff(old, new, 1.05)
-    assert len(flags) == 1 and flags[0].startswith("q1:") and notes == []
+    assert len(flags) == 1 and flags[0][0] == "q1" and notes == []
     new["q2"]["shuffle_read_bytes"] = 200  # 2x — flags
     assert len(diff(old, new, 1.05)[0]) == 2
     # 0 -> nonzero is infinite ratio, always flagged
     new2 = copy.deepcopy(old)
     new2["q2"]["output_bytes"] = 7
-    assert any(f.startswith("q2:") for f in diff(old, new2, 1.05)[0])
-    # asymmetric presence flags
-    assert diff(old, {"q1": old["q1"]}, 1.05) == (["q2: only in OLD"], [])
+    assert any(name == "q2" for name, _ in diff(old, new2, 1.05)[0])
+    # asymmetric presence flags — structured (name, message) pairs, so
+    # a ':' in a query name cannot be misparsed (round 18, ADVICE r17)
+    assert diff(old, {"q1": old["q1"]}, 1.05) == ([("q2", "only in OLD")], [])
 
 
 def test_costdiff_byte_tolerant_entries_demote_bytes_keep_counts():
@@ -125,11 +126,11 @@ def test_costdiff_byte_tolerant_entries_demote_bytes_keep_counts():
     new = copy.deepcopy(old)
     new["q1"]["shuffle_read_bytes"] = 3000  # 3x byte move
     flags, notes = diff(old, new, 1.05, byte_tolerant={"q1"})
-    assert flags == [] and len(notes) == 1 and "q1" in notes[0]
+    assert flags == [] and len(notes) == 1 and notes[0][0] == "q1"
     # but a count move on a tolerant entry is a real plan change
     new["q1"]["tasks"] = 12
     flags, notes = diff(old, new, 1.05, byte_tolerant={"q1"})
-    assert len(flags) == 1 and "tasks 10→12" in flags[0]
+    assert len(flags) == 1 and "tasks 10→12" in flags[0][1]
     # unstable-set derivation: either sidecar's cost_stable counts
     from scripts.costdiff import _unstable_entries
 
@@ -228,6 +229,86 @@ def test_fresh_fuzz_k_expression_covers_every_cross_engine_suite():
         f"(file must be test_properties.py, name must match -k "
         f"{DEFAULT_K!r}): {missed}"
     )
+
+
+def test_cost_stability_all_none_is_unknown_not_stable():
+    """Round 18 (ADVICE r17): a query with NO cost entry in any pass
+    must report None (unknown), not True; a partial gap is unstable."""
+    cbt = {
+        "p0:": {"q1": {"shuffle_read_bytes": 5, "shuffle_write_bytes": 5}},
+        "p1:": {"q1": {"shuffle_read_bytes": 5, "shuffle_write_bytes": 5}},
+    }
+    tags = ["p0:", "p1:"]
+    assert bench.cost_stability(cbt, tags, "q1") is True
+    assert bench.cost_stability(cbt, tags, "q_missing") is None
+    cbt["p1:"]["q1"]["shuffle_read_bytes"] = 6
+    assert bench.cost_stability(cbt, tags, "q1") is False
+    # entry present in only one pass: attribution wobbled — unstable
+    del cbt["p1:"]["q1"]
+    assert bench.cost_stability(cbt, tags, "q1") is False
+
+
+def test_sfratio_adjudication_subsecond_and_cost_rows(tmp_path):
+    """Round 18 (VERDICT r17 item 3): the ratio-move gate adjudicates
+    mechanically — sub-second entries are jitter-exempt, cost-identical
+    big-run rows demote to noise, real cost moves still flag."""
+    from scripts.sfratio import adjudicate_moves
+
+    cost_row = {
+        "tasks": 4, "stages": 2, "jobs": 2, "shuffle_read_bytes": 100,
+        "shuffle_write_bytes": 100, "input_bytes": 10, "output_bytes": 0,
+    }
+    import copy
+
+    moved = [("fast", 1.0, 3.0), ("slow_same", 2.0, 4.0), ("slow_real", 2.0, 4.0)]
+    small_walls = {"fast": 0.3, "slow_same": 5.0, "slow_real": 5.0}
+    cost_prev = {"cost": {
+        "slow_same": copy.deepcopy(cost_row),
+        "slow_real": copy.deepcopy(cost_row),
+    }}
+    cost_cur = copy.deepcopy(cost_prev)
+    cost_cur["cost"]["slow_real"]["tasks"] = 9  # a real plan change
+    flags, notes = adjudicate_moves(
+        moved, small_walls, {}, 1.0, cost_prev, cost_cur
+    )
+    assert [n for n, _ in flags] == ["slow_real"]
+    assert "tasks 4→9" in flags[0][1]
+    noted = {n: m for n, m in notes}
+    assert "sub-second" in noted["fast"]
+    assert "box noise by construction" in noted["slow_same"]
+    # prev round's stored small wall exempts too (entry fast2 is
+    # sub-second only in the PREVIOUS round's record)
+    flags2, notes2 = adjudicate_moves(
+        [("fast2", 1.0, 3.0)], {"fast2": 1.4}, {"fast2": 0.4}, 1.0, None, None
+    )
+    assert flags2 == [] and "sub-second" in notes2[0][1]
+    # without sidecars and above min-sec, the move stays flagged
+    flags3, _ = adjudicate_moves(
+        [("slow", 2.0, 5.0)], {"slow": 4.0}, {}, 1.0, None, None
+    )
+    assert [n for n, _ in flags3] == ["slow"]
+
+
+def test_sfratio_prev_file_errors_are_diagnostic(tmp_path):
+    """Round 18 (ADVICE r17): a missing/malformed --prev exits 2 with
+    the same diagnostic path as the positional inputs, not a traceback."""
+    import json
+    import subprocess
+    import sys
+
+    small = {"sf": 0.1, "value": 10.0, "queries": {"a": 1.5}}
+    big = {"sf": 1.0, "value": 33.0, "queries": {"a": 4.5}}
+    s, b = tmp_path / "s.json", tmp_path / "b.json"
+    s.write_text(json.dumps(small))
+    b.write_text(json.dumps(big))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "scripts/sfratio.py", str(s), str(b),
+         "--prev", str(tmp_path / "nope.json")],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 2 and "cannot read input JSON" in r.stdout
+    assert "Traceback" not in r.stderr
 
 
 def test_sfratio_table_and_diff(tmp_path):
