@@ -387,10 +387,14 @@ def create_table_if_not_exists(df: DataFrame, path: str) -> bool:
     Writes an empty frame with ``df``'s schema when the target is absent;
     returns True if it created the table. Parquet-path flavored (no
     catalog dependency); with a metastore this is
-    ``CREATE TABLE IF NOT EXISTS`` instead.
+    ``CREATE TABLE IF NOT EXISTS`` instead. Existence goes through the
+    Hadoop FS resolver (round 18) so a scheme-qualified path is
+    checked, not silently treated as absent and overwritten.
     """
-    if os.path.exists(os.path.join(path, "_SUCCESS")) or (
-        os.path.isdir(path) and any(n.endswith(".parquet") for n in os.listdir(path))
+    spark = df.sparkSession
+    fs, root = _hfs(spark, path)
+    if fs.exists(_child(spark, root, "_SUCCESS")) or table_has_parquet(
+        spark, path
     ):
         return False
     df.limit(0).write.mode("overwrite").parquet(path)

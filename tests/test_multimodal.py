@@ -834,3 +834,140 @@ def test_avi_container_property(frames, w, h):
     assert got == frames
     with pytest.raises(ValueError, match="size does not match"):
         multimodal.decode_avi_mjpeg(payload + b"\x00")
+
+
+def test_flic_roundtrip_and_reject_contract():
+    """Round 18 (VERDICT r17 item 6): the INTER-FRAME leg. Encode the
+    formula FLC, decode through the real BRUN + SS2 walk, pin every
+    reconstructed frame against the last-writer closed form, and
+    reject malformed payloads instead of misparsing them."""
+    import struct
+
+    d = 7
+    w, h, nf = multimodal._flic_dims(d)
+    payload = multimodal.encode_flic(d)
+    dw, dh, frames = multimodal.decode_flic(payload)
+    assert (dw, dh, len(frames)) == (w, h, nf)
+    for f, fr in enumerate(frames):
+        want = bytearray()
+        for y in range(h):
+            j = f - ((f - y % 3) % 3)
+            for x in range(w):
+                want.append(
+                    multimodal._flic_delta_pixel(d, j, x, y)
+                    if j >= 1
+                    else multimodal._flic_base_pixel(d, x, y)
+                )
+        assert fr == bytes(want), f
+    # rejects: wrong magic
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.decode_flic(payload[:4] + b"\x00\x00" + payload[6:])
+    # size field vs payload length
+    with pytest.raises(ValueError, match="size field"):
+        multimodal.decode_flic(payload + b"\x00")
+    # truncated header
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_flic(payload[:64])
+    # unknown chunk type: patch the first subchunk's type word
+    sub_type_at = 128 + 16 + 4
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, sub_type_at, 99)
+    with pytest.raises(ValueError, match="unsupported FLIC chunk type 99"):
+        multimodal.decode_flic(bytes(bad))
+    # frame-count mismatch: header declares one more frame
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, 6, nf + 1)
+    with pytest.raises(ValueError, match="declares"):
+        multimodal.decode_flic(bytes(bad))
+    # SS2 before any intra frame: swap first subchunk's type to SS2
+    bad = bytearray(payload)
+    struct.pack_into("<H", bad, sub_type_at, multimodal._FLI_SS2)
+    with pytest.raises(ValueError, match="delta before any intra"):
+        multimodal.decode_flic(bytes(bad))
+
+
+def test_flic_delta_chain_is_order_dependent():
+    """Temporal prediction for real: frame 2 reconstructed WITHOUT
+    frame 1's delta differs from the true frame 2 — the lines frame 1
+    rewrote (y % 3 == 1) would still hold base-formula pixels. This is
+    what separates the FLIC leg from the intra-only Y4M/MJPEG legs."""
+    import struct
+
+    d = 4  # nf = 3 + 4 % 2 = 3 frames, h = 4 — has y%3==1 lines
+    w, h, nf = multimodal._flic_dims(d)
+    assert nf >= 3
+    _, _, frames = multimodal.decode_flic(multimodal.encode_flic(d))
+    # rebuild a stream with frame 1's delta REPLACED by an empty SS2
+    # (0 lines) — a legal FLC whose frame 1 repeats frame 0
+    payload = multimodal.encode_flic(d)
+    pos = 128
+    chunks = []
+    while pos < len(payload):
+        (fsize,) = struct.unpack("<I", payload[pos:pos + 4])
+        chunks.append(payload[pos:pos + fsize])
+        pos += fsize
+    empty_ss2 = struct.pack("<IH", 8, multimodal._FLI_SS2) + struct.pack("<H", 0)
+    chunks[1] = (
+        struct.pack("<IHH8x", 16 + len(empty_ss2), multimodal._FLIC_FRAME_MAGIC, 1)
+        + empty_ss2
+    )
+    blob = b"".join(chunks)
+    hdr = bytearray(payload[:128])
+    struct.pack_into("<I", hdr, 0, 128 + len(blob))
+    _, _, skipped = multimodal.decode_flic(bytes(hdr) + blob)
+    assert skipped[0] == frames[0]
+    assert skipped[1] == frames[0]  # empty delta = repeat previous
+    assert skipped[2] != frames[2]  # frame 1's lines never caught up
+    # the difference is EXACTLY the y%3==1 lines
+    for y in range(h):
+        a = skipped[2][y * w:(y + 1) * w]
+        b = frames[2][y * w:(y + 1) * w]
+        assert (a == b) == (y % 3 != 1), y
+
+
+def test_flic_spark_frames_match_formula(spark):
+    """The distributed inter-frame leg: generate FLC payloads in
+    mapInPandas, decode through the real BRUN+SS2 chain, and pin
+    every column against the pure-Python reconstruction."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    rows = multimodal.extract_flic_frames(
+        multimodal.attach_flic_payload(docs)
+    ).collect()
+    want = {}
+    for d in range(8):
+        w, h, frames_n = multimodal._flic_dims(d)
+        _, _, frames = multimodal.decode_flic(multimodal.encode_flic(d))
+        for f, fr in enumerate(frames):
+            want[(d, f)] = (
+                w, h, len(fr), sum(fr) % 1_000_003, fr.hex().upper()
+            )
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (
+            r.width, r.height, r.n_frame_bytes, r.frame_checksum, r.frame_hex
+        ) == want[(r.doc_id, r.frame_id)]
+
+
+@_settings(max_examples=120, deadline=None)
+@_given(
+    _st.binary(min_size=2, max_size=64).filter(lambda b: len(b) % 2 == 0),
+    _st.binary(min_size=2, max_size=64).filter(lambda b: len(b) % 2 == 0),
+)
+def test_flic_packet_coders_property(line0, line1):
+    """For ANY byte content (runs, literals, mixtures): a BRUN-coded
+    line decodes back exactly, and an SS2 full-line packet list
+    patches a previous frame into exactly the new line."""
+    if len(line0) != len(line1):
+        n = min(len(line0), len(line1))
+        n -= n % 2
+        line0, line1 = line0[:n], line1[:n]
+    if not line0:
+        return
+    w = len(line0)
+    got = multimodal._decode_brun(multimodal._brun_line(line0), w, 1)
+    assert bytes(got) == line0
+    body = multimodal._u16le(1) + multimodal._ss2_line_packets(line1)
+    patched = multimodal._apply_ss2(body, bytearray(line0), w, 1)
+    assert bytes(patched) == line1

@@ -53,6 +53,42 @@ def test_write_modes_and_create(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
+def test_large_single_csv_splits_across_tasks(spark, tmp_path):
+    """Round 18 (VERDICT r17 item 7): the CSV ingest floor is an IO
+    floor per byte, so at 100 TB the question is PARALLELISM — one
+    multi-GB uncompressed CSV must split across tasks, not serialize
+    through one. Uncompressed CSV is line-splittable; Spark carves it
+    by spark.sql.files.maxPartitionBytes. Pinned here: a single ~6 MB
+    file under a 1 MB split size scans as >1 input partition through
+    OUR reader (read_csv_all_string), with exact row fidelity across
+    the split boundaries (a row straddling two splits must be read
+    once, by the split that owns its start)."""
+    p = tmp_path / "big.csv"
+    n = 60_000
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("order id,customer,amount\n")
+        for i in range(n):
+            f.write(f"o{i},customer_{i % 997}_{'x' * 60},{i}.25\n")
+    assert p.stat().st_size > 4 * 1024 * 1024
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        df = read_csv_all_string(spark, str(p))
+        n_splits = df.rdd.getNumPartitions()
+        assert n_splits > 1, "single CSV file did not split across tasks"
+        assert df.count() == n
+        # spot fidelity: no duplicated/lost boundary rows
+        assert df.where("order_id = 'o0'").count() == 1
+        assert df.where(f"order_id = 'o{n - 1}'").count() == 1
+        assert df.select("order_id").distinct().count() == n
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_append_scheme_qualified_path_sweeps_and_publishes(spark, tmp_path):
     """ADVICE r17: the r17 sweep used os.path, so a scheme-qualified
     table path (file:/, hdfs://) silently SKIPPED the stale-staging
