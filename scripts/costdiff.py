@@ -28,6 +28,18 @@ identical code, so a byte move there carries no signal — but their
 COUNT moves still flag (counts stay exact even for those entries).
 Exit code 1 if anything is flagged, so a round-close script can gate
 on it.
+
+Adjudicating an INPUT-BYTE-only flag with EXACT counts (round 18,
+measured): entries whose plans re-read persisted/cached intermediates
+report cached-block reads as inputBytes, and in-memory block sizes
+vary with JVM/session state — pass-stable WITHIN a run (so the
+sidecar's own cost_stable cannot exempt them) yet 5-16% different
+across sessions with identical code. The mechanical adjudicator is a
+same-box A/B: run the flagged entry's cost probe at BOTH commits in
+one sitting (old commit via a git worktree); byte-identical rows =
+cross-session state, not a plan change. Shuffle bytes and all counts
+stay exact across sessions — only a count or shuffle move is
+unconditional evidence of a plan change.
 """
 
 from __future__ import annotations
