@@ -2155,6 +2155,128 @@ def graph_main() -> None:
     )
 
 
+def concurrent_append_main() -> None:
+    """Concurrent-writer probe for the round-18 isolated-staging sink:
+    N threads race append batches into ONE table; every row must land
+    (the r17 shared-_temporary design lost staged rows here), no
+    staging leftovers may remain, and the per-writer publish overhead
+    vs a raw committer append is measured. Then N threads race the
+    key-UPSERT on overlapping keys: each either completes or raises
+    ConcurrentWriteError, and the table must hold no duplicate key.
+
+    Usage: python scripts/stress.py --concurrent-append [n_writers]
+                                    [rows_per_batch] [batches_per_writer]
+    """
+    n_writers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    rows = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    batches = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+
+    import os
+    import tempfile
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("stress-concurrent-append")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()
+
+    from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+        ConcurrentWriteError,
+        write_append,
+    )
+    from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+        upsert_batch_into_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stress_conc_")
+    tbl = os.path.join(tmp, "tbl")
+
+    def batch(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("bucket"),
+            F.sha1(F.col("id").cast("string")).alias("payload"),
+        )
+
+    def writer(w: int) -> None:
+        for b in range(batches):
+            base = (w * batches + b) * rows
+            write_append(batch(base, base + rows), tbl)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n_writers) as ex:
+        for f in [ex.submit(writer, w) for w in range(n_writers)]:
+            f.result()
+    dt = time.perf_counter() - t0
+    total = n_writers * batches * rows
+    got = spark.read.parquet(tbl)
+    n, nd = got.count(), got.select("k").distinct().count()
+    leftovers = [
+        x
+        for x in os.listdir(tbl)
+        if x.startswith("_staging_") or x == "_temporary"
+    ]
+    assert n == nd == total, (n, nd, total)
+    assert leftovers == [], leftovers
+    print(
+        f"concurrent appends: {n_writers} writers x {batches} batches x "
+        f"{rows} rows = {total} rows in {dt:.1f}s — all landed, "
+        f"no duplicates, no leftovers"
+    )
+
+    # publish overhead vs the raw committer (single writer, same data)
+    a, b = os.path.join(tmp, "iso"), os.path.join(tmp, "raw")
+    data = batch(0, rows)
+    t0 = time.perf_counter()
+    write_append(data, a)
+    t_iso = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    data.write.mode("append").parquet(b)
+    t_raw = time.perf_counter() - t0
+    print(
+        f"publish overhead: isolated-staging append {t_iso:.2f}s vs raw "
+        f"committer {t_raw:.2f}s ({t_iso / t_raw:.2f}x) at {rows} rows"
+    )
+
+    # upsert contention on OVERLAPPING keys: serialize or raise, never
+    # duplicate
+    utbl = os.path.join(tmp, "upsert")
+
+    def upserter(_w: int) -> str:
+        try:
+            upsert_batch_into_parquet(batch(0, rows), utbl, ["k"])
+            return "ok"
+        except ConcurrentWriteError:
+            return "locked"
+
+    with ThreadPoolExecutor(n_writers) as ex:
+        outcomes = sorted(
+            f.result() for f in [ex.submit(upserter, w) for w in range(n_writers)]
+        )
+    ug = spark.read.parquet(utbl)
+    un, und = ug.count(), ug.select("k").distinct().count()
+    assert un == und, (un, und)
+    assert un == rows if "ok" in outcomes else un == 0
+    print(
+        f"concurrent upserts (same keys): outcomes {outcomes} — "
+        f"{un} rows, {und} distinct keys (no duplicates)"
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
 def aggregates_main() -> None:
     """Histogram + frequent-items at 10M rows (round 6): the other two
     mergeable-aggregate families, measured like --sketches."""
@@ -2674,5 +2796,7 @@ if __name__ == "__main__":
         graph_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--aggregates":
         aggregates_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--concurrent-append":
+        concurrent_append_main()
     else:
         main()

@@ -1113,6 +1113,45 @@ class TestConcurrentWriters:
         left = self._leftovers(tbl)
         assert sorted(left) == ["_staging_livetok", "_staging_livetok.writer"]
 
+    def test_foreign_host_staging_and_lock_never_reclaimed(
+        self, spark, tmp_path
+    ):
+        """Liveness is only probeable same-host, so a FOREIGN host's
+        staging dir and upsert lock are conservatively treated as
+        live: the GC must not sweep the staging (it may be mid-flight)
+        and the lock must raise with remove-by-hand instructions, even
+        when the recorded pid happens to be dead HERE."""
+        import json
+        import os
+
+        import pytest
+
+        from sales_analytics_etl_sql_powerbi_spark.sources.sinks import (
+            ConcurrentWriteError,
+            write_append,
+        )
+        from sales_analytics_etl_sql_powerbi_spark.streaming.sinks import (
+            upsert_batch_into_parquet,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        write_append(self._batch(spark, 0, 5), tbl)
+        dead = self._dead_pid()  # dead on THIS host — host differs though
+        os.makedirs(os.path.join(tbl, "_staging_foreign"))
+        with open(os.path.join(tbl, "_staging_foreign.writer"), "w") as f:
+            json.dump({"pid": dead, "host": "some-other-executor-host"}, f)
+        write_append(self._batch(spark, 5, 8), tbl)
+        left = self._leftovers(tbl)
+        assert sorted(left) == [
+            "_staging_foreign", "_staging_foreign.writer"
+        ]
+        with open(os.path.join(tbl, "_UPSERT_LOCK"), "w") as f:
+            json.dump({"pid": dead, "host": "some-other-executor-host"}, f)
+        with pytest.raises(ConcurrentWriteError, match="foreign host"):
+            upsert_batch_into_parquet(
+                self._batch(spark, 8, 10), tbl, ["order_id"]
+            )
+
     def test_failed_append_cleans_own_staging(self, spark, tmp_path):
         """A staging write that FAILS removes its own staging + marker
         before re-raising (same-pid leftovers are unsweepable by the
