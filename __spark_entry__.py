@@ -73,7 +73,7 @@ def _sweep_dead_sessions(cache: dict, app_key: str) -> None:
         del cache[k]
 
 
-def read_table(spark, sf: str, name: str):
+def read_table(spark, sf: str, name: str, spread: bool = True):
     app = _app_key(spark)
     _sweep_dead_sessions(_TABLE_CACHE, app)
     # _PLAN_CACHE holds the heavier handle (a localCheckpointed
@@ -82,9 +82,9 @@ def read_table(spark, sf: str, name: str):
     # frame alive — every entry funnels through read_table, so sweep
     # both here (r17 review)
     _sweep_dead_sessions(_PLAN_CACHE, app)
-    key = (app, sf, name)
+    key = (app, sf, name, spread)
     if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = _read_table_uncached(spark, sf, name)
+        _TABLE_CACHE[key] = _read_table_uncached(spark, sf, name, spread=spread)
     return _TABLE_CACHE[key]
 
 # ---------------------------------------------------------------------------
@@ -698,12 +698,20 @@ def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
 # ---- LLM-data-pipeline + streaming entries --------------------------------
 
 
-def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return read_table(spark, sf, "documents")
+def _docs(spark: SparkSession, sf: str, spread: bool = True) -> DataFrame:
+    # spread=False: for consumers whose first real operation is a
+    # reduce/explode-groupBy — the scan spread's exchange is pure
+    # overhead there (measured A/B, round 18)
+    return read_table(spark, sf, "documents", spread=spread)
 
 
 def _events(spark: SparkSession, sf: str) -> DataFrame:
-    return read_table(spark, sf, "events")
+    # events consumers all window/join/aggregate immediately and the
+    # only scan-side work is the ts normalization — the scan spread
+    # measured 0.6-1.0s WORSE on the windows/funnel/asof entries and
+    # noise-level on the rest (round-18 A/B), so events reads stay
+    # unspread
+    return read_table(spark, sf, "events", spread=False)
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -737,7 +745,9 @@ def q_doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     histogram by a different route."""
     from sales_analytics_etl_sql_powerbi_spark.operators import histograms
 
-    docs = _docs(spark, sf)
+    # unspread (round-18 A/B): length() into reduces — no scan-side
+    # compute to parallelize, and three branches each paid the spread
+    docs = _docs(spark, sf, spread=False)
     lens = docs.select("doc_id", F.length("text").cast("double").alias("v"))
     parts = [
         histograms.histogram_table(
@@ -1095,7 +1105,7 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     into otherwise-distinct documents, span detection finds the
     paragraph itself. The twin recomputes spans with list_slice grams
     and its own gaps-and-islands collapse."""
-    docs = _docs(spark, sf)
+    docs = _docs(spark, sf, spread=False)
     null_i = F.lit(None).cast("int")
     doc_part = dedup.exact_dedup(docs).select(
         F.lit("doc").alias("kind"),
@@ -1296,7 +1306,10 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     and the resampled bytes end to end; the DuckDB twin recomputes
     every byte analytically from the generator formula, proving the
     decoder read the real payload."""
-    docs = _docs(spark, sf)
+    # unspread (round-18 A/B): the per-branch payload synth+parse here
+    # is small (one image per doc, several scan branches), and the
+    # spread exchange repeated per branch measured ~0.9s worse
+    docs = _docs(spark, sf, spread=False)
     wp = multimodal.attach_binary_payload(docs, media="ppm")
     feats = multimodal.extract_features(wp, codec="ppm").select(
         "doc_id",

@@ -302,9 +302,17 @@ def build_dim_product(
         base, TESTDATA_CATEGORY_PASSES + TESTDATA_SUBCATEGORY_PASSES
     ).drop("p_name")
     # IDENTITY(1,1), strategy by size (product_key is unique, so the
-    # ordering is total and both paths agree row-for-row). part.count()
-    # is a parquet-metadata job — no data scan.
-    small = part.count() <= threshold
+    # ordering is total and both paths agree row-for-row). The row
+    # count comes straight from the parquet footer when the layout is
+    # local (zero jobs — r18: a count() through the scan spread would
+    # otherwise pay the spread exchange just to read a number the
+    # footer already holds); a remote/unreadable layout falls back to
+    # the metadata count job.
+    from .sources.readers import parquet_layout
+
+    layout = parquet_layout(_os.path.join(sf_dir, "part.parquet"))
+    n_part = layout[0] if layout is not None else part.count()
+    small = n_part <= threshold
     if small:
         numbered = categorized.withColumn(
             "product_id", dense_surrogate_id(["product_key"])

@@ -206,18 +206,121 @@ def read_input(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFram
     raise ValueError(f"Unsupported input extension: {ext!r} ({path})")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Scan-spread default: do not create slices under this many rows.
+#: Overridable per session via ``spark_graft.scan.rowsPerSlice`` (``0``
+#: disables the spread entirely — the plan-shape tests that pin the
+#: at-scale contract use that).
+SPREAD_ROWS_PER_SLICE = 64
+
+
+def parquet_layout(path: str) -> tuple[int, int] | None:
+    """(rows, row_groups) from local parquet footers, or ``None``.
+
+    Metadata only — no Spark job. ``None`` when the layout cannot be
+    read cheaply (scheme-qualified remote path, missing file,
+    non-parquet): callers must then fall back to a safe default, never
+    guess. A directory table sums the footers of its ``*.parquet``
+    parts.
+    """
+    if "://" in path or path.startswith("file:"):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            rows = groups = 0
+            for entry in os.listdir(path):
+                if not entry.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(path, entry)).metadata
+                rows += meta.num_rows
+                groups += meta.num_row_groups
+            return (rows, groups) if groups else None
+        meta = pq.ParquetFile(path).metadata
+        return meta.num_rows, meta.num_row_groups
+    except Exception:
+        return None
+
+
+def spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan parallelism (optimization round 18).
+
+    A parquet scan's effective parallelism is bounded by the file's
+    ROW-GROUP count, not its byte size: Spark plans byte-range splits,
+    but every row group is read by the single task whose split holds
+    its midpoint. The driver's testdata tables are one file × one row
+    group each, so every scan-side expression (md5 surrogate keys,
+    regex extraction, token folds, codec decode batches) ran on ONE
+    core regardless of cluster size.
+
+    Fix, derived from the input's own metadata (guide §2 — make
+    partitioning scale-adaptive rather than a constant):
+
+    - row_groups ≥ defaultParallelism → the scan already parallelizes
+      (the 100-TB case: thousands of row groups); return unchanged, so
+      at scale this is a structural no-op and the scan keeps its
+      pushdown/pruning shape.
+    - otherwise round-robin repartition to
+      ``min(defaultParallelism, rows // rowsPerSlice)`` when that
+      beats the file's own parallelism. Catalyst pushes deterministic
+      filters and column pruning THROUGH a Repartition node, so
+      ``PushedFilters``/``ReadSchema`` still reach the scan; the
+      exchange moves only the pruned columns, and row-identical
+      results are partitioning-independent by construction everywhere
+      in this package (content-addressed sampling, range-partitioned
+      id generation, rounded/quantized aggregate surfaces).
+
+    ``spark_graft.scan.rowsPerSlice`` (session conf) overrides the
+    slice floor; ``0`` disables the spread.
+    """
+    try:
+        rows_per_slice = int(
+            spark.conf.get(
+                "spark_graft.scan.rowsPerSlice", str(SPREAD_ROWS_PER_SLICE)
+            )
+        )
+    except ValueError:
+        rows_per_slice = SPREAD_ROWS_PER_SLICE
+    if rows_per_slice <= 0:
+        return df
+    layout = parquet_layout(path)
+    if layout is None:
+        return df
+    rows, row_groups = layout
+    parallelism = spark.sparkContext.defaultParallelism
+    if row_groups >= parallelism:
+        return df
+    target = min(parallelism, rows // rows_per_slice)
+    if target <= row_groups:
+        return df
+    return df.repartition(target)
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """S4 — table scan over the driver's parquet layout.
 
     ``events`` gets its nanosecond epoch normalized to TimestampType
-    (see :func:`read_events`).
+    (see :func:`read_events`). Scans are spread to the session's
+    parallelism when the file's row-group layout under-parallelizes
+    them (:func:`spread_scan` — a no-op at production layouts).
+    ``spread=False`` opts a consumer out: measured A/B (round 18),
+    queries whose first real operation is already a key shuffle or a
+    reduce gain nothing from the spread and pay its exchange —
+    per-branch, since filter pushdown splits otherwise-shared scan
+    subtrees — so aggregate-first consumers should pass False.
     """
     if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return read_events(spark, sf_dir, spread=spread)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    return spread_scan(spark, df, path) if spread else df
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """events table with ``ts`` as a proper TimestampType column.
 
     The driver's generator has shipped ``ts`` in two encodings across
@@ -244,7 +347,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spark.read.parquet(path)
+    if spread:
+        df = spread_scan(spark, df, path)
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

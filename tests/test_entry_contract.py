@@ -51,7 +51,8 @@ def test_dead_session_cache_entries_evicted(spark):
     try:
         df = E.read_table(spark, sf, "region")
         assert dead_tbl not in E._TABLE_CACHE
-        assert (live, sf, "region") in E._TABLE_CACHE
+        # cache key carries the spread flag (round 18 scan spread)
+        assert (live, sf, "region", True) in E._TABLE_CACHE
         assert df.count() == 5
         # second access returns the SAME cached lazy plan
         assert E.read_table(spark, sf, "region") is df

@@ -158,6 +158,40 @@ def test_read_table_all_tables(spark, sf_dir):
         assert read_table(spark, sf_dir, t).count() > 0
 
 
+def test_scan_spread_parallelizes_row_group_starved_files(spark, sf_dir):
+    """Round 18: a one-row-group parquet scan spreads to the session
+    parallelism; tiny tables and disabled-conf reads stay unspread;
+    rows are identical either way."""
+    from sales_analytics_etl_sql_powerbi_spark.sources.readers import (
+        parquet_layout,
+        spread_scan,
+    )
+
+    p = spark.sparkContext.defaultParallelism
+    rows, groups = parquet_layout(os.path.join(sf_dir, "documents.parquet"))
+    assert groups == 1 and rows >= 64 * p  # precondition of the fixture data
+    docs = read_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == p
+    # sub-threshold table: no spread (no pointless exchange)
+    assert read_table(spark, sf_dir, "nation").rdd.getNumPartitions() == 1
+    # per-call opt-out
+    raw = read_table(spark, sf_dir, "documents", spread=False)
+    assert raw.rdd.getNumPartitions() == 1
+    # conf kill-switch (plan tests that pin the at-scale shape use it)
+    spark.conf.set("spark_graft.scan.rowsPerSlice", "0")
+    try:
+        off = read_table(spark, sf_dir, "documents")
+        assert off.rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.unset("spark_graft.scan.rowsPerSlice")
+    # value identity across the spread
+    a = sorted(map(tuple, docs.select("doc_id").collect()))
+    b = sorted(map(tuple, raw.select("doc_id").collect()))
+    assert a == b
+    # non-parquet/unreadable layout: spread_scan degrades to identity
+    assert spread_scan(spark, raw, "/nonexistent.parquet") is raw
+
+
 def test_excel_ingest_live(spark, tmp_path):
     """S2 — driver-side Excel ingest runs in-container: a real .xlsx
     round-trip through the stdlib zip+XML reader, every value a raw
