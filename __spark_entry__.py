@@ -823,7 +823,9 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     cumsum, so the hash gates the distributed scan's exactness."""
     from sales_analytics_etl_sql_powerbi_spark.operators import packing
 
-    docs = _docs(spark, sf)
+    # unspread (round-18 A/B: 1.94s → 1.09s off) — chunk/pack/assemble
+    # all explode-then-shuffle; three branches each paid the spread
+    docs = _docs(spark, sf, spread=False)
     null_l = F.lit(None).cast("long")
     chunks = text.chunk_documents(docs, chunk_size=32, overlap=8).select(
         F.lit("chunk").alias("kind"),
@@ -885,9 +887,20 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     differ in the last ulp across libm builds, and the driver hash
     compares full-precision float repr — the integer quantum absorbs
     ulp drift while still pinning 6 decimals of the value."""
+    from pyspark.storagelevel import StorageLevel
+
+    # Round 18 restructure (same rows, proven vs the oracle at
+    # sf0.001 + sf0.01): the corpus is tokenized ONCE into a shared
+    # persisted (doc_id, token) frame instead of once per branch —
+    # vocab/tfidf/bm25/lm all consume it, and the scan spread makes
+    # that single tokenize parallel. At 100 TB this is five corpus
+    # passes collapsed into one.
     docs = _docs(spark, sf)
+    toks_all = text.exploded_tokens(docs, drop_empty=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     null_l = F.lit(None).cast("long")
-    vocab = text.vocab_topk(docs).select(
+    vocab = text.vocab_topk(docs, toks=toks_all).select(
         F.lit("vocab").alias("kind"),
         "token",
         null_l.alias("doc_id"),
@@ -899,7 +912,7 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         null_l.alias("score_e6"),
     )
     tfidf = (
-        text.tfidf_terms(docs)
+        text.tfidf_terms(docs, toks=toks_all)
         .where(F.col("doc_id") % 13 == 0)
         .select(
             F.lit("tfidf").alias("kind"),
@@ -913,7 +926,9 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("tfidf") * 1e6).cast("long").alias("score_e6"),
         )
     )
-    bm25 = text.bm25_search(docs, list(_BM25_QUERY), topk=10).select(
+    bm25 = text.bm25_search(
+        docs, list(_BM25_QUERY), topk=10, toks=toks_all
+    ).select(
         F.lit("bm25").alias("kind"),
         F.lit(None).cast("string").alias("token"),
         "doc_id",
@@ -927,7 +942,7 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     # kind='lm' (round 7): per-doc average token log-likelihood under
     # the corpus unigram LM — the perplexity-style quality signal,
     # every doc scored, same integer-quantum treatment of ln()
-    lm = text.unigram_logprob(docs).select(
+    lm = text.unigram_logprob(docs, toks=toks_all).select(
         F.lit("lm").alias("kind"),
         F.lit(None).cast("string").alias("token"),
         "doc_id",
@@ -958,25 +973,31 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     if mkey not in _PLAN_CACHE:
         _PLAN_CACHE[mkey] = _bpe.bpe_train(docs, n_merges=_BPE_MERGES)
     merges = _PLAN_CACHE[mkey]
-    enc = (
-        _bpe.bpe_encode(docs, merges)
-        .groupBy("token", F.concat_ws(" ", "subwords").alias("detail"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.first("n_subwords").cast("long").alias("tf"),
-        )
+    # Round 18: both bpe branches aggregate at (token, detail)
+    # granularity and subwords/ids are pure functions of the token, so
+    # the corpus-sized encode join is unnecessary — per-token corpus
+    # counts are ONE aggregate over the shared token frame, joined to
+    # the vocab-sized encoded table (guide §8: decide on the small
+    # table). Row-identical to bpe_encode(...).groupBy by
+    # construction; proven against the unchanged oracle.
+    toks_ne = toks_all.where(F.length("token") > 0)
+    tok_counts = toks_ne.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    venc = _bpe.bpe_encode_vocab(toks_ne, merges).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    bpe_part = enc.select(
+    bpe_part = venc.join(tok_counts, "token").select(
         F.lit("bpe").alias("kind"),
         "token",
         null_l.alias("doc_id"),
-        "tf",
+        F.size("subwords").cast("long").alias("tf"),
         null_l.alias("df"),
         "n_occurrences",
         null_l.alias("n_docs"),
         null_l.alias("n_matched"),
         null_l.alias("score_e6"),
-        F.col("detail"),
+        F.concat_ws(" ", "subwords").alias("detail"),
     )
     # kind='bpe_ids' (round 9 — VERDICT r7 item 2): subword-id
     # assignment under a FIXED alphabet; the oracle re-derives the id
@@ -984,18 +1005,18 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     # retrained merges, so the convention (sorted base first, merge
     # products in learned order, unknown base symbols → −1) is pinned
     # cross-engine; tf carries n_oov
-    ids_enc = (
-        _bpe.bpe_encode_ids(docs, merges, alphabet=list(_BPE_ID_ALPHABET))
-        .groupBy(
-            "token",
-            F.concat_ws(
-                " ", F.transform("subword_ids", lambda i: i.cast("string"))
-            ).alias("detail"),
-            "n_oov",
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    # same vocab-granularity route: the id stamp is the SAME literal
+    # expression bpe_encode_ids uses (subword_ids_expr), applied to the
+    # shared encoded vocab instead of a second corpus-sized encode
+    ids = _bpe.subword_ids_expr(
+        _bpe.bpe_vocab_ids(merges, alphabet=list(_BPE_ID_ALPHABET))
     )
-    bpe_ids_part = ids_enc.select(
+    vids = venc.select(
+        "token",
+        ids.alias("subword_ids"),
+        F.size(F.filter(ids, lambda i: i == -1)).cast("int").alias("n_oov"),
+    )
+    bpe_ids_part = vids.join(tok_counts, "token").select(
         F.lit("bpe_ids").alias("kind"),
         "token",
         null_l.alias("doc_id"),
@@ -1005,7 +1026,9 @@ def q_text_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         null_l.alias("n_docs"),
         null_l.alias("n_matched"),
         null_l.alias("score_e6"),
-        F.col("detail"),
+        F.concat_ws(
+            " ", F.transform("subword_ids", lambda i: i.cast("string"))
+        ).alias("detail"),
     )
     with_detail = [
         df.withColumn("detail", F.lit(None).cast("string"))
@@ -1038,7 +1061,9 @@ def q_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     per-lang counts, composed end to end (quality_filter and
     decontaminate are exercised inside this chain; the 'benchmark' is a
     deterministic 1/97 slice of the corpus, mirrored in the oracle)."""
-    docs = _docs(spark, sf)
+    # unspread (round-18 A/B: 2.38s → 1.59s off) — dedup/decontaminate
+    # shuffle by hash immediately; the gate's expressions are cheap
+    docs = _docs(spark, sf, spread=False)
     benchmark = docs.where(F.col("doc_id") % 97 == 0)
     return text.corpus_clean(docs, benchmark=benchmark)
 
@@ -1070,7 +1095,10 @@ def q_corpus_sampling(spark: SparkSession, sf: str) -> DataFrame:
     md5, no rand()."""
     from sales_analytics_etl_sql_powerbi_spark.operators import sampling
 
-    d = _docs(spark, sf).withColumn(
+    # unspread (round-18 A/B: 1.66s → 0.89s off) — six sampler flags
+    # each fan out into their own window/shuffle over md5 keys; the
+    # scan-side expressions are trivial
+    d = _docs(spark, sf, spread=False).withColumn(
         "__w", F.expr(_WEIGHT_EXPR).cast("double")
     )
     return sampling.sampling_profile(

@@ -43,11 +43,13 @@ __all__ = [
     "bpe_train",
     "bpe_train_local",
     "bpe_encode",
+    "bpe_encode_vocab",
     "bpe_train_py",
     "bpe_train_py_fast",
     "bpe_apply_py",
     "bpe_vocab_ids",
     "bpe_encode_ids",
+    "subword_ids_expr",
 ]
 
 #: end-of-word marker (Sennrich's </w>) — lets merges distinguish
@@ -226,6 +228,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     checkpoint_every: int = 8,
     impl: str = "auto",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus with a learned merge list: (doc_id, token,
     subwords array<string>, n_subwords) — one row per corpus token
@@ -245,12 +248,52 @@ def bpe_encode(
     merges, arrow beyond — safe because the merge list is validated
     well-formed first (:func:`_validate_merges`), the precondition
     under which the two paths are hypothesis-pinned identical.
+
+    ``toks``: optionally a precomputed ``exploded_tokens(docs,
+    drop_empty=False)`` frame (typically persisted by a composition
+    that tokenizes once for several consumers — round 18); the
+    empty-token contract is applied here either way.
+    """
+    toks = (
+        exploded_tokens(docs)
+        if toks is None
+        else toks.where(F.length("token") > 0)
+    )
+    vocab = bpe_encode_vocab(
+        toks, merges, checkpoint_every=checkpoint_every, impl=impl
+    )
+    return toks.join(vocab, "token").select(
+        "doc_id",
+        "token",
+        "subwords",
+        F.size("subwords").cast("int").alias("n_subwords"),
+    )
+
+
+def bpe_encode_vocab(
+    tokens: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 8,
+    impl: str = "auto",
+) -> DataFrame:
+    """(token, subwords) over the DISTINCT tokens of ``tokens`` — the
+    vocab-sized half of :func:`bpe_encode`, exposed on its own
+    (optimization round 18) so a composition that only needs
+    vocab-granularity output can skip the corpus-sized stamp join
+    entirely: per-token corpus counts are one aggregate over the
+    already-exploded token frame, and subwords are a pure function of
+    the token, so (counts ⋈ this) equals ``bpe_encode(...).groupBy``
+    row for row at a fraction of the shuffled bytes (guide §8 —
+    decide on the small table, don't drag the corpus through it).
+
+    ``tokens`` is any frame with a ``token`` column; both physical
+    paths (expr chain / Arrow rank-map) are unchanged from
+    :func:`bpe_encode`, whose docstring explains the crossover.
     """
     _validate_merges(merges)
     if impl == "auto":
         impl = "expr" if len(merges) <= _EXPR_MERGE_BOUND else "arrow"
-    toks = exploded_tokens(docs)
-    vocab = toks.select("token").distinct()
+    vocab = tokens.select("token").distinct()
     if impl == "expr":
         vocab = vocab.withColumn("subwords", _chars_with_eow(F.col("token")))
         for i, (a, b) in enumerate(merges):
@@ -265,13 +308,13 @@ def bpe_encode(
         merges_local = list(merges)
         ranks = {p: i for i, p in enumerate(merges_local)}
 
-        def _apply(tokens):
+        def _apply(tokens_ser):
             return pd.Series(
                 [
                     None
                     if t is None
                     else _bpe_apply_ranked(t, merges_local, ranks)
-                    for t in tokens
+                    for t in tokens_ser
                 ]
             )
 
@@ -279,12 +322,7 @@ def bpe_encode(
         vocab = vocab.withColumn("subwords", apply_udf(F.col("token")))
     else:
         raise ValueError(f"unknown impl {impl!r} (auto | expr | arrow)")
-    return toks.join(vocab, "token").select(
-        "doc_id",
-        "token",
-        "subwords",
-        F.size("subwords").cast("int").alias("n_subwords"),
-    )
+    return vocab
 
 
 def bpe_train_py(
@@ -480,6 +518,22 @@ def bpe_vocab_ids(
     return table
 
 
+def subword_ids_expr(vocab_ids: dict[str, int]) -> F.Column:
+    """The literal-path id lookup of :func:`bpe_encode_ids` as a
+    reusable expression over a ``subwords`` column: every symbol maps
+    through a ``create_map`` literal, unknowns to −1. Factored out
+    (round 18) so a vocab-granularity composition can stamp ids
+    without re-running the corpus-sized encode — the expression is
+    THE one :func:`bpe_encode_ids` uses, so the two cannot drift."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in vocab_ids.items() for x in kv]
+    )
+    return F.transform(
+        "subwords",
+        lambda s: F.coalesce(mapping[s], F.lit(-1)).cast("int"),
+    )
+
+
 def bpe_encode_ids(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -515,13 +569,7 @@ def bpe_encode_ids(
     vocab_ids = bpe_vocab_ids(merges, alphabet=alphabet)
     enc = bpe_encode(docs, merges, checkpoint_every=checkpoint_every, impl=impl)
     if len(vocab_ids) <= max_map_literal:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in vocab_ids.items() for x in kv]
-        )
-        ids = F.transform(
-            "subwords",
-            lambda s: F.coalesce(mapping[s], F.lit(-1)).cast("int"),
-        )
+        ids = subword_ids_expr(vocab_ids)
         return enc.select(
             "doc_id",
             "token",

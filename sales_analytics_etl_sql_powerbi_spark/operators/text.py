@@ -789,14 +789,22 @@ ORDER BY doc_id, chunk_id
 """
 
 
-def vocab_topk(docs: DataFrame, topk: int = 100) -> DataFrame:
+def vocab_topk(
+    docs: DataFrame, topk: int = 100, toks: DataFrame | None = None
+) -> DataFrame:
     """Corpus vocabulary: top-k tokens by frequency with doc frequency.
 
     One explode + one groupBy(token) — counts partial-aggregate
     map-side; the distinct-doc count rides the same shuffle. The final
     top-k is a TakeOrderedAndProject over unique-token-sized data.
+
+    ``toks``: optionally a precomputed ``exploded_tokens(docs,
+    drop_empty=False)`` frame (typically persisted — round 18: a
+    composition running several retrieval operators tokenizes the
+    corpus ONCE instead of once per operator).
     """
-    toks = exploded_tokens(docs, drop_empty=False)
+    if toks is None:
+        toks = exploded_tokens(docs, drop_empty=False)
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
@@ -969,28 +977,42 @@ def corpus_quality_report(
 # ---------------------------------------------------------------------------
 
 
-def tfidf_terms(docs: DataFrame, min_df: int = 1) -> DataFrame:
+def tfidf_terms(
+    docs: DataFrame, min_df: int = 1, toks: DataFrame | None = None
+) -> DataFrame:
     """Per-(doc, token) TF-IDF weights over the corpus.
 
     Scale shape: one explode → one (doc, token) aggregate (map-side
-    combinable), MATERIALIZED ONCE (``localCheckpoint`` — both the df
-    derivation and the tf⋈df join consume it; left lazy, Spark would
-    re-run the corpus tokenize+aggregate per consumer, the same
-    multi-consumer trap scd2_apply documents) → one token aggregate
-    for document frequency — the df table is vocabulary-sized, so the
-    tf⋈df join is a key equi-join on a bounded side; the corpus row
-    count rides a one-row, one-column-pruned aggregate cross-joined in
-    (no driver round trip, no window). Smoothed
-    ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's convention) keeps
-    unseen/ubiquitous tokens finite.
+    combinable), CACHED (lazy ``persist`` — both the df derivation and
+    the tf⋈df join consume it; left uncached, Spark would re-run the
+    corpus tokenize+aggregate per consumer, the same multi-consumer
+    trap scd2_apply documents; round 18 switched the eager
+    ``localCheckpoint`` to a lazy persist so construction queues no
+    jobs and the whole query pipelines in one action) → one token
+    aggregate for document frequency — the df table is
+    vocabulary-sized, so the tf⋈df join is a key equi-join on a
+    bounded side; the corpus row count rides a one-row,
+    one-column-pruned aggregate cross-joined in (no driver round trip,
+    no window). Smoothed ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's
+    convention) keeps unseen/ubiquitous tokens finite.
+
+    ``toks``: optionally a precomputed ``exploded_tokens(docs,
+    drop_empty=False)`` frame (typically persisted) — the
+    empty-token filter is applied here either way.
 
     Output: (doc_id, token, tf, df, tfidf).
     """
-    toks = exploded_tokens(docs)
+    from pyspark.storagelevel import StorageLevel
+
+    toks = (
+        exploded_tokens(docs)
+        if toks is None
+        else toks.where(F.length("token") > 0)
+    )
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     if min_df > 1:
@@ -1047,6 +1069,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: top-k docs for a bag-of-tokens query.
 
@@ -1059,19 +1082,30 @@ def bm25_search(
     the same map-side-combined pass (the query list is bounded, so the
     per-query-token counts are a fixed handful of agg columns, unpivoted
     afterwards with ``stack`` over the already doc-sized frame). The
-    doc-sized result is materialized once (``localCheckpoint``) and
-    feeds stats/tf/df/score without re-scanning the corpus; df/N/avgdl
-    ride broadcast one-row / query-bounded sides, and the final ranking
-    is a TakeOrderedAndProject over matching docs only. No window over
-    the corpus, no driver collect.
+    doc-sized result is cached once (lazy ``persist`` — round 18: the
+    former eager ``localCheckpoint`` queued jobs at construction; the
+    cache still feeds stats/tf/df/score without re-scanning the
+    corpus); df/N/avgdl ride broadcast one-row / query-bounded sides,
+    and the final ranking is a TakeOrderedAndProject over matching
+    docs only. No window over the corpus, no driver collect.
+
+    ``toks``: optionally a precomputed ``exploded_tokens(docs,
+    drop_empty=False)`` frame (typically persisted) — the empty-token
+    filter is applied here either way.
 
     Output: (doc_id, score, n_matched_terms), score descending,
     doc_id ascending tiebreak.
     """
+    from pyspark.storagelevel import StorageLevel
+
     if not query_tokens:
         raise ValueError("bm25_search needs at least one query token")
     qtokens = list(dict.fromkeys(query_tokens))  # dedupe, keep order
-    toks = exploded_tokens(docs)
+    toks = (
+        exploded_tokens(docs)
+        if toks is None
+        else toks.where(F.length("token") > 0)
+    )
     per_doc = (
         toks.groupBy("doc_id")
         .agg(
@@ -1081,7 +1115,7 @@ def bm25_search(
                 for i, t in enumerate(qtokens)
             ],
         )
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = per_doc.agg(
         F.avg("__dl").alias("__avgdl"),
@@ -1189,7 +1223,9 @@ LIMIT {topk}
 
 
 def unigram_logprob(
-    docs: DataFrame, lm: DataFrame | None = None
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document average token log-likelihood under a unigram LM —
     the cheap end of perplexity filtering (Wenzek et al. 2020's
@@ -1210,10 +1246,18 @@ def unigram_logprob(
     (doc) aggregate — all map-side combinable; N and V ride a
     broadcast one-row aggregate. No window, no driver collect.
 
+    ``toks``: optionally a precomputed ``exploded_tokens(docs,
+    drop_empty=False)`` frame (typically persisted) — the empty-token
+    filter is applied here either way.
+
     Output: (doc_id, n_tokens, avg_logprob), ``avg_logprob`` NULL for
     token-less docs. More-negative = more surprising under the LM.
     """
-    toks = exploded_tokens(docs)
+    toks = (
+        exploded_tokens(docs)
+        if toks is None
+        else toks.where(F.length("token") > 0)
+    )
     if lm is None:
         model = toks.groupBy("token").agg(
             F.count(F.lit(1)).cast("long").alias("__c")
