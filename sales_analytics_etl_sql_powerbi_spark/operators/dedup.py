@@ -947,6 +947,12 @@ def neardup_clusters(
     pathological chain. DuckDB twin: recursive-CTE transitive closure +
     min per node (exact same fixpoint).
 
+    The loop runs over the PAIR-GRAPH nodes only (round 18): documents
+    that appear in no pair can never change label, so each round costs
+    duplicate-set size, not corpus size — at 100 TB the label joins
+    touch only the (typically small) duplicated fraction; singletons
+    rejoin as their own clusters in one final corpus-id left join.
+
     Observability: each round's (round, changed, seconds) is logged at
     INFO and appended to ``round_stats`` when a list is passed — an
     iterative algorithm's wall time is round_count × per-round cost,
@@ -999,7 +1005,15 @@ def neardup_clusters(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = docs.select(
+    # Round 18: propagate labels over the PAIR-GRAPH nodes only, never
+    # the whole corpus — docs outside every pair can never change
+    # label, so each round's join + aggregate runs at duplicate-set
+    # size (a tiny fraction of a 100-TB corpus); the untouched docs
+    # rejoin as their own singleton clusters once, at the end. Same
+    # fixpoint by construction: min-label propagation never reaches a
+    # node with no edges.
+    graph_nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = graph_nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -1049,12 +1063,18 @@ def neardup_clusters(
             f"neardup_clusters did not converge in {max_iters} rounds; "
             "the pair graph has a chain longer than max_iters — raise it"
         )
+    # singleton docs (no pairs) are their own clusters — one left join
+    # of the corpus ids against the converged pair-graph labels
+    full = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
     # hand the caller a self-contained materialization and release every
     # intermediate cache: the edge table and the final labels cache
     # (populated by the last changed-count job) would otherwise outlive
     # this call
+    out = full.localCheckpoint(eager=True)
     sym.unpersist()
-    out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out.orderBy("doc_id")
 

@@ -157,18 +157,22 @@ def scd2_apply(
     (``valid_to < valid_from``) and raises ``ValueError`` naming
     sample keys — a contract violation surfaces as an error, never as
     silently corrupt history. Cost: one extra change-batch-sized job
-    per apply (the change side is already materialized by the
-    checkpoint below, so the check re-runs only the key-equi close-out
-    join); the deliberately-lazy alternative (a ``raise_error`` column)
-    would be PRUNED away by any downstream plan that doesn't read
-    ``valid_to``, which is exactly when corruption slips through.
+    per apply (the strict check's collect fills the change-side cache,
+    so the close-out join re-reads it rather than re-running the
+    detection join); the deliberately-lazy alternative (a
+    ``raise_error`` column) would be PRUNED away by any downstream
+    plan that doesn't read ``valid_to``, which is exactly when
+    corruption slips through.
 
-    Scale shape: one change-detection key-equi-join, materialized once
-    (``localCheckpoint`` — three output branches consume it, recompute
-    would triple the join), then a close-out join + unions — all
-    key-partitioned shuffles, no window over the full dim. Rerunning
-    the same batch is a NO-OP (idempotent): the new current row equals
-    the change, so change detection finds nothing.
+    Scale shape: one change-detection key-equi-join, cached once
+    (lazy ``persist`` — three output branches consume it, recompute
+    would triple the join; round 18 switched the eager
+    ``localCheckpoint`` to a lazy persist so construction queues no
+    jobs and chained applies pipeline in one action — measured 4.4s →
+    3.6s on the sf0.1 two-batch entry), then a close-out join +
+    unions — all key-partitioned shuffles, no window over the full
+    dim. Rerunning the same batch is a NO-OP (idempotent): the new
+    current row equals the change, so change detection finds nothing.
     """
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
@@ -186,10 +190,12 @@ def scd2_apply(
     differs = F.lit(False)
     for t in tracked:
         differs = differs | ~F.col(f"c.{t}").eqNullSafe(F.col(f"d.{t}"))
+    from pyspark.storagelevel import StorageLevel
+
     real = (
         joined.where(F.col("d.__present").isNull() | differs)
         .select("c.*")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     new_rows = real.select(
         key,
@@ -671,7 +677,10 @@ def cdc_apply(
     )
     # materialized once (micro-batch-sized): both the touched-keys
     # anti-join side and the upsert rows consume it — left lazy, the
-    # dedup window would run twice
+    # dedup window would run twice. Kept an EAGER checkpoint (round 18
+    # measured the lazy-persist variant: the construction job it saves
+    # is micro-batch-sized noise, and the checkpoint's lineage cut is
+    # what keeps the downstream plan window-free).
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
