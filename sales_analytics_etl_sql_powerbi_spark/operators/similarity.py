@@ -1837,7 +1837,17 @@ def int8_cosine_topk(
     """
     q = quantize_int8(emb)
     qn = F.sqrt(_dot_codes("codes", "codes").cast("double"))
-    base = q.select("vec_id", "codes", qn.alias("__n")).where(F.col("__n") > 0)
+    # The zero/poison exclusion is phrased over the INPUT column, not
+    # the derived norm (round 18): a filter on ``__n`` is pushed below
+    # any upstream exchange with the whole interpreted quantize +
+    # zip_with chain duplicated into it — the §4.4 pushdown-duplication
+    # trap in pure-JVM form, which also serializes the filter onto the
+    # pre-exchange task. Equivalent by construction: ``__n > 0`` ⟺
+    # the vector is finite (codes non-NULL) AND absmax > 0 (its
+    # largest element quantizes to ±127 ≠ 0).
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    keep = _vector_ok(xd) & (F.array_max(F.transform(xd, F.abs)) > 0)
+    base = q.where(keep).select("vec_id", "codes", qn.alias("__n"))
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("codes").alias("__qc"),
