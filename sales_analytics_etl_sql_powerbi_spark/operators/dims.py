@@ -364,7 +364,18 @@ def entity_match_pairs(
         # Catalyst has no Sample-through-Project pushdown, so sampling
         # the projected frame ran the regex over EVERY row)
         return (
-            rows.select(
+            rows
+            # the empties-excluded contract, phrased over the RAW name
+            # (round 18): length(__norm) > 0 ⟺ the name has at least
+            # one alphanumeric character. A filter on the derived
+            # __norm column is pushed below any upstream exchange with
+            # the whole normalization regex chain duplicated into it
+            # (the guide-§4.4 pushdown-duplication trap, pure-JVM
+            # form); the raw-column predicate is one cheap rlike that
+            # pushes down harmlessly. NULL names fail rlike, exactly
+            # as NULL __norm failed the length test.
+            .where(F.lower(F.col(name_col)).rlike("[a-z0-9]"))
+            .select(
                 F.col(key).alias("__k"),
                 F.col(name_col).alias("__name"),
                 norm.alias("__norm"),
@@ -375,7 +386,6 @@ def entity_match_pairs(
                     for c in block_cols
                 ],
             )
-            .where(F.length("__norm") > 0)
             .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
         )
 
