@@ -1446,7 +1446,14 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     entropy decode, and frame_hex serializes every DEQUANTIZED
     coefficient (the oracle recomputes all values analytically from
     the formulas, never touching container or entropy bytes)."""
-    docs = _docs(spark, sf)
+    # unspread (round 18): an isolated A/B slightly favored the spread
+    # (1.9 vs 2.4s), but in full-bench context the spread arm read
+    # 2.7/3.8/4.4s across three runs with pathological worst passes
+    # (39s) vs the unspread baseline's stable 2.25s — three
+    # mapInPandas legs × 32 spread partitions churn the Python worker
+    # pool in a session that already ran every other Python-eval
+    # query; the unspread scan keeps one worker set per leg
+    docs = _docs(spark, sf, spread=False)
     base = multimodal.sample_frames(
         multimodal.attach_binary_payload(docs)
     ).select(
@@ -1496,7 +1503,9 @@ def q_multimodal_interframe(spark: SparkSession, sf: str) -> DataFrame:
     recomputes the reconstruction analytically (last-writer closed
     form over the delta schedule), so a hash match proves the
     temporal-prediction chain was applied in order on the Spark side."""
-    docs = _docs(spark, sf)
+    # unspread — same mapInPandas decode family (and measured rationale)
+    # as multimodal_features/multimodal_frames
+    docs = _docs(spark, sf, spread=False)
     return multimodal.extract_flic_frames(
         multimodal.attach_flic_payload(docs)
     ).select(
