@@ -1012,12 +1012,42 @@ def neardup_clusters(
     # rejoin as their own singleton clusters once, at the end. Same
     # fixpoint by construction: min-label propagation never reaches a
     # node with no edges.
-    graph_nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = graph_nodes.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    #
+    # ROUND 0 IS FOLDED into one aggregate: with identity starting
+    # labels, the first round's update for node n is exactly
+    # least(n, min{m : m—n}) — sym is symmetric, so every pair node
+    # appears as dst and one groupBy(dst) yields both the node set
+    # and the round-0 labels, replacing a distinct + join + left-join
+    # pass. 'changed' rides the same Observation shape as loop rounds.
+    _t0 = _time.perf_counter()
+    obs0 = Observation()
+    labels = (
+        sym.groupBy("dst")
+        .agg(F.min("src").alias("__nbr"))
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.least(F.col("dst"), F.col("__nbr")).alias("cluster_id"),
+        )
+        .observe(
+            obs0,
+            F.coalesce(
+                F.sum((F.col("cluster_id") != F.col("doc_id")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()  # materializes round 0 AND fills the metric
+    changed = obs0.get["changed"]
+    _secs = _time.perf_counter() - _t0
+    log.info("neardup_clusters round=0 changed=%d secs=%.2f", changed, _secs)
+    if round_stats is not None:
+        round_stats.append((0, changed, _secs))
 
-    for _round in range(max_iters):
+    converged = changed == 0  # round 0 found no edges at all
+    for _round in range(1, max_iters):
+        if converged:
+            break
         _t0 = _time.perf_counter()
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -1054,9 +1084,8 @@ def neardup_clusters(
             round_stats.append((_round, changed, _secs))
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
-    else:
+        converged = changed == 0
+    if not converged:
         # silent non-convergence would return WRONG clusters (and
         # diverge from the recursive-CTE oracle) — fail loudly instead
         raise RuntimeError(
