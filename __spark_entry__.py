@@ -1490,25 +1490,23 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         "frame_checksum",
         "frame_hex",
     )
-    return base.unionByName(y4m).unionByName(mjpeg)
-
-
-def q_multimodal_interframe(spark: SparkSession, sf: str) -> DataFrame:
-    """INTER-FRAME video decode (round 18 — VERDICT r17 item 6):
-    every doc carries a valid FLC (public Autodesk Animator format)
-    whose frame 0 is BRUN intra RLE and whose later frames are
-    FLI_SS2 deltas — line skips + word packets PATCHING the previous
-    frame. One row per RECONSTRUCTED frame with frame_hex putting
-    every reconstructed pixel under the driver hash; the oracle
-    recomputes the reconstruction analytically (last-writer closed
-    form over the delta schedule), so a hash match proves the
-    temporal-prediction chain was applied in order on the Spark side."""
-    # unspread — same mapInPandas decode family (and measured rationale)
-    # as multimodal_features/multimodal_frames
-    docs = _docs(spark, sf, spread=False)
-    return multimodal.extract_flic_frames(
+    # kind='flic' (round 19 — VERDICT r18 item 1): the INTER-FRAME
+    # video leg (round 18 — VERDICT r17 item 6), folded in here from
+    # the former standalone multimodal_interframe entry so the
+    # declared set stays at the driver's 50-query correctness window
+    # (the 51st-registered query was silently never checked). Every
+    # doc carries a valid FLC (public Autodesk Animator format) whose
+    # frame 0 is BRUN intra RLE and whose later frames are FLI_SS2
+    # deltas — line skips + word packets PATCHING the previous frame.
+    # One row per RECONSTRUCTED frame with frame_hex putting every
+    # reconstructed pixel under the driver hash; the oracle recomputes
+    # the reconstruction analytically (last-writer closed form over
+    # the delta schedule), so a hash match proves the temporal-
+    # prediction chain was applied in order on the Spark side.
+    flic = multimodal.extract_flic_frames(
         multimodal.attach_flic_payload(docs)
     ).select(
+        F.lit("flic").alias("kind"),
         "doc_id",
         "frame_id",
         "width",
@@ -1517,6 +1515,7 @@ def q_multimodal_interframe(spark: SparkSession, sf: str) -> DataFrame:
         "frame_checksum",
         "frame_hex",
     )
+    return base.unionByName(y4m).unionByName(mjpeg).unionByName(flic)
 
 
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
@@ -1726,7 +1725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # events_state (freeing the graph_pagerank slot), vocab_topk + TF-IDF
 # + BM25 + unigram-LM into text_retrieval, batch CDC apply chained
 # into merge_product_master, entity_clusters into entity_match, the
-# mergeable-histogram quantile path into doc_length_quantiles;
+# mergeable-histogram quantile path into doc_length_quantiles; round
+# 19: the FLIC inter-frame video leg into multimodal_frames as
+# kind='flic' (VERDICT r18 item 1 — the interrupted round-18 build
+# had appended it as a 51st entry, pushing the LAST-registered query
+# out of the driver's exactly-50 correctness window);
 # operators exercised transitively by a checked composite — minhash
 # signatures under neardup_pairs, quality_filter under corpus_clean,
 # coalesce-enrich under merge_product_master — have no redundant
@@ -1745,7 +1748,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_asof": q_events_asof,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_interframe": q_multimodal_interframe,
         "events_windows": q_events_windows,
         "events_interval_join": q_events_interval_join,
         "events_cohort_funnel": q_events_cohort_funnel,
@@ -2509,8 +2511,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mjpeg', doc_id, frame_id, width, height,
                    n_frame_bytes, frame_checksum, frame_hex
             FROM ({multimodal.MJPEG_FRAMES_SQL}) m
+            UNION ALL
+            SELECT 'flic', doc_id, frame_id, width, height,
+                   n_frame_bytes, frame_checksum, frame_hex
+            FROM ({multimodal.FLIC_FRAMES_SQL}) fl
         """,
-        "multimodal_interframe": multimodal.FLIC_FRAMES_SQL,
         "events_asof": _asof_sql(),
         "events_windows": _events_windows_sql(),
         "events_interval_join": _INTERVAL_JOIN_SQL,
