@@ -443,12 +443,18 @@ def q_entity_match(spark: SparkSession, sf: str) -> DataFrame:
         "p_brand",
     )
     ents = a.unionByName(b)
+    # ordered=False (round 19): the driver hash is order-insensitive
+    # and the cluster collapse aggregates the pairs, so the operator's
+    # presentation sort bought nothing here — while its range exchange
+    # EVALUATED the whole blocked join + levenshtein twice (the
+    # RangePartitioner sampling pass; ~10 CPU-seconds at sf0.1).
     pairs = entity_match_pairs(
         ents,
         key="ek",
         name_col="ename",
         block_cols=["p_brand"],
         max_distance=2,
+        ordered=False,
     ).localCheckpoint(eager=True)
     clusters = entity_clusters(ents, key="ek", name_col="ename", pairs=pairs)
     null_s = F.lit(None).cast("string")

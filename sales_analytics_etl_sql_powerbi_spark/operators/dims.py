@@ -273,6 +273,7 @@ def entity_match_pairs(
     max_cell_size: int | str | None = "auto",
     max_salts: int = 256,
     audit: dict | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Record linkage: probable-duplicate entity pairs via blocked
     fuzzy matching.
@@ -349,6 +350,17 @@ def entity_match_pairs(
     3M). Still: it pays for itself ONCE (the decision it replaced
     cost 1.8×) — repeated matching against the same corpus should
     replay the resolved value.
+
+    ``ordered=False`` (round 19) skips the final global sort. The sort
+    is presentation only — no semantics ride on it — and it is NOT
+    free: a global ``orderBy`` plans a range exchange whose
+    RangePartitioner first runs a SAMPLING pass over its child, i.e.
+    the entire blocked join + levenshtein verification is EVALUATED
+    TWICE (measured at sf0.1: the sampling pass alone was ~10
+    CPU-seconds over 4M candidates, as much as the real pass).
+    Consumers that aggregate, cluster, or hash the pairs
+    order-insensitively should pass ``False``; the default keeps the
+    documented sorted contract.
     """
     block_cols = block_cols if block_cols is not None else ["state_code"]
     norm = F.trim(
@@ -387,6 +399,10 @@ def entity_match_pairs(
                 ],
             )
             .withColumn("__prefix", F.substring("__norm", 1, prefix_len))
+            # normalized length, computed ONCE per row: the verify
+            # stage's sound pre-gate compares these integers per
+            # candidate pair (round 19 — see the join below)
+            .withColumn("__ln", F.length("__norm"))
         )
 
     base = _blocked(dim)
@@ -533,6 +549,7 @@ def entity_match_pairs(
         F.col("__k").alias("key_a"),
         F.col("__name").alias("name_a"),
         F.col("__norm").alias("__na"),
+        F.col("__ln").alias("__la"),
         *block_cols,
         "__prefix",
         *a_extra,
@@ -541,6 +558,7 @@ def entity_match_pairs(
         F.col("__k").alias("key_b"),
         F.col("__name").alias("name_b"),
         F.col("__norm").alias("__nb"),
+        F.col("__ln").alias("__lb"),
         *block_cols,
         "__prefix",
         *b_extra,
@@ -598,9 +616,22 @@ def entity_match_pairs(
     # most pairs exceed max_distance, so the bound does the least work
     # exactly where there is the most of it. Kept pairs carry their
     # true distance (the bound only changes the reject path).
-    return (
+    #
+    # SOUND length pre-gate (round 19 — guide §1.2 per-task work):
+    # every edit changes the string length by at most one, so
+    # |len(a) − len(b)| > max_distance ⇒ distance > max_distance —
+    # such a pair can NEVER pass the verify. The gate is one integer
+    # compare on per-ROW precomputed lengths where the levenshtein is
+    # a per-PAIR banded DP plus two UTF8 code-point counts; measured
+    # at sf0.1 it drops 1.10M of 4.02M candidates (27%) before the
+    # DP runs. Output-identical by construction (no false negatives:
+    # kept pairs are exactly those the bare levenshtein filter kept).
+    out = (
         a.join(b, on=join_keys)
         .where(F.col("key_a") < F.col("key_b"))
+        .where(
+            F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_distance)
+        )
         .withColumn(
             "distance",
             F.levenshtein(
@@ -609,8 +640,8 @@ def entity_match_pairs(
         )
         .where(F.col("distance") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "distance")
-        .orderBy("key_a", "key_b")
     )
+    return out.orderBy("key_a", "key_b") if ordered else out
 
 
 def scd2_lookup(

@@ -169,6 +169,16 @@ def test_entity_match_pairs_blocked_fuzzy(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # ordered=False (round 19) returns the same ROWS minus the
+    # presentation sort (whose range exchange evaluates the verify
+    # twice); the length pre-gate inside must not drop true pairs —
+    # (1, 3) has |len diff| 1 and distance exactly max_distance
+    unordered = entity_match_pairs(dim, max_distance=2, ordered=False)
+    assert {
+        (r.key_a, r.key_b): r.distance for r in unordered.collect()
+    } == pairs
+    uplan = unordered._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in uplan.lower()
 
 
 def test_entity_match_prescan_audit_and_reuse(spark, sf_dir):

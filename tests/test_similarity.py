@@ -223,6 +223,45 @@ def test_ivf_index_query_matches_stateless(spark):
         idx.unpersist()
 
 
+def test_with_cells_arrow_matches_expression_form(spark):
+    """Round 19: the vectorized mapInArrow cell assigner must agree
+    row-for-row with the pure-expression ``with_cells`` — including
+    the NULL-degrade paths (NULL vector, NULL element, ragged width)
+    and exact-tie behavior (first minimum wins). The expression form
+    is the semantics oracle here; the arrow form is the plan shape
+    ``ivf_index`` ships by default."""
+    df, _ = emb_frame(spark, n=50)
+    cents = similarity.ivf_codebook(df, n_clusters=4)
+    q = similarity.quantized(df).select("vec_id", "__q", "__norm")
+    # poison/edge rows: NULL vector, NULL element, ragged (short and
+    # long) widths — every one must land cell=NULL on both paths; plus
+    # an exact-tie row (equidistant to >=2 centroids after the update
+    # — forced by duplicating a centroid's own coordinates as __q)
+    dim = len(cents[0])
+    edge = spark.createDataFrame(
+        [
+            (1000, None, None),
+            (1001, [None] + [0] * (dim - 1), None),
+            (1002, [0] * (dim - 1), 0.0),
+            (1003, [0] * (dim + 1), 0.0),
+            (1004, [int(v) for v in cents[0]], 1.0),
+        ],
+        "vec_id long, __q array<long>, __norm double",
+    )
+    allq = q.unionByName(edge)
+    got = {
+        r.vec_id: r.cell
+        for r in similarity.with_cells_arrow(allq, cents).collect()
+    }
+    want = {
+        r.vec_id: r.cell for r in similarity.with_cells(allq, cents).collect()
+    }
+    assert got == want
+    assert got[1000] is None and got[1001] is None
+    assert got[1002] is None and got[1003] is None
+    assert got[1004] is not None
+
+
 def _recall_vs_brute(spark, df, n_queries, topk, **ann_kwargs):
     brute = similarity.cosine_topk(df, n_queries=n_queries, topk=topk).collect()
     ann = similarity.ann_lsh_topk(
