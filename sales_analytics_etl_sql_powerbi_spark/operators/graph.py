@@ -65,20 +65,66 @@ def pagerank(
     from pyspark.storagelevel import StorageLevel
 
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    nodes = (
+    # ONE pinned partitioning for the whole loop (round 19 — guide
+    # §2.4 "two operations keyed the same way can share one exchange"):
+    # nodes, links, the per-iteration contribution aggregate, and every
+    # rank frame (checkpoints preserve their physical partitioning) all
+    # carry hash(join-key, p_n) with an EXPLICIT partition count — AQE
+    # coalescing is exempted on explicit repartitions, so the counts
+    # can never drift apart across iterations. Effect per iteration:
+    # the links⋈ranks join and the nodes⋈contribs join both see
+    # co-partitioned children and plan ZERO exchanges; the only
+    # data movement left is the groupBy(dst) shuffle (the algorithm's
+    # real movement) plus one node-sized repartition of the AGGREGATED
+    # contributions (pinning their count back to p_n). Before: every
+    # iteration re-shuffled the rank frame for the links join and
+    # re-aligned the aggregate for the nodes join — rank-sized
+    # exchanges at any scale, plus one AQE job per exchange locally.
+    spark = edges.sparkSession
+    nodes_raw = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = nodes.count()
+    n = nodes_raw.count()
     if n == 0:
-        empty = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
-        nodes.unpersist()  # the early return must not leak the cache entry
+        empty = nodes_raw.withColumn("rank", F.lit(0.0)).localCheckpoint(
+            eager=True
+        )
+        nodes_raw.unpersist()  # the early return must not leak the cache
         return empty
+    # loop partition count, derived from the graph's own size (guide
+    # §2 — scale-adaptive, not a constant): enough partitions that each
+    # holds ~rowsPerPartition nodes, capped at the session parallelism.
+    # At sf0.1 (1.2k nodes) that is ONE partition — every per-iteration
+    # exchange moves one buffer instead of launching 32 near-empty
+    # tasks; at a billion-node graph the cap makes it defaultParallelism
+    # exactly as before. Conf-overridable; 0 pins the old
+    # parallelism-sized behavior.
+    try:
+        rows_per = int(
+            spark.conf.get("spark_graft.graph.rowsPerPartition", "65536")
+        )
+    except ValueError:
+        rows_per = 65536
+    par = max(spark.sparkContext.defaultParallelism, 2)
+    p_n = par if rows_per <= 0 else max(1, min(par, n // rows_per + 1))
+    # the pinned node frame reads the already-cached distinct (one
+    # node-sized exchange, no recompute)
+    nodes = nodes_raw.repartition(p_n, "node").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    links = e.join(out_deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    links.count()
+    # lazy persist (round 19): the eager count() here bought nothing —
+    # the first consumer (the first checkpoint in fixed mode, the first
+    # delta collect in converging mode) fills the cache with the same
+    # single-computation guarantee, minus one construction-time job
+    links = (
+        e.join(out_deg, "src")
+        .repartition(p_n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     has_out = out_deg.select(F.col("src").alias("node"))
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
@@ -95,6 +141,12 @@ def pagerank(
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
+            # node-sized pin: the aggregate's own exchange lands on the
+            # AQE-coalesced count; this puts the (already reduced)
+            # per-destination masses back on the loop's partitioning so
+            # the nodes join and the next iteration's links join stay
+            # exchange-free
+            .repartition(p_n, "node")
         )
 
     def dangling_frame(r: DataFrame) -> DataFrame:
@@ -123,39 +175,72 @@ def pagerank(
         # the old dangling aggregate cost (one shuffle fewer per
         # round at any scale); the float drift vs the anti-join sum is
         # ~1e-15 absolute, five orders below the 1e-12 gate quantum.
-        # The contribs frame gains a second consumer (the one-row
-        # dangling aggregate), so IT carries the lazy persist the rank
-        # intermediates used to need.
-        pending: list[DataFrame] = []
-        for it in range(max_iter):
-            contribs = contribs_of(ranks).persist(StorageLevel.MEMORY_AND_DISK)
-            pending.append(contribs)
-            dm = contribs.agg(
-                (
-                    F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))
-                ).alias("__dm")
-            )
-            new_ranks = (
-                nodes.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dm))
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.col("__dm") / F.lit(float(n))
-                        )
-                    ).alias("rank"),
+        # The contribs frame has two consumers (the one-row dangling
+        # aggregate and the update join), so IT carries the lazy
+        # persist the rank intermediates used to need. Measured
+        # (round 19): WITHOUT the persist AQE's exchange reuse does
+        # NOT dedupe the two references, the contribs subtree embeds
+        # twice per iteration and the plan doubles per round —
+        # 149 jobs / 14.7s vs 58 / 4.4s at sf0.1. The persist is
+        # load-bearing, not belt-and-braces.
+        # AQE is scoped OFF for the loop's actions (round 19): with
+        # the partitioning pinned explicitly above, AQE has nothing
+        # left to re-plan here — no coalescible exchange, no join it
+        # may rewrite, no agg skew handling (it only splits joins) —
+        # while its per-query-stage materialization turns every
+        # checkpoint action into one JOB PER EXCHANGE: measured 58
+        # driver-scheduled jobs for 6 iterations at sf0.1, each paying
+        # a scheduling round-trip. Non-adaptive execution runs each
+        # checkpoint as ONE job (measured 58 → 27 jobs). With AQE's
+        # coalescing gone, shuffle.partitions is scoped to the SAME
+        # p_n the explicit repartitions use, so the groupBy exchange
+        # lands on the loop's partitioning directly (the post-agg
+        # repartition collapses into it) instead of spraying a
+        # node-sized reduce over 32 near-empty tasks. Both settings
+        # are restored in `finally`; the returned frame is a
+        # checkpointed RDD scan, so consumer actions re-plan nothing
+        # under the restored settings.
+        prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(p_n))
+        try:
+            pending: list[DataFrame] = []
+            for it in range(max_iter):
+                contribs = contribs_of(ranks).persist(
+                    StorageLevel.MEMORY_AND_DISK
                 )
-            )
-            if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
-                for p in pending:
-                    p.unpersist()
-                pending = []
-            ranks = new_ranks
+                pending.append(contribs)
+                dm = contribs.agg(
+                    (
+                        F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))
+                    ).alias("__dm")
+                )
+                new_ranks = (
+                    nodes.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dm))
+                    .select(
+                        "node",
+                        (
+                            F.lit(teleport)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("__in"), F.lit(0.0))
+                                + F.col("__dm") / F.lit(float(n))
+                            )
+                        ).alias("rank"),
+                    )
+                )
+                if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+                    new_ranks = new_ranks.localCheckpoint(eager=True)
+                    for p in pending:
+                        p.unpersist()
+                    pending = []
+                ranks = new_ranks
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        nodes_raw.unpersist()
         nodes.unpersist()
         links.unpersist()
         return ranks
@@ -199,6 +284,7 @@ def pagerank(
         ranks = new_ranks
         if delta < tol:
             break
+    nodes_raw.unpersist()
     nodes.unpersist()
     links.unpersist()
     return ranks

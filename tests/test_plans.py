@@ -239,11 +239,13 @@ def test_ann_ivf_topk_nested_loop_is_bounded_probe_routing_only(spark, plan_sf):
     assert len(bnlj) <= 1, plan
     for i in bnlj:
         sub = _subtree(lines, i)
-        # one side is the literal centroid table (compiles to either a
-        # LocalTableScan or a Scan ExistingRDD depending on the
-        # createDataFrame path)…
+        # one side is the literal centroid table: a Generate
+        # (posexplode of the literal centroid array over range(1) —
+        # the round-19 pure-JVM build), or a LocalTableScan / Scan
+        # ExistingRDD from the older createDataFrame path…
         assert any(
-            "LocalTableScan" in l or "Scan ExistingRDD" in l for l in sub
+            "Generate" in l or "LocalTableScan" in l or "Scan ExistingRDD" in l
+            for l in sub
         ), "\n".join(sub)
         # …and any file scan on the other side is the filtered query
         # slice (vec_id < n_queries), never the whole corpus

@@ -2,6 +2,16 @@
 
 Each example generates a BATCH of values and makes one Spark round-trip,
 keeping runtime sane while covering arbitrary unicode/malformed input.
+
+This file is the ``slow`` wave (round 19 — VERDICT r18 item 2): ~1000 s
+of the ~1790 s full suite, so it is excluded from the default run by
+pytest.ini's ``addopts = -m "not slow"`` to fit the CI/driver pytest
+budget. Run it explicitly with::
+
+    python -m pytest tests/ -m "slow or not slow"   # everything
+    python -m pytest tests/test_properties.py -m slow
+
+It still runs in full at every round close.
 """
 
 import hashlib
@@ -9,6 +19,7 @@ import math
 import re
 
 import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -23,6 +34,9 @@ text_values = st.one_of(
     st.text(max_size=40),
     st.text(alphabet="0123456789.-x ", max_size=12),
 )
+
+#: file-level marker: every test here belongs to the slow wave
+pytestmark = pytest.mark.slow
 
 SLOW = settings(
     max_examples=15,
