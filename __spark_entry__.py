@@ -480,7 +480,16 @@ def q_entity_match(spark: SparkSession, sf: str) -> DataFrame:
         variant.alias("ename"),
         "p_brand",
     )
-    ents = a.unionByName(b)
+    # persist the entity frame (round 19): filter pushdown splits the
+    # union's two branches into separate part scans, and the frame has
+    # FOUR consumers (the blocked a/b projections, the auto prescan's
+    # sample, entity_clusters' node set) — unpersisted, that was four
+    # scan+spread passes per invocation. Part-master-sized (2× part),
+    # tracked for release_caches.
+    from pyspark.storagelevel import StorageLevel
+
+    ents = a.unionByName(b).persist(StorageLevel.MEMORY_AND_DISK)
+    _track_persists(spark, sf, "entity_match", ents)
     # ordered=False (round 19): the driver hash is order-insensitive
     # and the cluster collapse aggregates the pairs, so the operator's
     # presentation sort bought nothing here — while its range exchange
