@@ -969,7 +969,13 @@ def neardup_clusters(
     so reuse roughly halves-or-better the collapse wall time. The
     frame must carry ``doc_a``/``doc_b`` (+ ``jaccard`` if thresholding
     still applies); when given, ``k``/``threshold`` only govern the
-    fallback rebuild and are otherwise unused.
+    fallback rebuild and are otherwise unused. CONTRACT (ADVICE r18):
+    every id in ``pairs`` must come from THIS ``docs`` frame — the
+    round-0 fold seeds labels from the pair endpoints, so an
+    out-of-corpus id in ``pairs`` would surface as a cluster_id in the
+    output instead of being ignored (the pre-r18 docs-seeded loop
+    silently dropped such ids). Callers composing both sides from the
+    same frame (every in-repo caller) satisfy this by construction.
     """
     import logging
     import time as _time

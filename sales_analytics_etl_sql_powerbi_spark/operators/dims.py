@@ -157,9 +157,11 @@ def scd2_apply(
     (``valid_to < valid_from``) and raises ``ValueError`` naming
     sample keys — a contract violation surfaces as an error, never as
     silently corrupt history. Cost: one extra change-batch-sized job
-    per apply (the strict check's collect fills the change-side cache,
-    so the close-out join re-reads it rather than re-running the
-    detection join); the deliberately-lazy alternative (a
+    per apply (the strict check's ``limit(5).collect()``
+    short-circuits via LocalLimit, so it PARTIALLY fills the
+    change-side persist — downstream branches may still compute the
+    unvisited partitions once; ADVICE r18); the deliberately-lazy
+    alternative (a
     ``raise_error`` column) would be PRUNED away by any downstream
     plan that doesn't read ``valid_to``, which is exactly when
     corruption slips through.

@@ -101,7 +101,11 @@ def pagerank(
     # exchange moves one buffer instead of launching 32 near-empty
     # tasks; at a billion-node graph the cap makes it defaultParallelism
     # exactly as before. Conf-overridable; 0 pins the old
-    # parallelism-sized behavior.
+    # parallelism-sized behavior. LIMITATION: the count sizes the loop
+    # by NODES; a dense graph (edges ≫ nodes, e.g. a near-clique over
+    # few vertices) computes edge-sized contribution maps at this
+    # node-sized parallelism — set the conf to 0 (or a small
+    # rowsPerPartition) for that shape.
     try:
         rows_per = int(
             spark.conf.get("spark_graft.graph.rowsPerPartition", "65536")

@@ -1695,7 +1695,9 @@ def ivf_query(
     # measured 9.5s of executor run time (32 workers × ~300 ms) for a
     # frame that broadcasts to a few KB. The literal posexplode stays
     # entirely in the JVM: one task, zero Python workers.
-    cent_df = spark.range(1).select(
+    # range(0, 1, 1, numPartitions=1): the default otherwise slices one
+    # row over defaultParallelism near-empty tasks
+    cent_df = spark.range(0, 1, 1, 1).select(
         F.posexplode(
             F.expr(
                 "array(" + ", ".join(_lit_arr_spark(c) for c in centroids) + ")"

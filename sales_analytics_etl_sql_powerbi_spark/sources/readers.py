@@ -230,6 +230,12 @@ def parquet_layout(path: str) -> tuple[int, int] | None:
         if os.path.isdir(path):
             rows = groups = 0
             for entry in os.listdir(path):
+                # a nested directory (Hive key=value partitioning)
+                # holds data this top-level walk would miss — fall
+                # back to the safe path instead of undercounting
+                # (ADVICE r18)
+                if os.path.isdir(os.path.join(path, entry)):
+                    return None
                 if not entry.endswith(".parquet"):
                     continue
                 meta = pq.ParquetFile(os.path.join(path, entry)).metadata

@@ -169,7 +169,15 @@ def test_scan_spread_parallelizes_row_group_starved_files(spark, sf_dir):
 
     p = spark.sparkContext.defaultParallelism
     rows, groups = parquet_layout(os.path.join(sf_dir, "documents.parquet"))
-    assert groups == 1 and rows >= 64 * p  # precondition of the fixture data
+    assert groups == 1  # precondition of the fixture data
+    if rows < 64 * p:
+        # a very-high-core runner can outgrow the small fixture; the
+        # ==p assertions below would then fail on correct code
+        # (ADVICE r18) — the contract is still covered on standard
+        # runners
+        import pytest
+
+        pytest.skip(f"fixture too small for parallelism {p}")
     docs = read_table(spark, sf_dir, "documents")
     assert docs.rdd.getNumPartitions() == p
     # sub-threshold table: no spread (no pointless exchange)
