@@ -203,7 +203,11 @@ def pagerank(
         # node-sized reduce over 32 near-empty tasks. Both settings
         # are restored in `finally`; the returned frame is a
         # checkpointed RDD scan, so consumer actions re-plan nothing
-        # under the restored settings.
+        # under the restored settings. CAVEAT: session confs are
+        # session-GLOBAL — a driver submitting unrelated queries from
+        # other threads while this loop runs would plan them under the
+        # scoped values; run fixed-mode pagerank from the thread that
+        # owns the session (every in-repo caller does).
         prior_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         prior_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
